@@ -1,0 +1,151 @@
+"""Decoder LLM (InternLM2 / Llama family), TPU-native.
+
+Replaces ``modeling_internlm2.py`` (InternLM2Model / InternLM2Attention /
+InternLM2MLP / InternLM2ForCausalLM) and the Llama path the chat model can
+select (``modeling_internvl_chat.py:125-130``).  TPU-first design:
+
+* Stacked layer params + ``lax.scan`` + optional ``jax.checkpoint``.
+* The packed ``wqkv`` grouped layout '(h gs d)' with gs = 2 + groups
+  (``modeling_internlm2.py:301-305,361-371``) is preserved at import time but
+  unpacked ONCE into separate q/k/v kernels by the checkpoint importer, so the
+  forward is branch-free and identical for both architectures.
+* GQA runs natively in the attention einsum — no ``repeat_kv``
+  materialization (``modeling_internlm2.py:268-277``).
+* fp32 softmax (reference upcasts at ``modeling_internlm2.py:409``), fp32
+  RMSNorm statistics, RoPE tables computed functionally (no caches).
+* No KV-cache is needed for reward scoring; a cached single-token step for
+  generation lives in ``generate.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import LLMConfig
+from ..ops.attention import multi_head_attention
+from ..ops.matmul import dot, dot_f32
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_tables
+
+
+def init_decoder_params(key, cfg: LLMConfig, dtype=jnp.float32,
+                        with_lm_head: bool = True):
+    """Initialize decoder params (stacked layers, separate q/k/v kernels)."""
+    C, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    V = cfg.vocab_size
+    k = jax.random.split(key, 10)
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+    attn = {
+        "wq": {"kernel": dense(k[0], (L, C, Hq * D))},
+        "wk": {"kernel": dense(k[1], (L, C, Hkv * D))},
+        "wv": {"kernel": dense(k[2], (L, C, Hkv * D))},
+        "wo": {"kernel": dense(k[3], (L, Hq * D, C))},
+    }
+    if cfg.bias:
+        attn["wq"]["bias"] = jnp.zeros((L, Hq * D), dtype)
+        attn["wk"]["bias"] = jnp.zeros((L, Hkv * D), dtype)
+        attn["wv"]["bias"] = jnp.zeros((L, Hkv * D), dtype)
+        attn["wo"]["bias"] = jnp.zeros((L, C), dtype)
+
+    params = {
+        "tok_embeddings": dense(k[4], (V, C)),
+        "layers": {
+            "attention_norm": {"weight": jnp.ones((L, C), dtype)},
+            "attention": attn,
+            "ffn_norm": {"weight": jnp.ones((L, C), dtype)},
+            "feed_forward": {
+                "w1": {"kernel": dense(k[5], (L, C, I))},
+                "w3": {"kernel": dense(k[6], (L, C, I))},
+                "w2": {"kernel": dense(k[7], (L, I, C))},
+            },
+        },
+        "norm": {"weight": jnp.ones((C,), dtype)},
+    }
+    if with_lm_head:
+        params["output"] = {"kernel": dense(k[8], (C, V))}
+    return params
+
+
+def _dense(p, x):
+    y = dot(x, p["kernel"])
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _decoder_layer(cfg: LLMConfig, p, x, attention_mask, cos, sin,
+                   position_ids, attn_impl):
+    """One decoder layer. Ref: ``modeling_internlm2.py:610-681``."""
+    B, S, C = x.shape
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    h = rms_norm(x, p["attention_norm"]["weight"], eps=cfg.rms_norm_eps)
+    q = _dense(p["attention"]["wq"], h).reshape(B, S, Hq, D)
+    k = _dense(p["attention"]["wk"], h).reshape(B, S, Hkv, D)
+    v = _dense(p["attention"]["wv"], h).reshape(B, S, Hkv, D)
+    q, k = apply_rope(q, k, cos, sin, position_ids)
+    attn = multi_head_attention(
+        q, k, v, attention_mask=attention_mask, causal=True, impl=attn_impl
+    )
+    x = x + _dense(p["attention"]["wo"], attn.reshape(B, S, Hq * D))
+
+    h = rms_norm(x, p["ffn_norm"]["weight"], eps=cfg.rms_norm_eps)
+    gate = _dense(p["feed_forward"]["w1"], h)
+    up = _dense(p["feed_forward"]["w3"], h)
+    h = _dense(p["feed_forward"]["w2"], jax.nn.silu(gate) * up)
+    return x + h
+
+
+def decoder_forward(
+    params,
+    cfg: LLMConfig,
+    inputs_embeds: jnp.ndarray,  # (B, S, C)
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, S) 1=real
+    position_ids: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Run all decoder layers + final norm; returns hidden states (B, S, C).
+
+    Equivalent to the reference's ``hidden_states[-1]`` with
+    ``output_hidden_states=True`` (``modeling_internlm2.py:930-970`` — the
+    final entry is post-``self.norm``).
+    """
+    S = inputs_embeds.shape[1]
+    cos, sin = rope_tables(
+        S,
+        cfg.head_dim,
+        base=cfg.rope_theta,
+        scaling_type=cfg.rope_scaling_type,
+        scaling_factor=cfg.rope_scaling_factor,
+        max_position_embeddings=cfg.max_position_embeddings,
+    )
+
+    def block(carry, lp):
+        return (
+            _decoder_layer(
+                cfg, lp, carry, attention_mask, cos, sin, position_ids, attn_impl
+            ),
+            None,
+        )
+
+    blk = jax.checkpoint(block) if remat else block
+    x, _ = jax.lax.scan(blk, inputs_embeds, params["layers"])
+    return rms_norm(x, params["norm"]["weight"], eps=cfg.rms_norm_eps)
+
+
+def embed_tokens(params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    """Token embedding lookup (``tok_embeddings`` / Llama ``embed_tokens``)."""
+    return params["tok_embeddings"][input_ids]
+
+
+def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """LM head projection (fp32 logits, as HF does for loss stability)."""
+    return dot_f32(hidden, params["output"]["kernel"])

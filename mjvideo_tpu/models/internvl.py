@@ -1,0 +1,152 @@
+"""InternVL fusion model: ViT -> pixel-shuffle -> projector -> LLM.
+
+Replaces ``modeling_internvl_chat.py`` (InternVLChatModel).  TPU-first
+differences from the reference:
+
+* The ``<IMG_CONTEXT>`` scatter (``modeling_internvl_chat.py:176-186``) is a
+  boolean-masked in-place write in torch, which forces dynamic shapes; here it
+  is a cumsum-indexed gather + ``where`` — fully static, in-graph, no D2H sync.
+* ``pixel_shuffle`` is pure reshape/transpose (free under XLA).
+* No fake-distributed ceremony: the reference requires an NCCL process group
+  even for world_size=1 (``eval_genai_mjvideo.py:17-24``); here single-host
+  runs need nothing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import ChatConfig
+from ..ops.matmul import dot
+from ..ops.norms import layer_norm
+from ..ops.pixel_shuffle import pixel_shuffle
+from . import decoder as dec
+from .vit import init_vit_params, vit_forward
+
+
+def init_projector_params(key, cfg: ChatConfig, dtype=jnp.float32):
+    """mlp1 projector: LayerNorm -> Linear -> GELU -> Linear.
+
+    Reference: ``modeling_internvl_chat.py:135-140``.
+    """
+    vit_h = cfg.vision.hidden_size * int(1 / cfg.downsample_ratio) ** 2
+    llm_h = cfg.llm.hidden_size
+    k1, k2 = jax.random.split(key)
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+    return {
+        "norm": {"weight": jnp.ones((vit_h,), dtype),
+                 "bias": jnp.zeros((vit_h,), dtype)},
+        "fc1": {"kernel": dense(k1, (vit_h, llm_h)),
+                "bias": jnp.zeros((llm_h,), dtype)},
+        "fc2": {"kernel": dense(k2, (llm_h, llm_h)),
+                "bias": jnp.zeros((llm_h,), dtype)},
+    }
+
+
+def init_chat_params(key, cfg: ChatConfig, dtype=jnp.float32,
+                     with_lm_head: bool = True):
+    kv, kp, kl = jax.random.split(key, 3)
+    return {
+        "vision_model": init_vit_params(kv, cfg.vision, dtype),
+        "mlp1": init_projector_params(kp, cfg, dtype),
+        "language_model": dec.init_decoder_params(
+            kl, cfg.llm, dtype, with_lm_head=with_lm_head
+        ),
+    }
+
+
+def apply_projector(p, x: jnp.ndarray) -> jnp.ndarray:
+    h = layer_norm(x, p["norm"]["weight"], p["norm"]["bias"], eps=1e-5)
+    h = dot(h, p["fc1"]["kernel"]) + p["fc1"]["bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = dot(h, p["fc2"]["kernel"]) + p["fc2"]["bias"]
+    return h
+
+
+def extract_feature(
+    params, cfg: ChatConfig, pixel_values: jnp.ndarray,
+    attn_impl: str = "xla", remat: bool = True,
+) -> jnp.ndarray:
+    """ViT -> drop cls -> HxW grid -> pixel_shuffle -> projector.
+
+    Reference: ``modeling_internvl_chat.py:244-262``.  Returns
+    (num_tiles, num_image_token, llm_hidden).
+    """
+    vit_out = vit_forward(
+        params["vision_model"], cfg.vision, pixel_values,
+        select_layer=cfg.select_layer, attn_impl=attn_impl, remat=remat,
+    )
+    vit_embeds = vit_out[:, 1:, :]  # drop cls
+    n, s, c = vit_embeds.shape
+    hw = int(s**0.5)
+    vit_embeds = vit_embeds.reshape(n, hw, hw, c)
+    vit_embeds = pixel_shuffle(
+        vit_embeds, scale_factor=cfg.downsample_ratio, ps_version=cfg.ps_version
+    )
+    vit_embeds = vit_embeds.reshape(n, -1, vit_embeds.shape[-1])
+    return apply_projector(params["mlp1"], vit_embeds)
+
+
+def scatter_image_embeds(
+    input_embeds: jnp.ndarray,  # (B, T, C)
+    input_ids: jnp.ndarray,  # (B, T)
+    vit_embeds: jnp.ndarray,  # (P, n_tok, C)
+    img_context_token_id: int,
+) -> jnp.ndarray:
+    """Place ViT tokens at ``<IMG_CONTEXT>`` positions, in flattened order.
+
+    Static-shape equivalent of ``input_embeds[selected] = vit_embeds`` at
+    ``modeling_internvl_chat.py:176-186``: the k-th True position of
+    ``selected`` (row-major over B*T) receives the k-th ViT token.
+    """
+    B, T, C = input_embeds.shape
+    flat_ids = input_ids.reshape(B * T)
+    selected = flat_ids == img_context_token_id
+    vit_flat = vit_embeds.reshape(-1, C).astype(input_embeds.dtype)
+    # Index of each selected position within the ViT token stream.
+    idx = jnp.cumsum(selected.astype(jnp.int32)) - 1
+    idx = jnp.clip(idx, 0, vit_flat.shape[0] - 1)
+    gathered = vit_flat[idx]  # (B*T, C)
+    out = jnp.where(selected[:, None], gathered, input_embeds.reshape(B * T, C))
+    return out.reshape(B, T, C)
+
+
+def chat_forward(
+    params,
+    cfg: ChatConfig,
+    pixel_values: jnp.ndarray,  # (P, H, W, 3)
+    input_ids: jnp.ndarray,  # (B, T)
+    attention_mask: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    attn_impl: str = "xla",
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Full multimodal forward; returns final hidden states (B, T, C).
+
+    Matches ``InternVLChatModel.forward`` (``modeling_internvl_chat.py:
+    146-226``) up to (and excluding) the LM head — the reward path consumes
+    hidden states, so the vocab-sized logits matmul is skipped entirely
+    (the reference computes 92k-dim logits it never uses).
+    """
+    input_embeds = dec.embed_tokens(params["language_model"], input_ids)
+    vit_embeds = extract_feature(
+        params, cfg, pixel_values, attn_impl=attn_impl, remat=remat
+    )
+    input_embeds = scatter_image_embeds(
+        input_embeds, input_ids, vit_embeds, cfg.img_context_token_id
+    )
+    return dec.decoder_forward(
+        params["language_model"],
+        cfg.llm,
+        input_embeds,
+        attention_mask=attention_mask,
+        position_ids=position_ids,
+        attn_impl=attn_impl,
+        remat=remat,
+    )
