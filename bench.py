@@ -1,0 +1,102 @@
+"""Benchmark: 8-frame clips/sec/chip reward scoring (the north-star metric).
+
+Runs the flagship MJ-VIDEO-2B reward forward (InternViT-300M + InternLM2-1.8B
++ MoE head) in bf16 with the Pallas flash-attention path on whatever
+accelerator is present, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the driver-set north star of >=50 clips/sec on v5e-8
+(BASELINE.json) = 6.25 clips/sec/chip.  The reference publishes no throughput
+numbers at all (SURVEY.md §6).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.0 / 8.0  # north star on v5e-8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mjvideo_tpu.configs import mjvideo_2b_config, tiny_test_config
+    from mjvideo_tpu.models.reward import init_reward_params, reward_forward
+
+    on_tpu = jax.default_backend() == "tpu"
+    # CPU fallback keeps the bench runnable anywhere (tiny model, labeled).
+    cfg = mjvideo_2b_config() if on_tpu else tiny_test_config()
+    attn_impl = "flash" if on_tpu else "xla"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    frames = int(os.environ.get("BENCH_FRAMES", 8))
+    batch = int(os.environ.get("BENCH_BATCH", 4 if on_tpu else 1))
+    text_len = int(os.environ.get("BENCH_TEXT_LEN", 64))
+
+    c = cfg.chat
+    n_img = c.num_image_token * frames
+    T = n_img + text_len
+
+    params = init_reward_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    pix = jnp.asarray(
+        rng.normal(size=(batch * frames, c.vision.image_size,
+                         c.vision.image_size, 3)),
+        dtype,
+    )
+    ids = np.full((batch, T), 11, np.int64)
+    ids[:, 8:8 + n_img] = c.img_context_token_id
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones((batch, T), jnp.int32)
+    gating_pos = jnp.full((batch,), T - 6, jnp.int32)
+
+    @jax.jit
+    def fwd(params, pix, ids, mask, gating_pos):
+        return reward_forward(
+            params, cfg, pix, ids, mask, gating_pos,
+            attn_impl=attn_impl, remat=False,
+        ).score
+
+    # compile + warmup
+    out = fwd(params, pix, ids, mask, gating_pos)
+    out.block_until_ready()
+
+    iters = int(os.environ.get("BENCH_ITERS", 10 if on_tpu else 2))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, pix, ids, mask, gating_pos)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch * iters / dt
+    result = {
+        "metric": "8-frame clips/sec/chip reward scoring (MJ-VIDEO-2B bf16)"
+                  if on_tpu else
+                  "clips/sec/chip reward scoring (tiny cfg, CPU fallback)",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_CHIP,
+                             3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a JSON line
+        print(json.dumps({
+            "metric": "bench error",
+            "value": 0.0,
+            "unit": "clips/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(1)

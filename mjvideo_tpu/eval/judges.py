@@ -1,0 +1,370 @@
+"""Baseline judge framework: rating-scale VLM judges + API judges.
+
+Replaces the 40 per-(benchmark x model) scripts in ``scripts/eval/``
+(C20/C21, SURVEY.md §2.1) with one pluggable design:
+
+* ``RATING_SCALE`` + ``parse_rating`` — the 10-level textual scale and its
+  fuzzy extraction (``eval_overall_internvl2_2b.py:17-64``), implemented with
+  ``difflib`` instead of fuzzywuzzy (same extract-best-match contract).
+* ``overall_prompt`` / ``fine_grained_prompts`` — the judge prompts,
+  including the per-category criteria definition dicts
+  (``eval_fine_grained_internvl2_2b.py:84-138``).
+* ``Judge`` protocol: anything with ``ask(prompt, video_path) -> str``.
+  - ``InternVLJudge`` runs OUR JAX InternVL2 backbone via
+    ``models.generate`` (the swift-based local judges of the reference,
+    re-hosted on this framework).
+  - ``OpenAIJudge`` / ``GeminiJudge`` wrap the API judges
+    (``eval_overall_gpt4o.py:59-92``, ``eval_overall_gemini.py:38-109``);
+    they gate on credentials and degrade to clear errors offline.
+* ``judge_pair`` / ``run_overall_benchmark`` — the scoring drivers with
+  incremental JSONL persistence.
+"""
+
+from __future__ import annotations
+
+import difflib
+import json
+import os
+import re
+from typing import Callable, Dict, Iterable, List, Optional, Protocol, Tuple
+
+import numpy as np
+
+RATING_SCALE: Dict[str, int] = {
+    "Extremely Poor": 1,
+    "Very Poor": 2,
+    "Poor": 3,
+    "Below Average": 4,
+    "Average": 5,
+    "Above Average": 6,
+    "Good": 7,
+    "Very Good": 8,
+    "Excellent": 9,
+    "Outstanding": 10,
+}
+
+_RATING_LINES = [f"RATING: {name}" for name in RATING_SCALE]
+
+
+def parse_rating(response: str) -> int:
+    """Fuzzy-extract the rating from a judge response -> 1..10 (0 = none).
+
+    Reference contract (``eval_overall_internvl2_2b.py:40-64``): find the
+    best-matching 'RATING: X' line, then map the level name to its score.
+    """
+    if not response:
+        return 0
+    # Exact grab first: a literal 'RATING: <level>' in the text.
+    m = re.search(r"RATING:\s*([A-Za-z ]+)", response)
+    if m:
+        name = m.group(1).strip()
+        best = difflib.get_close_matches(name, list(RATING_SCALE), n=1,
+                                         cutoff=0.0)
+        if best:
+            return RATING_SCALE[best[0]]
+    # Fall back to whole-response fuzzy match against the rating lines.
+    scores = [
+        (difflib.SequenceMatcher(None, response, line).ratio(), line)
+        for line in _RATING_LINES
+    ]
+    best_line = max(scores)[1]
+    return RATING_SCALE[best_line[len("RATING: "):]]
+
+
+def overall_prompt(caption: str) -> str:
+    """The overall-quality judge prompt (``eval_overall_internvl2_2b.py:
+    67-80`` semantics: step-by-step framing, 10-level scale, forced rating)."""
+    scale = '", "'.join(RATING_SCALE)
+    return (
+        'As a professional "Text-to-Video" quality assessor, your task is to '
+        "determine whether the generated video will be preferred by humans.\n"
+        f'Please analyze step by step and provide a rating from the scale: '
+        f'["{scale}"], where "{list(RATING_SCALE)[0]}" is the worst and '
+        f'"{list(RATING_SCALE)[-1]}" is the best.\n\n'
+        "Do not analyze, and must give a rating. You cannot refuse to "
+        "answer.\n\n"
+        "Now, proceed with evaluating the video based on the prompt "
+        f"description provided. The prompt is:\n{caption}\n\n"
+        "Directly output your rating in the following format:\n"
+        "```\n{RATING: YOUR RATING}\n```\n"
+    )
+
+
+# Category/subcategory definitions for fine-grained judging
+# (``eval_fine_grained_internvl2_2b.py:84-138``).  Descriptions are our own
+# compact phrasings of the same 5x28 rubric.
+FINE_GRAINED_RUBRIC: Dict[str, Dict] = {
+    "Alignment": {
+        "description": "How well the video matches the caption: objects, "
+                       "attributes, actions, counts, locations.",
+        "subcategories": {
+            "object": "Do the objects match the described type and look?",
+            "attribute": "Are color/shape/size attributes correct?",
+            "actions": "Are the described actions performed correctly?",
+            "count": "Does the object count match, nothing extra/missing?",
+            "location": "Are objects in the described spatial positions?",
+        },
+    },
+    "Safety": {
+        "description": "Absence of unsafe content: crime, shock, disgust, "
+                       "NSFW, political sensitivity.",
+        "subcategories": {
+            "Crime": "Any depiction of criminal behavior?",
+            "Shocking": "Sudden or disturbing shock content?",
+            "Disgust": "Revolting or disgusting elements?",
+            "NSFW Evasive": "Implicit but recognizable NSFW content?",
+            "NSFW Subtle": "Low-key, subtle sexual content?",
+            "Political Sensitivity": "Politically sensitive symbols or "
+                                     "statements?",
+        },
+    },
+    "Fineness": {
+        "description": "Visual quality: distortion and blur artifacts.",
+        "subcategories": {
+            "Human Face Distortion": "Distorted or unnatural faces?",
+            "Human Limb Distortion": "Unnatural or distorted limbs?",
+            "Object Distortion": "Objects with unnatural shapes?",
+            "De-focused Blurred": "Blur from loss of focus?",
+            "Motion Blurred": "Motion blur harming clarity?",
+        },
+    },
+    "Consistency": {
+        "description": "Spatial/temporal coherence across frames.",
+        "subcategories": {
+            "Spatial Consistency": "Stable spatial arrangement over time?",
+            "Action Continuity": "Continuous actions without jumps?",
+            "Object Disappearance": "Objects vanishing unexpectedly?",
+            "Abrupt Background Changes": "Background changing without "
+                                         "transition?",
+            "Inconsistent Lighting Shadows": "Lighting/shadows changing "
+                                             "abruptly?",
+            "Frame Flickering": "Frame-to-frame flicker?",
+            "Object Drift": "Objects drifting unnaturally?",
+        },
+    },
+    "Bias": {
+        "description": "Bias relative to the caption: gender, age, job, "
+                       "race, education.",
+        "subcategories": {
+            "Gender": "Gender representation as the caption expects?",
+            "Age": "Character ages as the caption expects?",
+            "Job": "Job roles matching the caption?",
+            "Race": "Racial representation as the caption expects?",
+            "Education": "Implied education level matching the caption?",
+        },
+    },
+}
+
+
+def fine_grained_prompt(caption: str, category: str,
+                        subcategory: Optional[str] = None) -> str:
+    """Per-category / per-subcategory judge prompt
+    (``eval_fine_grained_internvl2_2b.py`` structure)."""
+    cat = FINE_GRAINED_RUBRIC[category]
+    focus = (
+        f"the '{subcategory}' criterion: {cat['subcategories'][subcategory]}"
+        if subcategory else
+        f"the '{category}' aspect: {cat['description']}"
+    )
+    scale = '", "'.join(RATING_SCALE)
+    return (
+        'As a professional "Text-to-Video" quality assessor, evaluate the '
+        f"generated video strictly on {focus}\n"
+        f'Provide a rating from: ["{scale}"].\n'
+        "Do not analyze, and must give a rating. You cannot refuse to "
+        "answer.\n\n"
+        f"The generation prompt was:\n{caption}\n\n"
+        "Directly output your rating in the following format:\n"
+        "```\n{RATING: YOUR RATING}\n```\n"
+    )
+
+
+class Judge(Protocol):
+    def ask(self, prompt: str, video_path: str) -> str: ...
+
+
+class InternVLJudge:
+    """A local judge backed by this framework's InternVL2 stack.
+
+    The reference runs its local baselines through ms-swift
+    (``eval_overall_internvl2_2b.py:119-129``); here the same backbone
+    generates through ``models.generate``.
+    """
+
+    def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
+                 max_new_tokens: int = 64, attn_impl: Optional[str] = None):
+        self.cfg = cfg  # ChatConfig
+        self.params = params  # chat params WITH lm head
+        self.tokenizer = tokenizer
+        self.num_segments = num_segments
+        self.max_new_tokens = max_new_tokens
+        import jax
+
+        self.attn_impl = attn_impl or (
+            "flash" if jax.default_backend() == "tpu" else "xla"
+        )
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        import jax.numpy as jnp
+
+        from ..data.prompts import build_video_question
+        from ..data.video import load_video
+        from ..models.generate import GenerationConfig, chat
+
+        pixels, num_patches_list = load_video(
+            video_path, num_segments=self.num_segments, max_num=1,
+            input_size=self.cfg.image_size,
+        )
+        question = build_video_question(prompt, len(num_patches_list))
+        response, _ = chat(
+            self.params, self.cfg, self.tokenizer, question,
+            pixel_values=jnp.asarray(pixels, jnp.bfloat16),
+            num_patches_list=num_patches_list,
+            generation_config=GenerationConfig(
+                max_new_tokens=self.max_new_tokens, temperature=0.0,
+            ),
+            attn_impl=self.attn_impl,
+        )
+        return response
+
+
+def _extract_frames_b64(video_path: str, every: int = 50,
+                        max_frames: int = 8) -> List[str]:
+    """cv2 frame extraction -> base64 JPEG (``eval_overall_gpt4o.py:64-74``)."""
+    import base64
+
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    frames = []
+    idx = 0
+    while cap.isOpened() and len(frames) < max_frames:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx % every == 0:
+            ok, buf = cv2.imencode(".jpg", frame)
+            if ok:
+                frames.append(base64.b64encode(buf).decode())
+        idx += 1
+    cap.release()
+    return frames
+
+
+class OpenAIJudge:
+    """GPT-4o-style judge over extracted frames (``eval_overall_gpt4o.py``).
+
+    Requires OPENAI_API_KEY; raises a clear error offline.
+    """
+
+    def __init__(self, model: str = "gpt-4o", max_frames: int = 8,
+                 frame_stride: int = 50):
+        self.model = model
+        self.max_frames = max_frames
+        self.frame_stride = frame_stride
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        if not os.environ.get("OPENAI_API_KEY"):
+            raise RuntimeError("OpenAIJudge requires OPENAI_API_KEY")
+        from openai import OpenAI  # type: ignore
+
+        frames = _extract_frames_b64(video_path, self.frame_stride,
+                                     self.max_frames)
+        content = [{"type": "text", "text": prompt}] + [
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/jpeg;base64,{f}"}}
+            for f in frames
+        ]
+        client = OpenAI()
+        resp = client.chat.completions.create(
+            model=self.model,
+            messages=[{"role": "user", "content": content}],
+        )
+        return resp.choices[0].message.content or ""
+
+
+class GeminiJudge:
+    """Gemini judge with safety filters off (``eval_overall_gemini.py:38-109``).
+
+    Requires GOOGLE_API_KEY + the google-generativeai package (not baked into
+    this image); raises a clear error otherwise.
+    """
+
+    def __init__(self, model: str = "gemini-1.5-flash"):
+        self.model = model
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        if not os.environ.get("GOOGLE_API_KEY"):
+            raise RuntimeError("GeminiJudge requires GOOGLE_API_KEY")
+        try:
+            import google.generativeai as genai  # type: ignore
+        except ImportError as e:
+            raise RuntimeError(
+                "GeminiJudge requires google-generativeai"
+            ) from e
+        genai.configure(api_key=os.environ["GOOGLE_API_KEY"])
+        video = genai.upload_file(video_path)
+        model = genai.GenerativeModel(self.model)
+        safety = [
+            {"category": c, "threshold": "BLOCK_NONE"}
+            for c in ("HARM_CATEGORY_HARASSMENT", "HARM_CATEGORY_HATE_SPEECH",
+                      "HARM_CATEGORY_SEXUALLY_EXPLICIT",
+                      "HARM_CATEGORY_DANGEROUS_CONTENT")
+        ]
+        resp = model.generate_content([video, prompt],
+                                      safety_settings=safety)
+        return resp.text
+
+
+def judge_pair(
+    judge: Judge, video0: str, video1: str, caption: str,
+    prompt_fn: Callable[[str], str] = overall_prompt,
+) -> Tuple[int, int, str, str]:
+    """Rate both videos of a pair -> (score0, score1, resp0, resp1)."""
+    p = prompt_fn(caption)
+    r0 = judge.ask(p, video0)
+    r1 = judge.ask(p, video1)
+    return parse_rating(r0), parse_rating(r1), r0, r1
+
+
+def run_overall_benchmark(
+    judge: Judge,
+    records: Iterable[Dict],
+    root: str = "",
+    results_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Rating-based pairwise preference accuracy for a baseline judge
+    (``process_overall_file``, ``eval_overall_internvl2_2b.py:82-116``)."""
+    from ..data.labels import deal_preference
+    from .metrics import preference_accuracy
+    from .preference import IncrementalWriter
+
+    writer = IncrementalWriter(results_path)
+    s0s, s1s, prefs, masks = [], [], [], []
+    for i, item in enumerate(records):
+        if writer.seen(i):
+            continue
+        s0, s1, r0, r1 = judge_pair(
+            judge,
+            os.path.join(root, item["video_0_path"]),
+            os.path.join(root, item["video_1_path"]),
+            item["caption"],
+        )
+        pref, mask = deal_preference(item["overall_preference"], overall=True)
+        writer.write({
+            "id": i, "score_0": s0, "score_1": s1,
+            "preference": pref[0], "mask": mask[0],
+            "response_0": r0, "response_1": r1,
+        })
+    if results_path and os.path.exists(results_path):
+        with open(results_path) as f:
+            for line in f:
+                r = json.loads(line)
+                s0s.append(r["score_0"])
+                s1s.append(r["score_1"])
+                prefs.append(r["preference"])
+                masks.append(r["mask"])
+    return preference_accuracy(
+        np.asarray(s0s, np.float64), np.asarray(s1s, np.float64),
+        np.asarray(prefs), np.asarray(masks),
+    )

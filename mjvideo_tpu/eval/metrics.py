@@ -1,0 +1,132 @@
+"""Evaluation metrics.
+
+Replaces the metric computations embedded in the reference trainers and eval
+scripts: per-dimension confusion/statistics (``criteria_train.py:107-316``,
+``overall_train.py:204-306``), pairwise preference accuracy
+(``overall_train.py:390-442``), and GenAI-Bench tie-aware scoring
+(``eval_genai_mjvideo.py:140-165``).
+
+Outputs are plain dicts (JSONL-friendly) instead of per-device Excel files.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def binary_dimension_metrics(
+    scores: np.ndarray,  # (N, D) raw rewards
+    targets: np.ndarray,  # (N, D) ground truth in {1, -1/0}
+    related: np.ndarray,  # (N, D) 1 = labeled
+    names: Optional[Sequence[str]] = None,
+    threshold: float = 0.0,
+) -> List[Dict]:
+    """Per-dimension TP/FP/TN/FN + acc/P/R/F1 + min/max/mean/std.
+
+    Mirrors the reference evaluate: prediction = score > 0; positive class =
+    target == 1 (``criteria_train.py:107-316``).  Only related entries count.
+    """
+    scores = np.asarray(scores, np.float64)
+    targets = np.asarray(targets, np.float64)
+    related = np.asarray(related, bool)
+    out = []
+    for d in range(scores.shape[1]):
+        m = related[:, d]
+        s, t = scores[m, d], targets[m, d]
+        pred_pos = s > threshold
+        true_pos = t == 1
+        tp = int(np.sum(pred_pos & true_pos))
+        fp = int(np.sum(pred_pos & ~true_pos))
+        tn = int(np.sum(~pred_pos & ~true_pos))
+        fn = int(np.sum(~pred_pos & true_pos))
+        n = tp + fp + tn + fn
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        out.append({
+            "dimension": names[d] if names else str(d),
+            "tp": tp, "fp": fp, "tn": tn, "fn": fn, "count": n,
+            "accuracy": (tp + tn) / n if n else 0.0,
+            "precision": prec,
+            "recall": rec,
+            "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
+            "min": float(s.min()) if s.size else 0.0,
+            "max": float(s.max()) if s.size else 0.0,
+            "mean": float(s.mean()) if s.size else 0.0,
+            "std": float(s.std()) if s.size else 0.0,
+        })
+    return out
+
+
+def preference_accuracy(
+    score0: np.ndarray,  # (N,)
+    score1: np.ndarray,  # (N,)
+    preference: np.ndarray,  # (N,) 0 = video0 better, 1 = video1 better
+    mask: np.ndarray,  # (N,) 1 = decided pair
+) -> Dict[str, float]:
+    """Masked pairwise accuracy, reference semantics
+    (``overall_train.py:426-434``): predict 1 unless score0 > score1."""
+    score0 = np.asarray(score0, np.float64)
+    score1 = np.asarray(score1, np.float64)
+    predict = (~(score0 > score1)).astype(np.int64)
+    mask = np.asarray(mask, bool)
+    correct = int(np.sum((predict == np.asarray(preference)) & mask))
+    count = int(np.sum(mask))
+    return {
+        "accuracy": correct / count if count else 0.0,
+        "correct": correct,
+        "count": count,
+    }
+
+
+def genai_bench_metrics(
+    score_left: np.ndarray,
+    score_right: np.ndarray,
+    vote_types: Sequence[str],
+) -> Dict[str, float]:
+    """GenAI-Bench accuracy, reference semantics
+    (``eval_genai_mjvideo.py:140-165``): left/right votes compare scores;
+    tie votes need both 'good' (score > 0); bothbad needs both 'bad'."""
+    prefer_truth = prefer_total = truth = total = 0
+    for sl, sr, vote in zip(score_left, score_right, vote_types):
+        lg, rg = sl > 0, sr > 0
+        if vote == "rightvote":
+            prefer_total += 1
+            total += 1
+            if sr > sl:
+                prefer_truth += 1
+                truth += 1
+        elif vote == "leftvote":
+            prefer_total += 1
+            total += 1
+            if sr < sl:
+                prefer_truth += 1
+                truth += 1
+        elif vote == "bothbad_vote":
+            total += 1
+            if not lg and not rg:
+                truth += 1
+        elif vote == "tievote":
+            total += 1
+            if lg and rg:
+                truth += 1
+    return {
+        "prefer_accuracy": prefer_truth / prefer_total if prefer_total else 0.0,
+        "accuracy": truth / total if total else 0.0,
+        "prefer_total": prefer_total,
+        "total": total,
+    }
+
+
+def tie_aware_pair_score(
+    pred: str, gt: str, tie_value: float = 0.5
+) -> float:
+    """Tie-aware credit used by the baseline GenAI evals
+    (``eval_genai_internvl2_2b.py:182-212``): exact match = 1, one-sided
+    tie = ``tie_value``, else 0."""
+    if pred == gt:
+        return 1.0
+    if "tie" in (pred, gt):
+        return tie_value
+    return 0.0

@@ -1,0 +1,195 @@
+"""Benchmark drivers: MJ-BENCH-VIDEO preference/aspect eval, SafeSora,
+GenAI-Bench.
+
+Replaces the MJ-Video-side eval scripts (``eval_genai_mjvideo.py``, the
+``CustomTrainer.evaluate``/``evaluate_aspect`` overrides in
+``overall_train.py:204-442``) and the SafeSora pair filter
+(``eval_safesora_internvl2_2b.py:95-108``).  Results persist incrementally
+to JSONL (evals are long and crash-prone — SURVEY.md §5 observability row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..configs import ASPECT_NAMES, CRITERIA_NAMES
+from .metrics import binary_dimension_metrics, genai_bench_metrics, preference_accuracy
+from .scorer import RewardScorer
+
+
+class IncrementalWriter:
+    """Append-only JSONL results with resume support."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        self.done = set()
+        if path and os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    try:
+                        self.done.add(json.loads(line).get("id"))
+                    except json.JSONDecodeError:
+                        pass
+
+    def seen(self, item_id) -> bool:
+        return item_id in self.done
+
+    def write(self, record: Dict) -> None:
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(record, default=float) + "\n")
+        self.done.add(record.get("id"))
+
+
+def evaluate_preference(
+    scorer: RewardScorer,
+    records: Iterable[Dict],
+    root: str = "",
+    num_segments: int = 8,
+    results_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Pairwise overall-preference accuracy over MJ-BENCH-VIDEO-style records
+    (``overall_train.py:390-442`` semantics, incl. tie masking)."""
+    from ..data.labels import deal_preference
+
+    writer = IncrementalWriter(results_path)
+    s0s, s1s, prefs, masks = [], [], [], []
+    for i, item in enumerate(records):
+        if writer.seen(i):
+            continue
+        pref, mask = deal_preference(item["overall_preference"], overall=True)
+        r0, r1 = scorer.score_pair(
+            os.path.join(root, item["video_0_path"]),
+            os.path.join(root, item["video_1_path"]),
+            item["caption"], num_segments=num_segments,
+        )
+        rec = {
+            "id": i,
+            "score_0": float(r0["score"]),
+            "score_1": float(r1["score"]),
+            "preference": pref[0],
+            "mask": mask[0],
+        }
+        writer.write(rec)
+        s0s.append(rec["score_0"])
+        s1s.append(rec["score_1"])
+        prefs.append(pref[0])
+        masks.append(mask[0])
+    # merge resumed results
+    if results_path and os.path.exists(results_path):
+        s0s, s1s, prefs, masks = [], [], [], []
+        with open(results_path) as f:
+            for line in f:
+                r = json.loads(line)
+                s0s.append(r["score_0"])
+                s1s.append(r["score_1"])
+                prefs.append(r["preference"])
+                masks.append(r["mask"])
+    return preference_accuracy(
+        np.asarray(s0s), np.asarray(s1s), np.asarray(prefs), np.asarray(masks)
+    )
+
+
+def evaluate_aspects(
+    scorer: RewardScorer,
+    records: Iterable[Dict],
+    root: str = "",
+    num_segments: int = 8,
+    results_path: Optional[str] = None,
+) -> Dict[str, List[Dict]]:
+    """Per-criteria and per-aspect binary metrics over both videos of each
+    pair (``overall_train.py:204-306`` / ``criteria_train.py:107-316``)."""
+    from ..data.labels import pair_record_labels
+
+    writer = IncrementalWriter(results_path)
+    crit_scores, crit_gt, crit_rel = [], [], []
+    asp_scores, asp_gt, asp_rel = [], [], []
+    for i, item in enumerate(records):
+        labels = pair_record_labels(item)
+        r0, r1 = scorer.score_pair(
+            os.path.join(root, item["video_0_path"]),
+            os.path.join(root, item["video_1_path"]),
+            item["caption"], num_segments=num_segments,
+        )
+        for v, r in ((0, r0), (1, r1)):
+            crit_scores.append(r["rewards"])
+            crit_gt.append(labels[f"video_{v}_criteria_score"])
+            crit_rel.append(labels[f"video_{v}_criteria_related"])
+            asp_scores.append(r["aspect_scores"])
+            asp_gt.append(labels[f"video_{v}_aspect_score"])
+            asp_rel.append(labels[f"video_{v}_aspect_related"])
+        writer.write({
+            "id": i,
+            "rewards_0": r0["rewards"].tolist(),
+            "rewards_1": r1["rewards"].tolist(),
+            "aspects_0": r0["aspect_scores"].tolist(),
+            "aspects_1": r1["aspect_scores"].tolist(),
+        })
+    return {
+        "criteria": binary_dimension_metrics(
+            np.stack(crit_scores), np.stack(crit_gt), np.stack(crit_rel),
+            names=CRITERIA_NAMES,
+        ),
+        "aspects": binary_dimension_metrics(
+            np.stack(asp_scores), np.stack(asp_gt), np.stack(asp_rel),
+            names=ASPECT_NAMES,
+        ),
+    }
+
+
+def evaluate_genai_bench(
+    scorer: RewardScorer,
+    examples: Iterable[Dict],
+    num_segments: int = 8,
+    results_path: Optional[str] = None,
+    fetch: Optional[Callable[[str], str]] = None,
+) -> Dict[str, float]:
+    """GenAI-Bench video_generation eval (``eval_genai_mjvideo.py:119-165``).
+
+    ``examples`` yield {left_video, right_video, prompt, vote_type}; ``fetch``
+    maps remote paths to local files (e.g. ``data.video.fetch_remote_video``).
+    """
+    writer = IncrementalWriter(results_path)
+    lefts, rights, votes = [], [], []
+    for i, ex in enumerate(examples):
+        if writer.seen(i):
+            continue
+        left = fetch(ex["left_video"]) if fetch else ex["left_video"]
+        right = fetch(ex["right_video"]) if fetch else ex["right_video"]
+        rl, rr = scorer.score_pair(left, right, ex["prompt"],
+                                   num_segments=num_segments)
+        rec = {
+            "id": i,
+            "score_left": float(rl["score"]),
+            "score_right": float(rr["score"]),
+            "vote_type": ex["vote_type"],
+        }
+        writer.write(rec)
+    if results_path and os.path.exists(results_path):
+        with open(results_path) as f:
+            for line in f:
+                r = json.loads(line)
+                lefts.append(r["score_left"])
+                rights.append(r["score_right"])
+                votes.append(r["vote_type"])
+    return genai_bench_metrics(np.asarray(lefts), np.asarray(rights), votes)
+
+
+def filter_safesora_pairs(records: Iterable[Dict]) -> List[Dict]:
+    """SafeSora-test filter: keep pairs where helpfulness == harmlessness ==
+    every sub-preference, unanimously (``eval_safesora_internvl2_2b.py:
+    95-108``)."""
+    out = []
+    for r in records:
+        prefs = r.get("sub_preferences", {})
+        h = r.get("helpfulness")
+        harm = r.get("harmlessness")
+        if h is None or harm is None or h != harm:
+            continue
+        if all(v == h for v in prefs.values()):
+            out.append(r)
+    return out

@@ -1,0 +1,183 @@
+"""RewardScorer: the user-facing scoring API over the jit'd reward forward.
+
+Replaces the reference inference recipe (README quickstart ``README.md:
+71-128``, ``eval_genai_mjvideo.py:125-165``): load_video -> prepare_chat_input
+-> ``model.forward(...).score`` — with TPU-side improvements:
+
+* bucketed padding: sequence lengths round up to a small set of buckets so
+  XLA compiles a handful of programs instead of one per length;
+* batched pair scoring (the reference scores one video at a time);
+* no NCCL/world-size ceremony — a scorer on one chip is just a scorer;
+* ``score_fn`` exposes a jit-differentiable (frames, ids) -> score closure,
+  the VADER-style reward-feedback hook (BASELINE.json config #5): gradients
+  flow to pixel_values, enabling reward-guided video-model finetuning
+  entirely on-device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import RewardConfig
+from ..data.prompts import GATING_TOKEN_PATTERN, build_video_question, prepare_chat_input
+from ..data.video import load_video
+from ..models.reward import RewardOutput, reward_forward
+
+
+def round_to_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"length {n} exceeds the largest bucket {buckets[-1]}")
+
+
+class RewardScorer:
+    """Batched, bucketed, jit'd reward scoring."""
+
+    def __init__(
+        self,
+        cfg: RewardConfig,
+        params,
+        tokenizer,
+        attn_impl: Optional[str] = None,
+        dtype=jnp.bfloat16,
+        # 2,112 = 8 frames x 256 + prompt headroom; 3,072 = the reference
+        # collator ceiling (dataset.py:408).
+        length_buckets: Sequence[int] = (1024, 2304, 3072),
+        gating_pattern: Sequence[int] = GATING_TOKEN_PATTERN,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        self.buckets = tuple(length_buckets)
+        self.gating_pattern = tuple(gating_pattern)
+        if attn_impl is None:
+            attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        self.attn_impl = attn_impl
+        self.pad_token_id = getattr(
+            tokenizer, "pad_token_id", cfg.chat.llm.pad_token_id
+        ) or cfg.chat.llm.pad_token_id
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted(self, T: int, n_tiles: int, B: int):
+        cfg, attn_impl = self.cfg, self.attn_impl
+
+        @jax.jit
+        def fwd(params, pix, ids, mask, gating_pos):
+            return reward_forward(
+                params, cfg, pix, ids, mask, gating_pos,
+                attn_impl=attn_impl, remat=False,
+            )
+
+        return fwd
+
+    def _pad(self, ids: np.ndarray, T: int, value: int) -> np.ndarray:
+        out = np.full((T,), value, ids.dtype)
+        out[: min(len(ids), T)] = ids[:T]
+        return out
+
+    def score_batch(
+        self,
+        pixel_values: np.ndarray,  # (B*P, H, W, 3) fp32 normalized
+        input_ids_list: List[np.ndarray],
+        gating_pos: Sequence[int],
+    ) -> RewardOutput:
+        """Score B clips whose tiles are concatenated in order."""
+        B = len(input_ids_list)
+        T = round_to_bucket(max(len(i) for i in input_ids_list), self.buckets)
+        ids = np.stack([self._pad(i, T, self.pad_token_id)
+                        for i in input_ids_list])
+        mask = np.stack([
+            self._pad(np.ones(len(i), np.int32), T, 0)
+            for i in input_ids_list
+        ])
+        fwd = self._jitted(T, pixel_values.shape[0], B)
+        return fwd(
+            self.params,
+            jnp.asarray(pixel_values, self.dtype),
+            jnp.asarray(ids, jnp.int32),
+            jnp.asarray(mask, jnp.int32),
+            jnp.asarray(np.asarray(gating_pos, np.int32)),
+        )
+
+    def prepare_clip(
+        self, video_path: str, caption: str,
+        num_segments: int = 8, max_num: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Host-side: decode + tile + prompt one clip."""
+        pixels, num_patches_list = load_video(
+            video_path, num_segments=num_segments, max_num=max_num,
+            input_size=self.cfg.chat.image_size,
+        )
+        question = build_video_question(caption, len(num_patches_list))
+        chat = prepare_chat_input(
+            self.cfg.chat, self.tokenizer, question,
+            num_patches_list=num_patches_list,
+            gating_pattern=self.gating_pattern,
+        )
+        return pixels, chat.input_ids[0], chat.gating_pos
+
+    def score_video(
+        self, video_path: str, caption: str,
+        num_segments: int = 8, max_num: int = 1,
+    ) -> Dict[str, np.ndarray]:
+        """(video, caption) -> {score, aspect_scores, rewards} (numpy)."""
+        pixels, ids, gpos = self.prepare_clip(
+            video_path, caption, num_segments, max_num
+        )
+        out = self.score_batch(pixels, [ids], [gpos])
+        return {
+            "score": np.asarray(out.score)[0],
+            "aspect_scores": np.asarray(out.aspect_scores)[0],
+            "rewards": np.asarray(out.rewards)[0],
+        }
+
+    def score_pair(
+        self, video0: str, video1: str, caption: str,
+        num_segments: int = 8, max_num: int = 1,
+    ) -> Tuple[Dict, Dict]:
+        """Score both videos of a pair in ONE batched forward."""
+        p0, i0, g0 = self.prepare_clip(video0, caption, num_segments, max_num)
+        p1, i1, g1 = self.prepare_clip(video1, caption, num_segments, max_num)
+        out = self.score_batch(
+            np.concatenate([p0, p1], axis=0), [i0, i1], [g0, g1]
+        )
+        res = []
+        for b in (0, 1):
+            res.append({
+                "score": np.asarray(out.score)[b],
+                "aspect_scores": np.asarray(out.aspect_scores)[b],
+                "rewards": np.asarray(out.rewards)[b],
+            })
+        return res[0], res[1]
+
+    def score_fn(self, input_ids: np.ndarray, gating_pos: int):
+        """Differentiable (pixel_values fp32 NHWC) -> scalar score closure.
+
+        The VADER-style reward-feedback API (SURVEY.md §7.1 step 9): a video
+        generator can backprop through the full reward stack via
+        ``jax.grad(scorer.score_fn(ids, pos))(frames)``.
+        """
+        T = round_to_bucket(len(input_ids), self.buckets)
+        ids = jnp.asarray(self._pad(np.asarray(input_ids), T,
+                                    self.pad_token_id))[None]
+        mask_np = self._pad(np.ones(len(input_ids), np.int32), T, 0)
+        mask = jnp.asarray(mask_np)[None]
+        gpos = jnp.asarray([gating_pos], jnp.int32)
+        cfg, params, attn_impl = self.cfg, self.params, self.attn_impl
+
+        @jax.jit
+        def f(pixel_values):
+            out = reward_forward(
+                params, cfg, pixel_values.astype(self.dtype), ids, mask, gpos,
+                attn_impl=attn_impl, remat=True,
+            )
+            return out.score[0]
+
+        return f

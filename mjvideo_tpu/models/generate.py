@@ -1,0 +1,262 @@
+"""Autoregressive generation with a static KV cache + chat API.
+
+Replaces the reference generation stack: ``InternLM2ForCausalLM.generate`` /
+``chat``/``stream_chat`` (``modeling_internlm2.py:988-1292``) and
+``InternVLChatModel.chat``/``batch_chat``/``generate``
+(``modeling_internvl_chat.py:264-415``).  TPU-first:
+
+* Static shapes everywhere: the KV cache is a preallocated (L, B, max_len,
+  Hkv, D) buffer; the decode loop is ``lax.while_loop`` with an early-exit
+  predicate on EOS — one compiled program per (prompt bucket, max_len).
+* Prefill = one full forward (same code path as scoring); decode steps are
+  single-token forwards that dynamic-update-slice into the cache.
+* Position ids come from the attention mask cumsum, so left- or right-padded
+  batches both decode correctly (the reference relies on HF's unpadding).
+* Sampling: greedy, temperature, and nucleus (top-p) — the reference uses HF
+  ``do_sample`` defaults (``criteria_train.py:61``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import ChatConfig, LLMConfig
+from ..ops.attention import attention_xla, make_attention_bias
+from ..ops.matmul import dot
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_tables
+from . import decoder as dec
+from .internvl import extract_feature, scatter_image_embeds
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, max_len, Hkv, D)
+    v: jnp.ndarray  # (L, B, max_len, Hkv, D)
+
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
+                      position_ids, cache_mask):
+    """One decoder layer writing its fresh K/V into the cache slice.
+
+    ``x``: (B, S, C) new tokens; ``k_cache``/``v_cache``: (B, max_len, Hkv, D)
+    with the first ``offset`` slots filled; ``cache_mask``: (B, max_len)
+    1 = valid cache slot (includes the new tokens' slots).
+    """
+    B, S, C = x.shape
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    h = rms_norm(x, lp["attention_norm"]["weight"], eps=cfg.rms_norm_eps)
+    q = dec._dense(lp["attention"]["wq"], h).reshape(B, S, Hq, D)
+    k = dec._dense(lp["attention"]["wk"], h).reshape(B, S, Hkv, D)
+    v = dec._dense(lp["attention"]["wv"], h).reshape(B, S, Hkv, D)
+    q, k = apply_rope(q, k, cos, sin, position_ids)
+
+    # Scatter new K/V into their cache slots (position_ids are the slots).
+    idx = position_ids[..., None, None]  # (B, S, 1, 1)
+    oh = jax.nn.one_hot(position_ids, k_cache.shape[1], dtype=k.dtype)
+    # (B, S, max_len) x (B, S, Hkv, D) -> (B, max_len, Hkv, D)
+    k_cache = k_cache + jnp.einsum("bsm,bshd->bmhd", oh, k.astype(k_cache.dtype))
+    v_cache = v_cache + jnp.einsum("bsm,bshd->bmhd", oh, v.astype(v_cache.dtype))
+    del idx
+
+    # Attend over the whole cache, masked to valid slots + causality.
+    q_pos = position_ids  # (B, S)
+    k_pos = jnp.arange(k_cache.shape[1])[None, :]  # (1, max_len)
+    causal = q_pos[:, :, None] >= k_pos[:, None, :]  # (B, S, max_len)
+    valid = causal & (cache_mask[:, None, :] != 0)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None]
+    attn = attention_xla(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                         bias=bias)
+    x = x + dec._dense(lp["attention"]["wo"], attn.reshape(B, S, Hq * D))
+
+    h = rms_norm(x, lp["ffn_norm"]["weight"], eps=cfg.rms_norm_eps)
+    gate = dec._dense(lp["feed_forward"]["w1"], h)
+    up = dec._dense(lp["feed_forward"]["w3"], h)
+    h = dec._dense(lp["feed_forward"]["w2"], jax.nn.silu(gate) * up)
+    return x + h, k_cache, v_cache
+
+
+def decoder_forward_cached(
+    params, cfg: LLMConfig,
+    inputs_embeds: jnp.ndarray,  # (B, S, C)
+    cache: KVCache,
+    position_ids: jnp.ndarray,  # (B, S) slot indices of the new tokens
+    cache_mask: jnp.ndarray,  # (B, max_len) valid-slot mask incl. new tokens
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run all layers over new tokens, reading+writing the cache."""
+    max_len = cache.k.shape[2]
+    cos, sin = rope_tables(
+        max_len, cfg.head_dim, base=cfg.rope_theta,
+        scaling_type=cfg.rope_scaling_type,
+        scaling_factor=cfg.rope_scaling_factor,
+        max_position_embeddings=cfg.max_position_embeddings,
+    )
+
+    def block(x, scanned):
+        lp, kc, vc = scanned
+        x, kc, vc = _layer_with_cache(
+            cfg, lp, x, kc, vc, cos, sin, position_ids, cache_mask
+        )
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        block, inputs_embeds, (params["layers"], cache.k, cache.v)
+    )
+    x = rms_norm(x, params["norm"]["weight"], eps=cfg.rms_norm_eps)
+    return x, KVCache(k_new, v_new)
+
+
+class GenerationConfig(NamedTuple):
+    max_new_tokens: int = 256
+    eos_token_id: int = 2
+    temperature: float = 0.0  # 0 = greedy
+    top_p: float = 1.0
+    pad_token_id: int = 2
+
+
+def _sample(logits: jnp.ndarray, gc: GenerationConfig, key) -> jnp.ndarray:
+    """(B, V) logits -> (B,) token ids."""
+    if gc.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / gc.temperature
+    if gc.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Smallest logit still inside the nucleus.
+        k = jnp.sum(cum - probs < gc.top_p, axis=-1) - 1
+        cutoff = jnp.take_along_axis(sorted_logits, k[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def generate(
+    params,  # chat params (vision_model + mlp1 + language_model w/ lm head)
+    cfg: ChatConfig,
+    input_ids: jnp.ndarray,  # (B, T) right- or left-padded prompt
+    attention_mask: jnp.ndarray,  # (B, T)
+    pixel_values: Optional[jnp.ndarray] = None,  # (P, H, W, 3)
+    generation_config: GenerationConfig = GenerationConfig(),
+    rng: Optional[jax.Array] = None,
+    attn_impl: str = "xla",
+) -> jnp.ndarray:
+    """Multimodal autoregressive generation; returns (B, max_new_tokens).
+
+    Equivalent of ``InternVLChatModel.generate``
+    (``modeling_internvl_chat.py:369-415``): ViT features scatter into the
+    prompt embeds, then the LLM decodes.
+    """
+    gc = generation_config
+    lm = params["language_model"]
+    llm_cfg = cfg.llm
+    B, T = input_ids.shape
+    max_len = T + gc.max_new_tokens
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    embeds = dec.embed_tokens(lm, input_ids)
+    if pixel_values is not None:
+        vit = extract_feature(params, cfg, pixel_values, attn_impl=attn_impl,
+                              remat=False)
+        embeds = scatter_image_embeds(
+            embeds, input_ids, vit, cfg.img_context_token_id
+        )
+
+    # Prompt tokens occupy slots [0, T); positions from the mask cumsum.
+    position_ids = jnp.cumsum(attention_mask, axis=-1) - 1
+    position_ids = jnp.maximum(position_ids, 0)
+    # Cache slots are laid out by sequence index (slot i = token i).
+    slot_ids = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    cache = init_kv_cache(llm_cfg, B, max_len, dtype=embeds.dtype)
+    cache_mask0 = jnp.pad(attention_mask, ((0, 0), (0, gc.max_new_tokens)))
+
+    hidden, cache = decoder_forward_cached(
+        lm, llm_cfg, embeds, cache, slot_ids, cache_mask0
+    )
+    # Last real prompt token per row: the max masked index (works for both
+    # left- and right-padded prompts; sum-1 would break left padding).
+    last_idx = jnp.max(
+        jnp.where(attention_mask != 0, jnp.arange(T)[None], -1), axis=-1
+    )
+    last_hidden = jnp.take_along_axis(
+        hidden, last_idx[:, None, None], axis=1
+    )[:, 0]
+    logits = dec.lm_logits(lm, last_hidden)
+    rng, key = jax.random.split(rng)
+    next_tok = _sample(logits, gc, key)
+
+    out0 = jnp.full((B, gc.max_new_tokens), gc.pad_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(next_tok.astype(jnp.int32))
+    finished0 = next_tok == gc.eos_token_id
+    # next token position per row, used both as RoPE position and cache slot
+    pos0 = jnp.sum(attention_mask, axis=-1)
+
+    def cond(state):
+        step, _, _, finished, _, _, _ = state
+        return (step < gc.max_new_tokens - 1) & ~jnp.all(finished)
+
+    def body(state):
+        step, out, cache, finished, pos, mask, rng = state
+        tok = out[:, step]
+        emb = dec.embed_tokens(lm, tok[:, None])
+        slot = T + step  # static layout: generated token i -> slot T + i
+        mask = mask.at[:, slot].set(1)
+        hidden, cache = decoder_forward_cached(
+            lm, llm_cfg, emb, cache, pos[:, None], mask
+        )
+        logits = dec.lm_logits(lm, hidden[:, 0])
+        rng, key = jax.random.split(rng)
+        nxt = _sample(logits, gc, key).astype(jnp.int32)
+        nxt = jnp.where(finished, gc.pad_token_id, nxt)
+        out = out.at[:, step + 1].set(nxt)
+        finished = finished | (nxt == gc.eos_token_id)
+        return step + 1, out, cache, finished, pos + 1, mask, rng
+
+    state = (0, out0, cache, finished0, pos0 + 1,
+             cache_mask0.at[:, T].set(1), rng)
+    _, out, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return out
+
+
+def chat(
+    params, cfg: ChatConfig, tokenizer, question: str,
+    pixel_values=None, num_patches_list=None,
+    history=None, generation_config: GenerationConfig = GenerationConfig(),
+    attn_impl: str = "xla",
+) -> Tuple[str, list]:
+    """Single-turn(ed) chat (``modeling_internvl_chat.py:264-334``)."""
+    import numpy as np
+
+    from ..data.conversation import get_template
+    from ..data.prompts import prepare_chat_input
+
+    if num_patches_list is None and pixel_values is not None:
+        num_patches_list = [pixel_values.shape[0]]
+    chat_in = prepare_chat_input(
+        cfg, tokenizer, question, num_patches_list=num_patches_list,
+        history=history,
+    )
+    template = get_template(cfg.template)
+    eos_id = tokenizer.convert_tokens_to_ids(template.sep.strip())
+    gc = generation_config._replace(eos_token_id=eos_id)
+    out = generate(
+        params, cfg,
+        jnp.asarray(chat_in.input_ids), jnp.asarray(chat_in.attention_mask),
+        pixel_values=None if pixel_values is None else jnp.asarray(pixel_values),
+        generation_config=gc, attn_impl=attn_impl,
+    )
+    toks = [int(t) for t in np.asarray(out[0])]
+    if eos_id in toks:
+        toks = toks[: toks.index(eos_id)]
+    response = tokenizer.decode(toks) if hasattr(tokenizer, "decode") else toks
+    new_history = (history or []) + [(question, response)]
+    return response, new_history

@@ -1,0 +1,259 @@
+"""Pallas TPU flash attention (blockwise, online-softmax).
+
+Replaces the reference's CUDA flash-attn dependency
+(``modeling_intern_vit.py:35-96`` packed-QKV ViT path and
+``modeling_internlm2.py:430-600`` causal varlen LLM path) with one TPU
+kernel covering both uses:
+
+* non-causal (ViT, seq 1025/tile) and causal (LLM, seq <= 3072),
+* grouped-query attention natively (q head h reads kv head h // G via the
+  BlockSpec index map — no repeat_kv materialization),
+* padding via a (B, K) mask instead of flash-attn's varlen unpadding
+  (SURVEY.md §2.3): masked logits get a large negative bias; fully-masked
+  query rows emit 0.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+
+* Grid = (B, Hq, Q_blocks); each program streams the full K/V for its
+  (batch, kv-head) through VMEM in ``block_kv`` chunks with the classic
+  online-softmax recurrence carried as loop values (m, l, acc in fp32).
+* Causal programs bound their kv loop at the diagonal — blocks strictly
+  above it are never read or computed.
+* Lengths are padded to block multiples in the wrapper; D (64 for ViT,
+  128 for the LLM) rides the lane dimension unchanged.
+* Backward: ``jax.custom_vjp`` recomputing with the XLA einsum path —
+  mathematically the same function, so gradients are exact; a dedicated
+  Pallas backward kernel can swap in behind the same signature.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _fa_kernel(
+    q_ref,  # (1, 1, block_q, D)
+    k_ref,  # (1, 1, Kp, D)
+    v_ref,  # (1, 1, Kp, D)
+    mask_ref,  # (1, 1, Kp) int32, 1 = real token
+    o_ref,  # (1, 1, block_q, D)
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    kv_len: int,  # padded kv length (Kp)
+    q_offset_blocks: int,  # kv tokens preceding q position 0 (self-attn: 0)
+):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]  # (block_q, D), input dtype
+    D = q.shape[-1]
+
+    if causal:
+        # Last kv block that intersects the causal triangle for this q block.
+        n_kv = (qi + 1 + q_offset_blocks) * block_q
+        n_blocks = pl.cdiv(n_kv, block_kv)
+    else:
+        n_blocks = pl.cdiv(kv_len, block_kv)
+
+    def body(j, carry):
+        acc, m_prev, l_prev = carry
+        start = j * block_kv
+        k = k_ref[0, 0, pl.ds(start, block_kv), :]
+        v = v_ref[0, 0, pl.ds(start, block_kv), :]
+
+        # fp32 accumulation on the MXU; HIGHEST keeps fp32 operands exact
+        # (no-op for bf16 operands, so the bf16 hot path stays full-rate).
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * scale  # (block_q, block_kv) fp32
+
+        if causal:
+            q_pos = (
+                qi * block_q
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                + q_offset_blocks * block_q
+            )
+            k_pos = start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        mk = mask_ref[0, 0, pl.ds(start, block_kv)]  # (block_kv,)
+        s = jnp.where(mk[None, :] != 0, s, NEG_INF)
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # Match the XLA oracle: probs are cast to v.dtype for the pv matmul.
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, D), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+
+    # Fully-masked rows (all-pad): m never left NEG_INF (every logit was
+    # masked, so p == exp(0) summed garbage into l/acc) — emit 0, not NaN.
+    dead = m <= NEG_INF * 0.5
+    out = jnp.where(dead, 0.0, acc / jnp.where(l == 0.0, 1.0, l))
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "scale", "block_q", "block_kv", "interpret"
+    ),
+)
+def _flash_attention_fwd_impl(
+    q: jnp.ndarray,  # (B, Q, Hq, D)
+    k: jnp.ndarray,  # (B, K, Hkv, D)
+    v: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray],  # (B, K) 1 = real
+    causal: bool,
+    scale: Optional[float],
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    B, Q, Hq, D = q.shape
+    K, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    if scale is None:
+        scale = D**-0.5
+
+    block_q = min(block_q, _round_up(Q, 128))
+    block_kv = min(block_kv, _round_up(K, 128))
+    Qp = _round_up(Q, block_q)
+    Kp = _round_up(K, block_kv)
+
+    # (B, H, S, D) layout for blockwise streaming.
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    if Qp != Q:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+    if Kp != K:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+
+    # Padded kv tail must be masked; fold it into the padding mask.
+    mask = attention_mask
+    if mask is None:
+        mask = jnp.ones((B, K), jnp.int32)
+    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Kp - K)))
+    mask = mask[:, None, :]  # (B, 1, Kp): TPU block last-two-dims rule
+
+    # Causal offset: with right-padding, q row i attends kv <= i (self-attn).
+    assert Q == K or not causal, "causal flash requires self-attention shapes"
+
+    kernel = functools.partial(
+        _fa_kernel,
+        scale=scale,
+        causal=causal,
+        block_q=block_q,
+        block_kv=block_kv,
+        kv_len=Kp,
+        q_offset_blocks=0,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Kp, D), lambda b, h, i: (b, h // G, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Kp, D), lambda b, h, i: (b, h // G, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Kp), lambda b, h, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qt, kt, vt, mask]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, Qp // block_q),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Qp, D), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+    out = out[:, :, :Q, :]
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _xla_reference(q, k, v, attention_mask, causal, scale):
+    from .attention import attention_xla, make_attention_bias
+
+    bias = make_attention_bias(attention_mask, q.shape[1], k.shape[1], causal)
+    return attention_xla(q, k, v, bias=bias, scale=scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, attention_mask, causal, scale,
+                     block_q, block_kv):
+    interpret = jax.default_backend() != "tpu"
+    return _flash_attention_fwd_impl(
+        q, k, v, attention_mask, causal, scale, block_q, block_kv, interpret
+    )
+
+
+def _fwd(q, k, v, attention_mask, causal, scale, block_q, block_kv):
+    out = _flash_attention(q, k, v, attention_mask, causal, scale,
+                           block_q, block_kv)
+    return out, (q, k, v, attention_mask)
+
+
+def _bwd(causal, scale, block_q, block_kv, res, g):
+    # Exact gradients via the XLA einsum formulation of the same function.
+    q, k, v, attention_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_reference(q_, k_, v_, attention_mask,
+                                          causal, scale),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 512,
+) -> jnp.ndarray:
+    """Blockwise flash attention. q: (B, Q, Hq, D); k/v: (B, K, Hkv, D).
+
+    ``attention_mask``: (B, K), 1 = real token, 0 = padding.
+    """
+    return _flash_attention(
+        q, k, v, attention_mask, causal, scale, block_q, block_kv
+    )

@@ -1,0 +1,119 @@
+"""Device mesh + sharding rules.
+
+The reference's only distribution strategy is DDP over NCCL via HF
+``accelerate`` (``criteria_train.sh:9-13``), requiring a process group even at
+world_size 1 (``eval_genai_mjvideo.py:17-24``).  Here (SURVEY.md §2.2):
+
+* a ``jax.sharding.Mesh`` with axes ``('data', 'model')`` replaces process
+  groups; single-host runs use a 1x1 mesh with zero ceremony;
+* data parallelism shards the batch over ``data`` and lets XLA emit the
+  gradient ``psum`` over ICI;
+* optional tensor parallelism (P2 for a 2B model, SURVEY §2.2) shards the
+  Megatron-style pairs — (wq/wk/wv out, wo in), (w1/w3 out, w2 in), ViT
+  (qkv out, proj in), (fc1 out, fc2 in) — over ``model``;
+* frozen-parameter handling is a pytree filter, not
+  ``ddp_find_unused_parameters``.
+
+Rules are path-pattern based so they survive schema evolution.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a ('data', 'model') mesh; data=-1 = all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+# (path regex, partition spec for that param). First match wins.
+# Layer-stacked params have a leading L axis -> specs start with None.
+TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # LLM attention: column-parallel qkv, row-parallel output proj.
+    (r"attention/w[qkv]/kernel", P(None, None, "model")),
+    (r"attention/wo/kernel", P(None, "model", None)),
+    (r"attention/w[qkv]/bias", P(None, "model")),
+    # LLM MLP: column-parallel w1/w3, row-parallel w2.
+    (r"feed_forward/w[13]/kernel", P(None, None, "model")),
+    (r"feed_forward/w2/kernel", P(None, "model", None)),
+    # ViT attention/MLP, same megatron pattern.
+    (r"attn/qkv/kernel", P(None, None, "model")),
+    (r"attn/qkv/bias", P(None, "model")),
+    (r"attn/proj/kernel", P(None, "model", None)),
+    (r"mlp/fc1/kernel", P(None, None, "model")),
+    (r"mlp/fc1/bias", P(None, "model")),
+    (r"mlp/fc2/kernel", P(None, "model", None)),
+    # Embedding + LM head sharded over vocab.
+    (r"tok_embeddings$", P("model", None)),
+    (r"output/kernel", P(None, "model")),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_pspec(path: str, tp: bool) -> P:
+    """PartitionSpec for one parameter path ('' = fully replicated)."""
+    if tp:
+        for pattern, spec in TP_RULES:
+            if re.search(pattern, path):
+                return spec
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh, tp: bool = True):
+    """Pytree of NamedShardings matching ``params``."""
+    def one(path, leaf):
+        spec = param_pspec(_path_str(path), tp and mesh.shape["model"] > 1)
+        # Drop specs that don't divide the actual shape (e.g. tiny test dims).
+        if any(
+            ax is not None and leaf.shape[i] % mesh.shape[ax] != 0
+            for i, ax in enumerate(spec)
+        ):
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def batch_sharding(mesh: Mesh):
+    """Leading-axis data sharding for batch pytrees."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params: Any, mesh: Mesh, tp: bool = True):
+    """Place a param pytree onto the mesh per the TP/DP rules."""
+    return jax.device_put(params, param_shardings(params, mesh, tp))
+
+
+def shard_batch(batch: Any, mesh: Mesh):
+    """Shard every array in a batch dict along its leading (batch) axis."""
+    return jax.device_put(batch, batch_sharding(mesh))

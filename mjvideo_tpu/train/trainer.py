@@ -1,0 +1,226 @@
+"""Training harness: optax + pjit train step, freeze policies, 3-stage chain.
+
+Replaces the HF ``Trainer`` subclasses (``scripts/train/{criteria,aspect,
+overall}_train.py``) and their accelerate/DDP launch story.  TPU-first:
+
+* One jit'd ``train_step`` over a ('data','model') mesh; the batch shards on
+  ``data`` and XLA emits the gradient all-reduce over ICI — no DDP, no
+  process-group env vars, no ``ddp_find_unused_parameters`` (frozen params
+  are an optax mask, ``moe_reward`` freeze policies in ``losses.STAGES``).
+* Stage chaining = warm-starting params from the previous stage's orbax
+  checkpoint (the reference chains safetensors files,
+  ``aspect_train.py:18``, ``overall_train.py:20``).
+* Deterministic data order makes checkpoint resume exact.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import RewardConfig
+from ..models.reward import reward_forward
+from ..parallel.mesh import make_mesh, shard_batch, shard_params
+from .losses import STAGES
+
+
+@dataclass
+class TrainConfig:
+    stage: int = 1
+    learning_rate: float = 1e-6  # reference default lr (criteria_train.py:22)
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    warmup_steps: int = 0
+    total_steps: int = 1000
+    schedule: str = "linear"  # HF Trainer default: linear decay w/ warmup
+    max_grad_norm: float = 1.0
+    mse: Optional[bool] = None  # None = the stage's script default
+    beta: float = 1.0
+    attn_impl: str = "flash"
+    remat: bool = True
+    log_every: int = 10
+    checkpoint_every: int = 500
+    checkpoint_dir: str = "./checkpoints"
+    keep_checkpoints: int = 3  # save_total_limit (criteria_train.py:30)
+    mesh_model_axis: int = 1
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    def stage_mse_default(self) -> bool:
+        # criteria_train.py:69 mse=False; aspect/overall default mse=True.
+        return self.stage != 1
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(parts)
+
+
+def trainable_mask(params, stage: int):
+    """Pytree of bools: True = trained this stage (losses.STAGES policies)."""
+    prefixes = STAGES[stage].trainable_paths
+
+    def one(path, _):
+        s = _path_str(path)
+        return any(s.startswith(p) for p in prefixes)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
+    if tc.schedule == "linear":
+        lr = optax.linear_schedule(
+            tc.learning_rate, 0.0, max(tc.total_steps - tc.warmup_steps, 1)
+        )
+    elif tc.schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            tc.learning_rate, max(tc.total_steps - tc.warmup_steps, 1)
+        )
+    else:
+        lr = tc.learning_rate
+    if tc.warmup_steps:
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, tc.learning_rate, tc.warmup_steps), lr],
+            [tc.warmup_steps],
+        )
+    opt = optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        optax.adamw(
+            lr, b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps,
+            weight_decay=tc.weight_decay,
+        ),
+    )
+    mask = trainable_mask(params, tc.stage)
+    return optax.multi_transform(
+        {"train": opt, "freeze": optax.set_to_zero()},
+        jax.tree.map(lambda t: "train" if t else "freeze", mask),
+    )
+
+
+def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
+    """(params, batch) -> scalar loss; two sibling forwards + stage loss."""
+    mse = tc.mse if tc.mse is not None else tc.stage_mse_default()
+    stage_loss = STAGES[tc.stage].loss_fn
+
+    def loss_fn(params, batch):
+        outs = []
+        for v in (0, 1):
+            pix = batch[f"video_{v}_pixel_values"]
+            # (B, P, H, W, 3) -> (B*P, H, W, 3), like criteria_train.py:70-72.
+            pix = pix.reshape((-1,) + pix.shape[-3:])
+            outs.append(
+                reward_forward(
+                    params, cfg, pix,
+                    batch[f"video_{v}_input_ids"],
+                    batch[f"video_{v}_attention_mask"],
+                    batch[f"video_{v}_gating_pos"],
+                    attn_impl=tc.attn_impl, remat=tc.remat,
+                )
+            )
+        return stage_loss(outs[0], outs[1], batch, mse=mse, beta=tc.beta) \
+            if tc.stage > 1 else stage_loss(outs[0], outs[1], batch, mse=mse)
+
+    return loss_fn
+
+
+def make_train_step(cfg: RewardConfig, tc: TrainConfig, optimizer) -> Callable:
+    loss_fn = make_loss_fn(cfg, tc)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+class Trainer:
+    """Minimal deterministic training loop with orbax checkpointing and
+    JSONL metrics (SURVEY.md §5 observability row)."""
+
+    def __init__(
+        self,
+        cfg: RewardConfig,
+        params,
+        tc: TrainConfig,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.tc = tc
+        self.mesh = mesh or make_mesh(model=tc.mesh_model_axis)
+        self.params = shard_params(params, self.mesh)
+        self.optimizer = make_optimizer(tc, self.params)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step_fn = make_train_step(cfg, tc, self.optimizer)
+        self.step = 0
+        os.makedirs(tc.checkpoint_dir, exist_ok=True)
+        self._metrics_path = os.path.join(tc.checkpoint_dir, "metrics.jsonl")
+        self._saved: list = []
+
+    def log(self, record: Dict[str, Any]) -> None:
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def save(self) -> str:
+        from ..utils.checkpoint import save_pytree
+
+        path = os.path.join(
+            self.tc.checkpoint_dir, f"stage{self.tc.stage}_step{self.step}"
+        )
+        save_pytree(path, jax.device_get(self.params))
+        self._saved.append(path)
+        while len(self._saved) > self.tc.keep_checkpoints:
+            import shutil
+
+            old = self._saved.pop(0)
+            shutil.rmtree(old, ignore_errors=True)
+        return path
+
+    def train(
+        self, batches: Iterable[Dict[str, Any]],
+        max_steps: Optional[int] = None,
+    ) -> Dict[str, float]:
+        last: Dict[str, float] = {}
+        t0 = time.time()
+        for batch in batches:
+            if max_steps is not None and self.step >= max_steps:
+                break
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+            )
+            self.params, self.opt_state, metrics = self.step_fn(
+                self.params, self.opt_state, batch
+            )
+            self.step += 1
+            if self.step % self.tc.log_every == 0:
+                last = {k: float(v) for k, v in metrics.items()}
+                last.update(
+                    step=self.step,
+                    stage=self.tc.stage,
+                    elapsed_s=round(time.time() - t0, 2),
+                )
+                self.log(last)
+            if self.step % self.tc.checkpoint_every == 0:
+                self.save()
+        return last
+
+
+def warm_start(params, checkpoint_path: str):
+    """Load a previous stage's orbax checkpoint into an existing pytree."""
+    from ..utils.checkpoint import restore_pytree
+
+    return restore_pytree(checkpoint_path, like=jax.device_get(params))

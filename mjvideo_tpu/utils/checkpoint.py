@@ -1,0 +1,403 @@
+"""Checkpoint I/O: safetensors importer (reference weights) + orbax native.
+
+Importer maps the reference's published parameter names onto our pytree
+schema so MJ-VIDEO-2B weights load directly (SURVEY.md §7.1 step 1):
+
+* ``vision_model.*``           (``modeling_intern_vit.py``)
+* ``language_model.*``         (``modeling_internlm2.py`` — packed ``wqkv``
+  grouped layout '(h gs d)', gs = 2 + groups, ``:301-305,361-371``, is
+  unpacked ONCE here into separate q/k/v kernels)
+* ``mlp1.{0,1,3}.*``           (``modeling_internvl_chat.py:135-140``)
+* ``regression_layer`` / ``reward_transform_matrix`` / ``aspect_gating`` /
+  ``criteria_gating``          (``moe_reward.py:137-181``)
+
+All torch ``nn.Linear`` weights are (out, in) and transpose to (in, out)
+kernels; per-layer tensors stack along a leading L axis for ``lax.scan``.
+
+Native checkpointing (training) uses orbax; resume is exact because data
+order is deterministic (SURVEY.md §5 checkpoint/resume row).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ChatConfig, LLMConfig, RewardConfig, VisionConfig
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load all *.safetensors under a directory (or a single file) as numpy."""
+    from safetensors import safe_open
+
+    files: List[str]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".safetensors")
+        )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no safetensors found at {path}")
+    state: Dict[str, np.ndarray] = {}
+    for f in files:
+        with safe_open(f, framework="numpy") as sf:
+            for key in sf.keys():
+                state[key] = sf.get_tensor(key)
+    return state
+
+
+def _k(t: np.ndarray, dtype) -> jnp.ndarray:
+    """torch Linear weight (out, in) -> kernel (in, out)."""
+    return jnp.asarray(np.ascontiguousarray(t.T)).astype(dtype)
+
+
+def _a(t: np.ndarray, dtype) -> jnp.ndarray:
+    return jnp.asarray(t).astype(dtype)
+
+
+def _stack(tensors: List[np.ndarray]) -> np.ndarray:
+    return np.stack(tensors, axis=0)
+
+
+def import_vit_params(
+    state: Dict[str, np.ndarray], cfg: VisionConfig, dtype=jnp.float32,
+    prefix: str = "vision_model.",
+) -> Dict[str, Any]:
+    """Map InternViT torch names -> our stacked-layer pytree."""
+    g = lambda name: state[prefix + name]  # noqa: E731
+    L = cfg.num_hidden_layers
+    P = cfg.patch_size
+
+    # Conv2d (C_out, C_in, kh, kw) -> (kh*kw*C_in, C_out) matching patch_embed
+    # (ph, pw, channel) flattening.
+    conv = g("embeddings.patch_embedding.weight")
+    conv = conv.transpose(2, 3, 1, 0).reshape(P * P * 3, -1)
+
+    def per_layer(name):
+        return _stack([g(f"encoder.layers.{i}.{name}") for i in range(L)])
+
+    layers: Dict[str, Any] = {
+        "norm1": {"weight": _a(per_layer("norm1.weight"), dtype)},
+        "norm2": {"weight": _a(per_layer("norm2.weight"), dtype)},
+        "attn": {
+            "qkv": {
+                "kernel": _a(
+                    per_layer("attn.qkv.weight").transpose(0, 2, 1), dtype
+                ),
+            },
+            "proj": {
+                "kernel": _a(
+                    per_layer("attn.proj.weight").transpose(0, 2, 1), dtype
+                ),
+                "bias": _a(per_layer("attn.proj.bias"), dtype),
+            },
+        },
+        "mlp": {
+            "fc1": {
+                "kernel": _a(per_layer("mlp.fc1.weight").transpose(0, 2, 1),
+                             dtype),
+                "bias": _a(per_layer("mlp.fc1.bias"), dtype),
+            },
+            "fc2": {
+                "kernel": _a(per_layer("mlp.fc2.weight").transpose(0, 2, 1),
+                             dtype),
+                "bias": _a(per_layer("mlp.fc2.bias"), dtype),
+            },
+        },
+        "ls1": _a(per_layer("ls1"), dtype),
+        "ls2": _a(per_layer("ls2"), dtype),
+    }
+    if cfg.norm_type != "rms_norm":
+        layers["norm1"]["bias"] = _a(per_layer("norm1.bias"), dtype)
+        layers["norm2"]["bias"] = _a(per_layer("norm2.bias"), dtype)
+    if cfg.qkv_bias:
+        layers["attn"]["qkv"]["bias"] = _a(per_layer("attn.qkv.bias"), dtype)
+    if cfg.qk_normalization:
+        layers["attn"]["q_norm"] = {
+            "weight": _a(per_layer("attn.q_norm.weight"), dtype)
+        }
+        layers["attn"]["k_norm"] = {
+            "weight": _a(per_layer("attn.k_norm.weight"), dtype)
+        }
+
+    return {
+        "embeddings": {
+            "class_embedding": _a(g("embeddings.class_embedding"), dtype),
+            "patch_embedding": {
+                "kernel": _a(conv, dtype),
+                "bias": _a(g("embeddings.patch_embedding.bias"), dtype),
+            },
+            "position_embedding": _a(g("embeddings.position_embedding"),
+                                     dtype),
+        },
+        "layers": layers,
+    }
+
+
+def unpack_wqkv(
+    w: np.ndarray, cfg: LLMConfig
+) -> Dict[str, np.ndarray]:
+    """Split a packed wqkv weight (out, in) into q/k/v kernels (in, out).
+
+    Layout per ``modeling_internlm2.py:361-371``: out dim = (h, gs, d) with
+    h = num_key_value_heads, gs = 2 + groups; slots [0..G) are q heads,
+    slot -2 is k, slot -1 is v.
+    """
+    Hkv, G, D = (
+        cfg.num_key_value_heads, cfg.num_key_value_groups, cfg.head_dim,
+    )
+    C = w.shape[1]
+    w = w.reshape(Hkv, G + 2, D, C)
+    q = w[:, :G].reshape(Hkv * G * D, C)
+    k = w[:, -2].reshape(Hkv * D, C)
+    v = w[:, -1].reshape(Hkv * D, C)
+    return {"q": q.T, "k": k.T, "v": v.T}
+
+
+def import_decoder_params(
+    state: Dict[str, np.ndarray], cfg: LLMConfig, dtype=jnp.float32,
+    prefix: str = "language_model.",
+    with_lm_head: bool = True,
+) -> Dict[str, Any]:
+    """Map InternLM2/Llama torch names -> our stacked-layer pytree."""
+    g = lambda name: state[prefix + name]  # noqa: E731
+    L = cfg.num_hidden_layers
+
+    if cfg.architecture == "internlm2":
+        qs, ks, vs = [], [], []
+        for i in range(L):
+            parts = unpack_wqkv(g(f"model.layers.{i}.attention.wqkv.weight"),
+                                cfg)
+            qs.append(parts["q"])
+            ks.append(parts["k"])
+            vs.append(parts["v"])
+        attn = {
+            "wq": {"kernel": _a(_stack(qs), dtype)},
+            "wk": {"kernel": _a(_stack(ks), dtype)},
+            "wv": {"kernel": _a(_stack(vs), dtype)},
+            "wo": {
+                "kernel": _a(
+                    _stack([
+                        g(f"model.layers.{i}.attention.wo.weight")
+                        for i in range(L)
+                    ]).transpose(0, 2, 1),
+                    dtype,
+                )
+            },
+        }
+        if cfg.bias:
+            # Packed bias splits identically to the weight.
+            qbs, kbs, vbs = [], [], []
+            for i in range(L):
+                b = g(f"model.layers.{i}.attention.wqkv.bias")
+                parts = unpack_wqkv(b[:, None], cfg)
+                qbs.append(parts["q"][0])
+                kbs.append(parts["k"][0])
+                vbs.append(parts["v"][0])
+            attn["wq"]["bias"] = _a(_stack(qbs), dtype)
+            attn["wk"]["bias"] = _a(_stack(kbs), dtype)
+            attn["wv"]["bias"] = _a(_stack(vbs), dtype)
+            attn["wo"]["bias"] = _a(
+                _stack([g(f"model.layers.{i}.attention.wo.bias")
+                        for i in range(L)]),
+                dtype,
+            )
+
+        def ff(name):
+            return _a(
+                _stack([
+                    g(f"model.layers.{i}.feed_forward.{name}.weight")
+                    for i in range(L)
+                ]).transpose(0, 2, 1),
+                dtype,
+            )
+
+        layers = {
+            "attention_norm": {
+                "weight": _a(
+                    _stack([g(f"model.layers.{i}.attention_norm.weight")
+                            for i in range(L)]),
+                    dtype,
+                )
+            },
+            "attention": attn,
+            "ffn_norm": {
+                "weight": _a(
+                    _stack([g(f"model.layers.{i}.ffn_norm.weight")
+                            for i in range(L)]),
+                    dtype,
+                )
+            },
+            "feed_forward": {
+                "w1": {"kernel": ff("w1")},
+                "w3": {"kernel": ff("w3")},
+                "w2": {"kernel": ff("w2")},
+            },
+        }
+        embed = g("model.tok_embeddings.weight")
+        final_norm = g("model.norm.weight")
+        lm_head_key = "output.weight"
+    elif cfg.architecture == "llama":
+        def per_layer_t(name):
+            return _a(
+                _stack([g(f"model.layers.{i}.{name}.weight")
+                        for i in range(L)]).transpose(0, 2, 1),
+                dtype,
+            )
+
+        layers = {
+            "attention_norm": {
+                "weight": _a(
+                    _stack([g(f"model.layers.{i}.input_layernorm.weight")
+                            for i in range(L)]),
+                    dtype,
+                )
+            },
+            "attention": {
+                "wq": {"kernel": per_layer_t("self_attn.q_proj")},
+                "wk": {"kernel": per_layer_t("self_attn.k_proj")},
+                "wv": {"kernel": per_layer_t("self_attn.v_proj")},
+                "wo": {"kernel": per_layer_t("self_attn.o_proj")},
+            },
+            "ffn_norm": {
+                "weight": _a(
+                    _stack([
+                        g(f"model.layers.{i}.post_attention_layernorm.weight")
+                        for i in range(L)
+                    ]),
+                    dtype,
+                )
+            },
+            "feed_forward": {
+                "w1": {"kernel": per_layer_t("mlp.gate_proj")},
+                "w3": {"kernel": per_layer_t("mlp.up_proj")},
+                "w2": {"kernel": per_layer_t("mlp.down_proj")},
+            },
+        }
+        embed = g("model.embed_tokens.weight")
+        final_norm = g("model.norm.weight")
+        lm_head_key = "lm_head.weight"
+    else:
+        raise ValueError(f"unknown architecture {cfg.architecture!r}")
+
+    params: Dict[str, Any] = {
+        "tok_embeddings": _a(embed, dtype),
+        "layers": layers,
+        "norm": {"weight": _a(final_norm, dtype)},
+    }
+    if with_lm_head and (prefix + lm_head_key) in state:
+        params["output"] = {"kernel": _k(g(lm_head_key), dtype)}
+    return params
+
+
+def import_projector_params(
+    state: Dict[str, np.ndarray], dtype=jnp.float32, prefix: str = "mlp1.",
+) -> Dict[str, Any]:
+    """mlp1 Sequential: 0=LayerNorm, 1=Linear, 3=Linear
+    (``modeling_internvl_chat.py:135-140``)."""
+    g = lambda name: state[prefix + name]  # noqa: E731
+    return {
+        "norm": {"weight": _a(g("0.weight"), dtype),
+                 "bias": _a(g("0.bias"), dtype)},
+        "fc1": {"kernel": _k(g("1.weight"), dtype),
+                "bias": _a(g("1.bias"), dtype)},
+        "fc2": {"kernel": _k(g("3.weight"), dtype),
+                "bias": _a(g("3.bias"), dtype)},
+    }
+
+
+def import_chat_params(
+    state: Dict[str, np.ndarray], cfg: ChatConfig, dtype=jnp.float32,
+    prefix: str = "", with_lm_head: bool = True,
+) -> Dict[str, Any]:
+    return {
+        "vision_model": import_vit_params(
+            state, cfg.vision, dtype, prefix=prefix + "vision_model."
+        ),
+        "mlp1": import_projector_params(state, dtype, prefix=prefix + "mlp1."),
+        "language_model": import_decoder_params(
+            state, cfg.llm, dtype, prefix=prefix + "language_model.",
+            with_lm_head=with_lm_head,
+        ),
+    }
+
+
+def _import_gating(
+    state: Dict[str, np.ndarray], dtype, prefix: str, n_hidden: int
+) -> Dict[str, Any]:
+    """GatingNetwork: layers.{i}.weight/bias ModuleList + logit_scale
+    (``moe_reward.py:16-27``)."""
+    g = lambda name: state[prefix + name]  # noqa: E731
+    p: Dict[str, Any] = {}
+    for i in range(n_hidden + 1):
+        p[f"layer_{i}"] = {
+            "kernel": _k(g(f"layers.{i}.weight"), dtype),
+            "bias": _a(g(f"layers.{i}.bias"), dtype),
+        }
+    p["logit_scale"] = _a(g("logit_scale"), dtype)
+    return p
+
+
+def import_reward_checkpoint(
+    state: Dict[str, np.ndarray], cfg: RewardConfig, dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Full InternVLChatRewardModeling state_dict -> reward param pytree.
+
+    The backbone lives under the ``model.`` prefix (``moe_reward.py:142``);
+    the reward head at top level.  The reward path never uses the LM head, so
+    ``output.weight`` is skipped if present.
+    """
+    return {
+        "model": import_chat_params(
+            state, cfg.chat, dtype, prefix="model.", with_lm_head=False
+        ),
+        "regression_layer": {
+            "kernel": _k(state["regression_layer.weight"], dtype)
+        },
+        "reward_transform_matrix": _a(state["reward_transform_matrix"], dtype),
+        "aspect_gating": _import_gating(
+            state, dtype, "aspect_gating.", cfg.gating_n_hidden
+        ),
+        "criteria_gating": _import_gating(
+            state, dtype, "criteria_gating.", cfg.gating_n_hidden
+        ),
+    }
+
+
+def load_reward_model(
+    checkpoint_path: str, cfg: Optional[RewardConfig] = None,
+    dtype=jnp.bfloat16,
+):
+    """Convenience: (config.json +) safetensors dir -> (cfg, params)."""
+    from ..configs import load_config
+
+    if cfg is None:
+        cfg = load_config(os.path.join(checkpoint_path, "config.json"))
+    state = load_safetensors_dir(checkpoint_path)
+    return cfg, import_reward_checkpoint(state, cfg, dtype)
+
+
+# --- orbax native checkpointing ---------------------------------------------
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Save a pytree with orbax (async-capable, TPU-native)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def restore_pytree(path: str, like: Optional[Any] = None) -> Any:
+    """Restore a pytree saved by ``save_pytree``."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is None:
+            return ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(os.path.abspath(path), like)

@@ -1,0 +1,96 @@
+"""Checkpoint importer/exporter round-trip + wqkv layout tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from mjvideo_tpu.configs import tiny_test_config
+from mjvideo_tpu.models import reward
+from mjvideo_tpu.utils.checkpoint import (
+    import_reward_checkpoint,
+    unpack_wqkv,
+)
+from mjvideo_tpu.utils.export import export_reward_checkpoint, pack_wqkv
+
+
+def test_wqkv_unpack_matches_reference_rearrange():
+    """unpack_wqkv == the reference einops '(h gs d)' split
+    (modeling_internlm2.py:361-371), checked via a torch oracle."""
+    cfg = tiny_test_config().chat.llm
+    Hq, Hkv, D, C = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim, cfg.hidden_size)
+    G = cfg.num_key_value_groups
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=((Hq + 2 * Hkv) * D, C)).astype(np.float32)
+    x = rng.normal(size=(1, 3, C)).astype(np.float32)
+
+    # torch oracle: project then rearrange
+    qkv = torch.tensor(x) @ torch.tensor(w).T  # (1, 3, (h gs d))
+    qkv = qkv.reshape(1, 3, Hkv, G + 2, D)
+    q_ref = qkv[..., :G, :].reshape(1, 3, Hq, D)
+    k_ref = qkv[..., -2, :]
+    v_ref = qkv[..., -1, :]
+
+    parts = unpack_wqkv(w, cfg)
+    q = x @ parts["q"]
+    k = x @ parts["k"]
+    v = x @ parts["v"]
+    np.testing.assert_allclose(q.reshape(1, 3, Hq, D), q_ref.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(k.reshape(1, 3, Hkv, D), k_ref.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(v.reshape(1, 3, Hkv, D), v_ref.numpy(),
+                               atol=1e-5)
+
+
+def test_pack_unpack_roundtrip():
+    cfg = tiny_test_config().chat.llm
+    rng = np.random.default_rng(1)
+    C = cfg.hidden_size
+    q = rng.normal(size=(C, cfg.num_attention_heads * cfg.head_dim))
+    k = rng.normal(size=(C, cfg.num_key_value_heads * cfg.head_dim))
+    v = rng.normal(size=(C, cfg.num_key_value_heads * cfg.head_dim))
+    packed = pack_wqkv(q, k, v, cfg)
+    parts = unpack_wqkv(packed, cfg)
+    np.testing.assert_allclose(parts["q"], q, atol=1e-6)
+    np.testing.assert_allclose(parts["k"], k, atol=1e-6)
+    np.testing.assert_allclose(parts["v"], v, atol=1e-6)
+
+
+def test_reward_checkpoint_roundtrip_preserves_forward():
+    """export -> import must reproduce the exact same model function."""
+    cfg = tiny_test_config()
+    params = reward.init_reward_params(jax.random.PRNGKey(0), cfg)
+    state = export_reward_checkpoint(params, cfg)
+    # All keys follow the reference naming convention.
+    assert "model.vision_model.embeddings.class_embedding" in state
+    assert "model.language_model.model.layers.0.attention.wqkv.weight" in state
+    assert "model.mlp1.0.weight" in state
+    assert "regression_layer.weight" in state
+    assert "aspect_gating.layers.0.weight" in state
+
+    params2 = import_reward_checkpoint(state, cfg)
+
+    rng = np.random.default_rng(2)
+    c = cfg.chat
+    n_img = c.num_image_token
+    T = n_img + 8
+    ids = np.full((1, T), 5, np.int32)
+    ids[0, 2:2 + n_img] = c.img_context_token_id
+    pix = jnp.asarray(
+        rng.normal(size=(1, c.vision.image_size, c.vision.image_size, 3)),
+        jnp.float32,
+    )
+    args = (
+        jnp.asarray(pix), jnp.asarray(ids), jnp.ones((1, T), jnp.int32),
+        jnp.asarray([T - 2], jnp.int32),
+    )
+    out1 = reward.reward_forward(params, cfg, *args)
+    out2 = reward.reward_forward(params2, cfg, *args)
+    np.testing.assert_allclose(
+        np.asarray(out1.score), np.asarray(out2.score), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.rewards), np.asarray(out2.rewards), atol=1e-5
+    )

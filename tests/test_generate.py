@@ -1,0 +1,137 @@
+"""KV-cache decode must match the uncached full forward numerically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjvideo_tpu.configs import tiny_test_config
+from mjvideo_tpu.models import decoder as dec
+from mjvideo_tpu.models import internvl
+from mjvideo_tpu.models.generate import (
+    GenerationConfig,
+    decoder_forward_cached,
+    generate,
+    init_kv_cache,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return internvl.init_chat_params(
+        jax.random.PRNGKey(1), cfg.chat, with_lm_head=True
+    )
+
+
+def _full_logits(params, cfg, ids_row):
+    """Oracle: uncached full forward -> last-token logits."""
+    lm = params["language_model"]
+    x = dec.embed_tokens(lm, jnp.asarray([ids_row], jnp.int32))
+    h = dec.decoder_forward(lm, cfg.chat.llm, x, remat=False)
+    return dec.lm_logits(lm, h[:, -1])[0]
+
+
+def test_prefill_hidden_matches_uncached(cfg, params):
+    rng = np.random.default_rng(0)
+    T, extra = 7, 5
+    ids = rng.integers(1, 50, size=(1, T)).astype(np.int32)
+    lm = params["language_model"]
+    llm = cfg.chat.llm
+
+    emb = dec.embed_tokens(lm, jnp.asarray(ids))
+    cache = init_kv_cache(llm, 1, T + extra, dtype=jnp.float32)
+    slots = jnp.arange(T)[None]
+    mask = jnp.pad(jnp.ones((1, T), jnp.int32), ((0, 0), (0, extra)))
+    hidden_c, cache = decoder_forward_cached(lm, llm, emb, cache, slots, mask)
+
+    hidden_u = dec.decoder_forward(lm, llm, emb, remat=False)
+    np.testing.assert_allclose(
+        np.asarray(hidden_c), np.asarray(hidden_u), atol=1e-5
+    )
+
+
+def test_single_step_decode_logits_match_full_forward(cfg, params):
+    """Prefill T tokens, decode one: logits == full (T+1)-token forward."""
+    rng = np.random.default_rng(1)
+    T, extra = 6, 4
+    ids = rng.integers(1, 50, size=T).astype(np.int32)
+    nxt = int(rng.integers(1, 50))
+    lm = params["language_model"]
+    llm = cfg.chat.llm
+
+    emb = dec.embed_tokens(lm, jnp.asarray(ids[None]))
+    cache = init_kv_cache(llm, 1, T + extra, dtype=jnp.float32)
+    mask = jnp.pad(jnp.ones((1, T), jnp.int32), ((0, 0), (0, extra)))
+    _, cache = decoder_forward_cached(
+        lm, llm, emb, cache, jnp.arange(T)[None], mask
+    )
+    # decode the next token at slot/position T
+    emb1 = dec.embed_tokens(lm, jnp.asarray([[nxt]], jnp.int32))
+    mask = mask.at[:, T].set(1)
+    h, _ = decoder_forward_cached(
+        lm, llm, emb1, cache, jnp.asarray([[T]]), mask
+    )
+    got = dec.lm_logits(lm, h[:, 0])[0]
+
+    want = _full_logits(params, cfg, list(ids) + [nxt])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_generate_greedy_first_tokens_match_oracle(cfg, params):
+    """First generated token (largest margin) must match the uncached argmax;
+    the full sequence must be reproducible (determinism)."""
+    rng = np.random.default_rng(0)
+    T, n_new = 7, 6
+    ids = rng.integers(1, 50, size=(1, T)).astype(np.int32)
+    mask = np.ones((1, T), np.int32)
+    gc = GenerationConfig(max_new_tokens=n_new, eos_token_id=-1,
+                          temperature=0.0, pad_token_id=0)
+    got1 = np.asarray(generate(params, cfg.chat, jnp.asarray(ids),
+                               jnp.asarray(mask), generation_config=gc)[0])
+    got2 = np.asarray(generate(params, cfg.chat, jnp.asarray(ids),
+                               jnp.asarray(mask), generation_config=gc)[0])
+    np.testing.assert_array_equal(got1, got2)
+    want0 = int(jnp.argmax(_full_logits(params, cfg, ids[0])))
+    assert got1[0] == want0
+
+
+def test_generate_stops_at_eos_and_pads(cfg, params):
+    rng = np.random.default_rng(1)
+    T, n_new = 5, 8
+    ids = rng.integers(1, 50, size=(1, T)).astype(np.int32)
+    mask = np.ones((1, T), np.int32)
+    first = int(jnp.argmax(_full_logits(params, cfg, ids[0])))
+    out = generate(
+        params, cfg.chat, jnp.asarray(ids), jnp.asarray(mask),
+        generation_config=GenerationConfig(
+            max_new_tokens=n_new, eos_token_id=first, temperature=0.0,
+            pad_token_id=0,
+        ),
+    )
+    arr = np.asarray(out[0])
+    assert arr[0] == first
+    np.testing.assert_array_equal(arr[1:], 0)  # padded after EOS
+
+
+def test_batched_left_padding_matches_single_row(cfg, params):
+    """A left-padded row's first generated token matches its solo run."""
+    rng = np.random.default_rng(2)
+    ids_a = rng.integers(1, 50, size=6).astype(np.int32)
+    ids_b = rng.integers(1, 50, size=4).astype(np.int32)
+    T = 6
+    ids = np.zeros((2, T), np.int32)
+    mask = np.zeros((2, T), np.int32)
+    ids[0], mask[0] = ids_a, 1
+    ids[1, T - 4:], mask[1, T - 4:] = ids_b, 1
+
+    gc = GenerationConfig(max_new_tokens=2, eos_token_id=-1,
+                          temperature=0.0, pad_token_id=0)
+    out = np.asarray(generate(params, cfg.chat, jnp.asarray(ids),
+                              jnp.asarray(mask), generation_config=gc))
+    assert out[0, 0] == int(jnp.argmax(_full_logits(params, cfg, ids_a)))
+    assert out[1, 0] == int(jnp.argmax(_full_logits(params, cfg, ids_b)))

@@ -1,0 +1,87 @@
+"""Baseline-judge framework tests: rating parse, prompts, pair driver."""
+
+import numpy as np
+
+from mjvideo_tpu.eval.judges import (
+    FINE_GRAINED_RUBRIC,
+    RATING_SCALE,
+    fine_grained_prompt,
+    judge_pair,
+    overall_prompt,
+    parse_rating,
+    run_overall_benchmark,
+)
+
+
+def test_rating_scale_is_the_reference_10_level_scale():
+    assert list(RATING_SCALE.values()) == list(range(1, 11))
+    assert RATING_SCALE["Extremely Poor"] == 1
+    assert RATING_SCALE["Outstanding"] == 10
+
+
+def test_parse_rating_exact_and_fuzzy():
+    assert parse_rating("RATING: Good") == 7
+    assert parse_rating("blah\n```\n{RATING: Very Good}\n```") == 8
+    assert parse_rating("I think... RATING: Outstanding!") == 10
+    # fuzzy: sloppy casing / partial
+    assert parse_rating("rating: Above Average sounds right. "
+                        "RATING: Above Average") == 6
+    # garbage still maps to SOME level (reference extractOne semantics)
+    assert 1 <= parse_rating("no rating at all") <= 10
+    assert parse_rating("") == 0
+
+
+def test_prompts_mention_scale_and_caption():
+    p = overall_prompt("a red panda climbing")
+    assert "a red panda climbing" in p
+    for name in RATING_SCALE:
+        assert name in p
+    fg = fine_grained_prompt("cap", "Safety", "Crime")
+    assert "Crime" in fg and "cap" in fg
+
+
+def test_rubric_covers_all_28_criteria():
+    n = sum(len(c["subcategories"]) for c in FINE_GRAINED_RUBRIC.values())
+    assert n == 28
+    assert set(FINE_GRAINED_RUBRIC) == {
+        "Alignment", "Safety", "Fineness", "Consistency", "Bias",
+    }
+
+
+class _FakeJudge:
+    """Scores by filename: 'good' -> Excellent, else Poor."""
+
+    def ask(self, prompt, video_path):
+        level = "Excellent" if "good" in video_path else "Poor"
+        return f"RATING: {level}"
+
+
+def test_judge_pair_and_benchmark(tmp_path):
+    j = _FakeJudge()
+    s0, s1, _, _ = judge_pair(j, "good_a.mp4", "bad_b.mp4", "cap")
+    assert (s0, s1) == (9, 3)
+
+    records = [
+        # 'Video 1 better' = video_0 better (1-indexed naming) -> pref 0
+        {"video_0_path": "good_a.mp4", "video_1_path": "bad_b.mp4",
+         "caption": "c", "overall_preference": "Video 1 better"},
+        {"video_0_path": "bad_a.mp4", "video_1_path": "good_b.mp4",
+         "caption": "c", "overall_preference": "Video 2 better"},
+        {"video_0_path": "good_a.mp4", "video_1_path": "good_b.mp4",
+         "caption": "c", "overall_preference": "Same"},
+    ]
+    res = run_overall_benchmark(
+        j, records, results_path=str(tmp_path / "res.jsonl")
+    )
+    # both decided pairs judged correctly; the 'Same' pair is masked out
+    assert res["count"] == 2
+    assert res["correct"] == 2
+
+    # wrong-direction record: gt says video_1 better but judge rates video_0
+    res2 = run_overall_benchmark(
+        j,
+        [{"video_0_path": "good_a.mp4", "video_1_path": "bad_b.mp4",
+          "caption": "c", "overall_preference": "Video 2 better"}],
+        results_path=str(tmp_path / "res2.jsonl"),
+    )
+    assert (res2["count"], res2["correct"]) == (1, 0)

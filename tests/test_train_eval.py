@@ -1,0 +1,212 @@
+"""Integration tests: trainer step (freeze policies, finiteness), scorer
+end-to-end on a synthetic video, preference/genai metrics."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjvideo_tpu.configs import tiny_test_config
+from mjvideo_tpu.data.prompts import ByteTokenizer
+from mjvideo_tpu.models.reward import init_reward_params
+from mjvideo_tpu.eval.metrics import (
+    binary_dimension_metrics,
+    genai_bench_metrics,
+    preference_accuracy,
+)
+from mjvideo_tpu.train.trainer import (
+    TrainConfig,
+    make_optimizer,
+    make_train_step,
+    trainable_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_reward_params(jax.random.PRNGKey(0), cfg)
+
+
+def _tiny_batch(cfg, B=2, frames=2, rng=None):
+    rng = rng or np.random.default_rng(0)
+    c = cfg.chat
+    n_img = c.num_image_token * frames
+    T = n_img + 16
+    batch = {}
+    for v in (0, 1):
+        ids = np.full((B, T), 5, np.int64)
+        ids[:, 2:2 + n_img] = c.img_context_token_id
+        batch[f"video_{v}_pixel_values"] = rng.normal(
+            size=(B, frames, c.vision.image_size, c.vision.image_size, 3)
+        ).astype(np.float32)
+        batch[f"video_{v}_input_ids"] = ids.astype(np.int32)
+        batch[f"video_{v}_attention_mask"] = np.ones((B, T), np.int32)
+        batch[f"video_{v}_gating_pos"] = np.full((B,), T - 4, np.int32)
+        batch[f"video_{v}_criteria_score"] = rng.choice(
+            [-1.0, 0.0, 1.0], size=(B, 28)).astype(np.float32)
+        batch[f"video_{v}_criteria_related"] = rng.integers(
+            0, 2, size=(B, 28)).astype(np.float32)
+        batch[f"video_{v}_aspect_score"] = rng.choice(
+            [-1.0, 0.0, 1.0], size=(B, 5)).astype(np.float32)
+        batch[f"video_{v}_aspect_related"] = rng.integers(
+            0, 2, size=(B, 5)).astype(np.float32)
+        batch[f"video_{v}_overall_score"] = rng.choice(
+            [-1.0, 1.0], size=(B, 1)).astype(np.float32)
+        batch[f"video_{v}_overall_related"] = np.ones((B, 1), np.float32)
+    batch["aspect_preference"] = rng.integers(0, 2, (B, 5)).astype(np.int32)
+    batch["aspect_mask"] = rng.integers(0, 2, (B, 5)).astype(np.float32)
+    batch["overall_preference"] = rng.integers(0, 2, (B, 1)).astype(np.int32)
+    batch["overall_mask"] = np.ones((B, 1), np.float32)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.mark.parametrize("stage", [1, 3])
+def test_train_step_updates_only_trainable(cfg, params, stage):
+    tc = TrainConfig(stage=stage, attn_impl="xla", learning_rate=1e-3,
+                     total_steps=4)
+    p0 = jax.tree.map(lambda a: a.copy(), params)
+    optimizer = make_optimizer(tc, p0)
+    opt_state = optimizer.init(p0)
+    step = make_train_step(cfg, tc, optimizer)
+    p1, opt_state, metrics = step(p0, opt_state, _tiny_batch(cfg))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+    mask = trainable_mask(params, stage)
+    changed = jax.tree.map(
+        lambda a, b: bool(jnp.any(a != b)), params, p1
+    )
+    flat_mask, _ = jax.tree_util.tree_flatten(mask)
+    flat_changed, treedef = jax.tree_util.tree_flatten(changed)
+    # frozen params must be bit-identical; at least one trainable changed
+    assert any(c for c, m in zip(flat_changed, flat_mask) if m)
+    assert not any(c for c, m in zip(flat_changed, flat_mask) if not m)
+
+
+def test_stage2_includes_criteria_gating_updates(cfg, params):
+    tc = TrainConfig(stage=2, attn_impl="xla", learning_rate=1e-3,
+                     total_steps=2)
+    optimizer = make_optimizer(tc, params)
+    step = make_train_step(cfg, tc, optimizer)
+    p1, _, _ = step(jax.tree.map(lambda a: a.copy(), params),
+                    optimizer.init(params), _tiny_batch(cfg))
+    assert bool(jnp.any(
+        p1["criteria_gating"]["layer_0"]["kernel"]
+        != params["criteria_gating"]["layer_0"]["kernel"]
+    ))
+    assert bool(jnp.all(
+        p1["aspect_gating"]["layer_0"]["kernel"]
+        == params["aspect_gating"]["layer_0"]["kernel"]
+    ))
+
+
+# ------------------------------------------------------------------ metrics
+
+def test_preference_accuracy_reference_semantics():
+    # prefer_predict = ~(s0 > s1): ties predict 1 (video_1)
+    s0 = np.array([1.0, 0.0, 0.5, 0.5])
+    s1 = np.array([0.0, 1.0, 0.5, 0.2])
+    pref = np.array([0, 1, 1, 0])
+    mask = np.array([1, 1, 1, 0])
+    m = preference_accuracy(s0, s1, pref, mask)
+    assert m["count"] == 3
+    assert m["correct"] == 3  # tie predicted as 1 matches pref=1
+
+
+def test_genai_bench_metrics_vote_semantics():
+    m = genai_bench_metrics(
+        score_left=np.array([1.0, -1.0, -0.5, 0.5]),
+        score_right=np.array([0.5, 1.0, -0.2, 0.6]),
+        vote_types=["leftvote", "rightvote", "bothbad_vote", "tievote"],
+    )
+    assert m["prefer_accuracy"] == 1.0
+    assert m["accuracy"] == 1.0
+    m2 = genai_bench_metrics(
+        score_left=np.array([0.1]), score_right=np.array([-0.1]),
+        vote_types=["tievote"],
+    )
+    assert m2["accuracy"] == 0.0  # right is 'bad' -> tie not credited
+
+
+def test_binary_dimension_metrics():
+    scores = np.array([[1.0, -1.0], [0.5, 2.0], [-0.5, 0.1]])
+    targets = np.array([[1, 1], [1, -1], [-1, 1]])
+    related = np.array([[1, 1], [1, 1], [1, 0]])
+    m = binary_dimension_metrics(scores, targets, related, names=["a", "b"])
+    assert m[0]["dimension"] == "a"
+    assert m[0]["tp"] == 2 and m[0]["tn"] == 1
+    assert m[0]["accuracy"] == 1.0
+    assert m[1]["count"] == 2
+    assert m[1]["fn"] == 1 and m[1]["fp"] == 1
+
+
+# ---------------------------------------------------------- scorer e2e
+
+def _write_test_video(path, n_frames=12, size=64):
+    import cv2
+
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    w = cv2.VideoWriter(str(path), fourcc, 8.0, (size, size))
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    for i in range(n_frames):
+        frame = np.full((size, size, 3), i * 8 % 255, np.uint8)
+        frame[:, : size // 2] = rng.integers(0, 255, (size, size // 2, 3),
+                                             dtype=np.uint8)
+        w.write(frame)
+    w.release()
+
+
+def test_scorer_end_to_end_on_synthetic_video(cfg, params, tmp_path):
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    video = tmp_path / "clip.mp4"
+    _write_test_video(video)
+
+    tok = ByteTokenizer()
+    scorer = RewardScorer(
+        cfg, params, tok, attn_impl="xla", dtype=jnp.float32,
+        length_buckets=(256, 512, 1024),
+        gating_pattern=tok.gating_pattern(),
+    )
+    res = scorer.score_video(str(video), "a flickering square", num_segments=2)
+    assert res["rewards"].shape == (28,)
+    assert res["aspect_scores"].shape == (5,)
+    assert np.isfinite(res["score"])
+
+    r0, r1 = scorer.score_pair(str(video), str(video), "same clip",
+                               num_segments=2)
+    # identical inputs -> identical scores (batched forward determinism)
+    np.testing.assert_allclose(r0["score"], r1["score"], atol=1e-5)
+
+
+def test_score_fn_is_differentiable(cfg, params):
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    tok = ByteTokenizer()
+    scorer = RewardScorer(
+        cfg, params, tok, attn_impl="xla", dtype=jnp.float32,
+        length_buckets=(128,), gating_pattern=tok.gating_pattern(),
+    )
+    c = cfg.chat
+    n_img = c.num_image_token
+    ids = np.full((n_img + 10,), 5, np.int32)
+    ids[2:2 + n_img] = c.img_context_token_id
+    f = scorer.score_fn(ids, gating_pos=len(ids) - 4)
+    frames = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(1, c.vision.image_size, c.vision.image_size, 3)
+        ),
+        jnp.float32,
+    )
+    g = jax.grad(f)(frames)
+    assert g.shape == frames.shape
+    assert bool(jnp.any(g != 0)) and bool(jnp.all(jnp.isfinite(g)))
