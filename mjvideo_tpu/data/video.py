@@ -212,6 +212,23 @@ def video_metadata(video_path: str) -> Tuple[int, float]:
     return n, fps
 
 
+def _use_native() -> bool:
+    """Use the C++ fused preprocessing when it would actually be faster.
+
+    The native kernel is bit-exact with PIL (see ``native/preprocess.cpp``)
+    and parallelizes across frames, so it wins with >=2 cores; on single-core
+    hosts PIL's SIMD is faster.  MJVIDEO_NATIVE_PREPROCESS=1/0 overrides.
+    """
+    env = os.environ.get("MJVIDEO_NATIVE_PREPROCESS")
+    if env is not None:
+        return env != "0"
+    if (os.cpu_count() or 1) < 2:
+        return False
+    from ..native import native_available
+
+    return native_available()
+
+
 def load_video(
     video_path: str,
     bound: Optional[Tuple[float, float]] = None,
@@ -222,10 +239,22 @@ def load_video(
     """Decode + sample + tile + normalize one video (``data.py:158-179``).
 
     Returns (pixel_values fp32 NHWC (sum_patches, S, S, 3), num_patches_list).
+    With ``max_num=1`` (the reward-scoring default) every frame maps to one
+    resized tile, so the whole clip runs through one batched fused
+    resize+normalize call (C++ when beneficial).
     """
     n_frames, fps = video_metadata(video_path)
     indices = get_frame_indices(n_frames, num_segments, bound=bound, fps=fps)
     frames = decode_frames(video_path, indices)
+
+    if max_num == 1 and _use_native():
+        from ..native import resize_normalize
+
+        batch = np.stack(frames)  # decoded frames share one resolution
+        out = resize_normalize(batch, input_size, IMAGENET_MEAN, IMAGENET_STD)
+        if out is not None:
+            return out, [1] * len(frames)
+
     tiles_list, num_patches_list = [], []
     for frame in frames:
         tiles = tile_frame(

@@ -6,11 +6,11 @@
 //
 //   uint8 frames (N, H, W, 3) -> fp32 normalized NHWC tiles (N, S, S, 3)
 //
-// The resampler is PIL-compatible: separable bicubic (Keys a = -0.5,
-// support 2) with antialiasing — the kernel footprint scales with the
-// downsampling factor exactly as PIL's ImagingResample does, so outputs
-// match PIL within rounding (PIL quantizes the horizontal pass to uint8;
-// we keep float32 end-to-end, which is strictly more accurate).
+// The resampler is BIT-EXACT with PIL's 8-bit path: separable bicubic
+// (Keys a = -0.5, support 2) with antialiasing, fixed-point coefficients
+// (22 precision bits), and uint8 clipping between the horizontal and
+// vertical passes — byte-identical to PIL, hence to the reference, so the
+// downstream score parity budget is spent nowhere in preprocessing.
 //
 // Exposed via the CPython C API (no pybind11 in this image); threading via
 // std::thread across frames.
@@ -27,7 +27,8 @@
 
 namespace {
 
-constexpr double kA = -0.5;  // Keys cubic parameter (PIL's BICUBIC)
+constexpr double kA = -0.5;        // Keys cubic parameter (PIL's BICUBIC)
+constexpr int kPrecisionBits = 22;  // PIL's 8bpc fixed-point precision
 
 double bicubic_filter(double x) {
   x = std::fabs(x);
@@ -37,13 +38,14 @@ double bicubic_filter(double x) {
 }
 
 struct Coeffs {
-  std::vector<int> bounds;     // (out_size) start index
-  std::vector<int> counts;     // (out_size) window length
-  std::vector<double> values;  // (out_size * kmax) weights
+  std::vector<int> bounds;      // (out_size) start index
+  std::vector<int> counts;      // (out_size) window length
+  std::vector<int32_t> values;  // (out_size * kmax) fixed-point weights
   int kmax;
 };
 
-// Precompute the resampling windows exactly as PIL's precompute_coeffs.
+// Precompute the fixed-point resampling windows exactly as PIL's
+// precompute_coeffs + normalize_coeffs_8bpc pair does.
 Coeffs precompute(int in_size, int out_size) {
   double scale = static_cast<double>(in_size) / out_size;
   double filterscale = std::max(scale, 1.0);
@@ -54,24 +56,28 @@ Coeffs precompute(int in_size, int out_size) {
   c.kmax = kmax;
   c.bounds.resize(out_size);
   c.counts.resize(out_size);
-  c.values.assign(static_cast<size_t>(out_size) * kmax, 0.0);
+  c.values.assign(static_cast<size_t>(out_size) * kmax, 0);
+  std::vector<double> w(kmax);
 
   for (int xx = 0; xx < out_size; ++xx) {
     double center = (xx + 0.5) * scale;
-    int xmin = static_cast<int>(std::max(0.0, std::floor(center - support)));
-    int xmax = static_cast<int>(
-        std::min(static_cast<double>(in_size), std::ceil(center + support)));
+    // PIL window: int(center - support + 0.5) .. int(center + support + 0.5)
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
     double ss = 1.0 / filterscale;
     double wsum = 0.0;
-    double* w = &c.values[static_cast<size_t>(xx) * kmax];
     int n = xmax - xmin;
     for (int i = 0; i < n; ++i) {
-      double weight = bicubic_filter((xmin + i - center + 0.5) * ss);
-      w[i] = weight;
-      wsum += weight;
+      w[i] = bicubic_filter((xmin + i - center + 0.5) * ss);
+      wsum += w[i];
     }
-    if (wsum != 0.0) {
-      for (int i = 0; i < n; ++i) w[i] /= wsum;
+    int32_t* kk = &c.values[static_cast<size_t>(xx) * kmax];
+    for (int i = 0; i < n; ++i) {
+      double v = (wsum != 0.0 ? w[i] / wsum : 0.0) * (1 << kPrecisionBits);
+      // round half away from zero, as PIL does
+      kk[i] = static_cast<int32_t>(v < 0 ? v - 0.5 : v + 0.5);
     }
     c.bounds[xx] = xmin;
     c.counts[xx] = n;
@@ -79,42 +85,56 @@ Coeffs precompute(int in_size, int out_size) {
   return c;
 }
 
-// Resize one frame (H, W, 3) uint8 -> (S, S, 3) float32 (unnormalized 0-255).
+inline uint8_t clip8(int32_t acc) {
+  // PIL's clip8: arithmetic shift then clamp (int32 arithmetic, as PIL).
+  int32_t v = acc >> kPrecisionBits;
+  if (v < 0) return 0;
+  if (v > 255) return 255;
+  return static_cast<uint8_t>(v);
+}
+
+// Resize one frame (H, W, 3) uint8 -> (S, S, 3) uint8, PIL 8bpc semantics:
+// fixed-point horizontal pass clipped to uint8, then vertical pass.
 void resize_frame(const uint8_t* src, int h, int w, const Coeffs& cx,
-                  const Coeffs& cy, int out_size, float* dst,
-                  std::vector<float>& tmp /* h * out_size * 3 */) {
-  // Horizontal pass: (h, w, 3) -> (h, out, 3), float.
+                  const Coeffs& cy, int out_size, uint8_t* dst,
+                  std::vector<uint8_t>& tmp /* h * out_size * 3 */,
+                  std::vector<int32_t>& acc /* out_size * 3 */) {
+  constexpr int32_t kHalf = 1 << (kPrecisionBits - 1);
+  // Horizontal pass: (h, w, 3) -> (h, out, 3) uint8.
   for (int y = 0; y < h; ++y) {
     const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
-    float* trow = &tmp[static_cast<size_t>(y) * out_size * 3];
+    uint8_t* trow = &tmp[static_cast<size_t>(y) * out_size * 3];
     for (int xx = 0; xx < out_size; ++xx) {
-      const double* wv = &cx.values[static_cast<size_t>(xx) * cx.kmax];
+      const int32_t* kk = &cx.values[static_cast<size_t>(xx) * cx.kmax];
       int x0 = cx.bounds[xx], n = cx.counts[xx];
-      double acc0 = 0, acc1 = 0, acc2 = 0;
-      for (int i = 0; i < n; ++i) {
-        const uint8_t* p = row + static_cast<size_t>(x0 + i) * 3;
-        double wgt = wv[i];
-        acc0 += wgt * p[0];
-        acc1 += wgt * p[1];
-        acc2 += wgt * p[2];
+      int32_t a0 = kHalf, a1 = kHalf, a2 = kHalf;
+      const uint8_t* p = row + static_cast<size_t>(x0) * 3;
+      for (int i = 0; i < n; ++i, p += 3) {
+        int32_t k = kk[i];
+        a0 += k * p[0];
+        a1 += k * p[1];
+        a2 += k * p[2];
       }
-      trow[xx * 3 + 0] = static_cast<float>(acc0);
-      trow[xx * 3 + 1] = static_cast<float>(acc1);
-      trow[xx * 3 + 2] = static_cast<float>(acc2);
+      trow[xx * 3 + 0] = clip8(a0);
+      trow[xx * 3 + 1] = clip8(a1);
+      trow[xx * 3 + 2] = clip8(a2);
     }
   }
-  // Vertical pass: (h, out, 3) -> (out, out, 3).
+  // Vertical pass: (h, out, 3) -> (out, out, 3) uint8; i-outer/xx-inner so
+  // the compiler vectorizes the contiguous row accumulation.
+  int row_elems = out_size * 3;
   for (int yy = 0; yy < out_size; ++yy) {
-    const double* wv = &cy.values[static_cast<size_t>(yy) * cy.kmax];
+    const int32_t* kk = &cy.values[static_cast<size_t>(yy) * cy.kmax];
     int y0 = cy.bounds[yy], n = cy.counts[yy];
-    float* drow = dst + static_cast<size_t>(yy) * out_size * 3;
-    for (int xx = 0; xx < out_size * 3; ++xx) {
-      double acc = 0;
-      for (int i = 0; i < n; ++i) {
-        acc += wv[i] * tmp[static_cast<size_t>(y0 + i) * out_size * 3 + xx];
-      }
-      drow[xx] = static_cast<float>(acc);
+    int32_t* a = acc.data();
+    for (int xx = 0; xx < row_elems; ++xx) a[xx] = kHalf;
+    for (int i = 0; i < n; ++i) {
+      int32_t k = kk[i];
+      const uint8_t* trow = &tmp[static_cast<size_t>(y0 + i) * row_elems];
+      for (int xx = 0; xx < row_elems; ++xx) a[xx] += k * trow[xx];
     }
+    uint8_t* drow = dst + static_cast<size_t>(yy) * row_elems;
+    for (int xx = 0; xx < row_elems; ++xx) drow[xx] = clip8(a[xx]);
   }
 }
 
@@ -153,26 +173,32 @@ PyObject* resize_normalize(PyObject*, PyObject* args) {
   Py_BEGIN_ALLOW_THREADS;
   Coeffs cx = precompute(w, out_size);
   Coeffs cy = precompute(h, out_size);
+  (void)clip;  // the 8bpc path always clips, exactly like PIL
+
+  // Precomputed normalization LUT: 256 x 3 entries.
+  float lut[256][3];
+  for (int v = 0; v < 256; ++v)
+    for (int ch = 0; ch < 3; ++ch)
+      lut[v][ch] = (v / 255.0f - mean[ch]) / stdv[ch];
 
   int n_threads = std::min<int>(
       n, std::max(1u, std::thread::hardware_concurrency()));
   std::vector<std::thread> pool;
   for (int t = 0; t < n_threads; ++t) {
     pool.emplace_back([&, t]() {
-      std::vector<float> tmp(static_cast<size_t>(h) * out_size * 3);
+      std::vector<uint8_t> tmp(static_cast<size_t>(h) * out_size * 3);
+      std::vector<int32_t> acc(static_cast<size_t>(out_size) * 3);
+      std::vector<uint8_t> resized(
+          static_cast<size_t>(out_size) * out_size * 3);
       for (int f = t; f < n; f += n_threads) {
         float* dst = out + static_cast<size_t>(f) * out_size * out_size * 3;
         resize_frame(src + static_cast<size_t>(f) * h * w * 3, h, w, cx, cy,
-                     out_size, dst, tmp);
-        // Fused normalize: PIL would clip to uint8 here; 'clip' emulates
-        // that quantization boundary behavior (clamp only, no rounding).
+                     out_size, resized.data(), tmp, acc);
         size_t m = static_cast<size_t>(out_size) * out_size;
         for (size_t i = 0; i < m; ++i) {
-          for (int ch = 0; ch < 3; ++ch) {
-            float v = dst[i * 3 + ch];
-            if (clip) v = std::min(255.0f, std::max(0.0f, v));
-            dst[i * 3 + ch] = (v / 255.0f - mean[ch]) / stdv[ch];
-          }
+          dst[i * 3 + 0] = lut[resized[i * 3 + 0]][0];
+          dst[i * 3 + 1] = lut[resized[i * 3 + 1]][1];
+          dst[i * 3 + 2] = lut[resized[i * 3 + 2]][2];
         }
       }
     });
