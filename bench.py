@@ -63,15 +63,15 @@ def main():
             attn_impl=attn_impl, remat=False,
         ).score
 
-    # compile + warmup
-    out = fwd(params, pix, ids, mask, gating_pos)
-    out.block_until_ready()
+    # compile + warmup (np.asarray forces materialization — on the axon
+    # remote platform block_until_ready can return before execution).
+    np.asarray(fwd(params, pix, ids, mask, gating_pos))
 
     iters = int(os.environ.get("BENCH_ITERS", 10 if on_tpu else 2))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, pix, ids, mask, gating_pos)
-    out.block_until_ready()
+    np.asarray(out)
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch * iters / dt

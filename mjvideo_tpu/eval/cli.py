@@ -1,0 +1,133 @@
+"""Evaluation CLI: ``python -m mjvideo_tpu.eval.cli --benchmark ... ``
+
+Replaces the 40 per-(benchmark x model) scripts under ``scripts/eval/``
+with one driver: pick a benchmark (overall / aspects / genai / safesora),
+pick a scorer (the MJ-Video reward model) or a baseline judge
+(internvl-chat / gpt4o / gemini), results stream to JSONL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MJ-Video TPU evaluator")
+    p.add_argument("--benchmark",
+                   choices=("overall", "aspects", "genai", "safesora"),
+                   required=True)
+    p.add_argument("--data-json", default=None,
+                   help="records JSON (MJ-BENCH-VIDEO / SafeSora format)")
+    p.add_argument("--video-root", default="")
+    p.add_argument("--model-path", default=None,
+                   help="reward checkpoint dir (scorer mode)")
+    p.add_argument("--judge", default=None,
+                   choices=(None, "internvl-chat", "gpt4o", "gemini"),
+                   help="use a baseline judge instead of the reward scorer")
+    p.add_argument("--judge-model", default=None,
+                   help="chat checkpoint for internvl-chat / API model name")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--num-segments", type=int, default=8)
+    p.add_argument("--results", default=None, help="incremental JSONL path")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+    return p
+
+
+def _load_records(path):
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _make_scorer(args):
+    import jax.numpy as jnp
+
+    from ..utils.checkpoint import load_reward_model
+    from .scorer import RewardScorer
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg, params = load_reward_model(args.model_path, dtype=dtype)
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(
+        args.tokenizer or args.model_path, trust_remote_code=True,
+        use_fast=False,
+    )
+    return RewardScorer(cfg, params, tok, dtype=dtype,
+                        gating_pattern=cfg.gating_token_pattern)
+
+
+def _make_judge(args):
+    from .judges import GeminiJudge, InternVLJudge, OpenAIJudge
+
+    if args.judge == "gpt4o":
+        return OpenAIJudge(model=args.judge_model or "gpt-4o")
+    if args.judge == "gemini":
+        return GeminiJudge(model=args.judge_model or "gemini-1.5-flash")
+    # internvl-chat: our own backbone as the judge
+    import jax.numpy as jnp
+
+    from ..configs import load_config
+    from ..utils.checkpoint import import_chat_params, load_safetensors_dir
+
+    path = args.judge_model
+    cfg = load_config(f"{path}/config.json").chat
+    state = load_safetensors_dir(path)
+    params = import_chat_params(state, cfg, jnp.bfloat16, with_lm_head=True)
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(
+        args.tokenizer or path, trust_remote_code=True, use_fast=False
+    )
+    return InternVLJudge(cfg, params, tok, num_segments=args.num_segments)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    if args.benchmark == "genai":
+        from datasets import load_dataset  # HF datasets
+
+        from ..data.video import fetch_remote_video
+        from .preference import evaluate_genai_bench
+
+        scorer = _make_scorer(args)
+        ds = load_dataset("TIGER-Lab/GenAI-Bench", "video_generation",
+                          split="test_v1")
+        res = evaluate_genai_bench(
+            scorer, ds, num_segments=args.num_segments,
+            results_path=args.results, fetch=fetch_remote_video,
+        )
+    else:
+        records = _load_records(args.data_json)
+        if args.benchmark == "safesora":
+            from .preference import filter_safesora_pairs
+
+            records = filter_safesora_pairs(records)
+        if args.judge:
+            from .judges import run_overall_benchmark
+
+            res = run_overall_benchmark(
+                _make_judge(args), records, root=args.video_root,
+                results_path=args.results,
+            )
+        elif args.benchmark == "aspects":
+            from .preference import evaluate_aspects
+
+            res = evaluate_aspects(
+                _make_scorer(args), records, root=args.video_root,
+                num_segments=args.num_segments, results_path=args.results,
+            )
+        else:
+            from .preference import evaluate_preference
+
+            res = evaluate_preference(
+                _make_scorer(args), records, root=args.video_root,
+                num_segments=args.num_segments, results_path=args.results,
+            )
+    print(json.dumps(res, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

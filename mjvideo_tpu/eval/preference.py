@@ -180,9 +180,14 @@ def evaluate_genai_bench(
 
 
 def filter_safesora_pairs(records: Iterable[Dict]) -> List[Dict]:
-    """SafeSora-test filter: keep pairs where helpfulness == harmlessness ==
-    every sub-preference, unanimously (``eval_safesora_internvl2_2b.py:
-    95-108``)."""
+    """SafeSora-test filter + schema conversion.
+
+    Keeps pairs where helpfulness == harmlessness == every sub-preference,
+    unanimously (``eval_safesora_internvl2_2b.py:95-108``), and converts the
+    SafeSora record shape (``prompt_text``, ``video_{0,1}.video_path``,
+    preference values 'video_0'/'video_1') into this framework's pair-record
+    schema so the standard drivers run unchanged.
+    """
     out = []
     for r in records:
         prefs = r.get("sub_preferences", {})
@@ -190,6 +195,14 @@ def filter_safesora_pairs(records: Iterable[Dict]) -> List[Dict]:
         harm = r.get("harmlessness")
         if h is None or harm is None or h != harm:
             continue
-        if all(v == h for v in prefs.values()):
-            out.append(r)
+        if not all(v == h for v in prefs.values()):
+            continue
+        out.append({
+            "caption": r["prompt_text"],
+            "video_0_path": r["video_0"]["video_path"],
+            "video_1_path": r["video_1"]["video_path"],
+            "overall_preference": (
+                "Video 1 better" if h == "video_0" else "Video 2 better"
+            ),
+        })
     return out

@@ -56,6 +56,11 @@ def _fa_kernel(
     qi = pl.program_id(2)
     q = q_ref[0, 0]  # (block_q, D), input dtype
     D = q.shape[-1]
+    # HIGHEST keeps fp32 operands exact (interpret mode truncates them
+    # otherwise); Mosaic rejects fp32 contract precision for bf16 operands,
+    # which natively accumulate in fp32 on the MXU anyway.
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
     if causal:
         # Last kv block that intersects the causal triangle for this q block.
@@ -70,13 +75,11 @@ def _fa_kernel(
         k = k_ref[0, 0, pl.ds(start, block_kv), :]
         v = v_ref[0, 0, pl.ds(start, block_kv), :]
 
-        # fp32 accumulation on the MXU; HIGHEST keeps fp32 operands exact
-        # (no-op for bf16 operands, so the bf16 hot path stays full-rate).
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ) * scale  # (block_q, block_kv) fp32
+            precision=prec,
+        ) * scale  # (block_q, block_kv) fp32, accumulated on the MXU
 
         if causal:
             q_pos = (
@@ -99,7 +102,7 @@ def _fa_kernel(
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         return acc, m_new, l_new
 

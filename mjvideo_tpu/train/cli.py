@@ -1,0 +1,140 @@
+"""Training CLI: ``python -m mjvideo_tpu.train.cli --stage {1,2,3} ...``
+
+Replaces the per-stage argparse mains + slurm/accelerate launch scripts
+(``scripts/train/{criteria,aspect,overall}_train.py`` ``:13-63`` flag blocks,
+``*.sh:1-13``).  One entry point covers all three stages; there is no
+launcher ceremony — JAX discovers the mesh, single-host needs nothing
+(multi-host would call ``jax.distributed.initialize`` exactly once, driven
+by TPU env vars).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MJ-Video TPU trainer")
+    p.add_argument("--stage", type=int, choices=(1, 2, 3), required=True,
+                   help="1=criteria, 2=aspect, 3=overall")
+    p.add_argument("--train-json", required=True)
+    p.add_argument("--eval-json", default=None)
+    p.add_argument("--video-root", default="./datas/videos")
+    p.add_argument("--model-path", default=None,
+                   help="HF checkpoint dir (config.json + safetensors)")
+    p.add_argument("--warm-start", default=None,
+                   help="orbax checkpoint from the previous stage")
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer path (defaults to --model-path)")
+    p.add_argument("--output-dir", default="./checkpoints")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--num-segments", type=int, default=2)
+    p.add_argument("--max-length", type=int, default=3072)
+    p.add_argument("--learning-rate", type=float, default=1e-6)
+    p.add_argument("--num-epochs", type=int, default=1)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--mse", action="store_true", default=None)
+    p.add_argument("--no-mse", dest="mse", action="store_false")
+    p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+    p.add_argument("--attn", choices=("flash", "xla"), default=None)
+    p.add_argument("--tp", type=int, default=1, help="model-axis mesh size")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--save-total-limit", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import mjvideo_2b_config
+    from ..data.dataset import PairCollator, PreferencePairDataset, batched, prefetch
+    from ..models.reward import init_reward_params
+    from ..train.trainer import TrainConfig, Trainer, warm_start
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    attn = args.attn or (
+        "flash" if jax.default_backend() == "tpu" else "xla"
+    )
+
+    if args.model_path:
+        from ..utils.checkpoint import load_reward_model
+
+        cfg, params = load_reward_model(args.model_path, dtype=dtype)
+    else:
+        cfg = mjvideo_2b_config()
+        params = init_reward_params(
+            jax.random.PRNGKey(args.seed), cfg, dtype=dtype
+        )
+
+    if args.warm_start:
+        params = warm_start(params, args.warm_start)
+
+    tok_path = args.tokenizer or args.model_path
+    if tok_path:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(
+            tok_path, trust_remote_code=True, use_fast=False
+        )
+        gating_pattern = cfg.gating_token_pattern
+    else:  # hermetic smoke mode
+        from ..data.prompts import ByteTokenizer
+
+        tokenizer = ByteTokenizer()
+        gating_pattern = tokenizer.gating_pattern()
+
+    dataset = PreferencePairDataset(
+        args.train_json, tokenizer, cfg.chat, root=args.video_root,
+        num_segments=args.num_segments, overall=(args.stage == 3),
+        gating_pattern=gating_pattern,
+    )
+    collator = PairCollator(
+        pad_token_id=getattr(tokenizer, "pad_token_id", None)
+        or cfg.chat.llm.pad_token_id,
+        max_length=args.max_length,
+    )
+
+    steps_per_epoch = max(len(dataset) // args.batch_size, 1)
+    total = args.max_steps or steps_per_epoch * args.num_epochs
+    tc = TrainConfig(
+        stage=args.stage,
+        learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps,
+        total_steps=total,
+        mse=args.mse,
+        beta=args.beta,
+        attn_impl=attn,
+        log_every=args.log_every,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=args.output_dir,
+        keep_checkpoints=args.save_total_limit,
+        mesh_model_axis=args.tp,
+    )
+    trainer = Trainer(cfg, params, tc)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "train_args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    for epoch in range(args.num_epochs):
+        stream = prefetch(batched(dataset, collator, args.batch_size))
+        last = trainer.train(stream, max_steps=total)
+        print(f"epoch {epoch}: {last}")
+        if trainer.step >= total:
+            break
+    path = trainer.save()
+    print(f"final checkpoint: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,28 @@ def test_judge_pair_and_benchmark(tmp_path):
         results_path=str(tmp_path / "res2.jsonl"),
     )
     assert (res2["count"], res2["correct"]) == (1, 0)
+
+
+def test_safesora_filter_and_conversion():
+    from mjvideo_tpu.eval.preference import filter_safesora_pairs
+
+    records = [
+        {"prompt_text": "p1", "video_0": {"video_path": "a.mp4"},
+         "video_1": {"video_path": "b.mp4"},
+         "helpfulness": "video_0", "harmlessness": "video_0",
+         "sub_preferences": {"x": "video_0", "y": "video_0"}},
+        # disagreeing help/harm -> dropped
+        {"prompt_text": "p2", "video_0": {"video_path": "a.mp4"},
+         "video_1": {"video_path": "b.mp4"},
+         "helpfulness": "video_0", "harmlessness": "video_1",
+         "sub_preferences": {}},
+        # disagreeing sub-preference -> dropped
+        {"prompt_text": "p3", "video_0": {"video_path": "a.mp4"},
+         "video_1": {"video_path": "b.mp4"},
+         "helpfulness": "video_1", "harmlessness": "video_1",
+         "sub_preferences": {"x": "video_0"}},
+    ]
+    out = filter_safesora_pairs(records)
+    assert len(out) == 1
+    assert out[0]["caption"] == "p1"
+    assert out[0]["overall_preference"] == "Video 1 better"

@@ -1,0 +1,121 @@
+"""Mesh/sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from mjvideo_tpu.configs import tiny_test_config
+from mjvideo_tpu.models.reward import init_reward_params, reward_forward
+from mjvideo_tpu.parallel.mesh import (
+    make_mesh,
+    param_pspec,
+    shard_batch,
+    shard_params,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_reward_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_make_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    m = make_mesh()
+    assert dict(m.shape) == {"data": 8, "model": 1}
+    m2 = make_mesh(data=4, model=2)
+    assert dict(m2.shape) == {"data": 4, "model": 2}
+
+
+def test_tp_rules_cover_megatron_pairs():
+    # column-parallel out dims / row-parallel in dims
+    assert param_pspec("model/language_model/layers/attention/wq/kernel",
+                       True) == P(None, None, "model")
+    assert param_pspec("model/language_model/layers/attention/wo/kernel",
+                       True) == P(None, "model", None)
+    assert param_pspec("model/language_model/layers/feed_forward/w2/kernel",
+                       True) == P(None, "model", None)
+    assert param_pspec("model/vision_model/layers/mlp/fc1/kernel",
+                       True) == P(None, None, "model")
+    # everything else replicates
+    assert param_pspec("regression_layer/kernel", True) == P()
+    assert param_pspec("model/language_model/norm/weight", True) == P()
+
+
+def _tiny_inputs(cfg, B, rng):
+    c = cfg.chat
+    frames = 1
+    n_img = c.num_image_token * frames
+    T = n_img + 12
+    ids = np.full((B, T), 5, np.int64)
+    ids[:, 2:2 + n_img] = c.img_context_token_id
+    pix = rng.normal(size=(B * frames, c.vision.image_size,
+                           c.vision.image_size, 3)).astype(np.float32)
+    return (
+        jnp.asarray(pix),
+        jnp.asarray(ids, jnp.int32),
+        jnp.ones((B, T), jnp.int32),
+        jnp.full((B,), T - 4, jnp.int32),
+    )
+
+
+def test_dp_sharded_forward_matches_single_device(cfg, params):
+    """pjit over a data=8 mesh must equal the unsharded forward."""
+    rng = np.random.default_rng(0)
+    B = 8
+    pix, ids, mask, gpos = _tiny_inputs(cfg, B, rng)
+
+    single = reward_forward(params, cfg, pix, ids, mask, gpos,
+                            attn_impl="xla", remat=False)
+
+    mesh = make_mesh()
+    p_sh = shard_params(params, mesh)
+    batch = shard_batch({"pix": pix, "ids": ids, "mask": mask,
+                         "gpos": gpos}, mesh)
+
+    @jax.jit
+    def fwd(p, b):
+        return reward_forward(p, cfg, b["pix"], b["ids"], b["mask"],
+                              b["gpos"], attn_impl="xla", remat=False)
+
+    out = fwd(p_sh, batch)
+    np.testing.assert_allclose(
+        np.asarray(out.score), np.asarray(single.score), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.rewards), np.asarray(single.rewards), atol=1e-4
+    )
+
+
+def test_tp_sharded_forward_matches_single_device(cfg, params):
+    """data=4 x model=2 sharding must not change the math."""
+    rng = np.random.default_rng(1)
+    B = 4
+    pix, ids, mask, gpos = _tiny_inputs(cfg, B, rng)
+    single = reward_forward(params, cfg, pix, ids, mask, gpos,
+                            attn_impl="xla", remat=False)
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shard_params(params, mesh, tp=True)
+    # TP rules must actually shard something on the model axis
+    shardings = jax.tree.map(lambda a: a.sharding.spec, p_sh)
+    wq_spec = shardings["model"]["language_model"]["layers"]["attention"][
+        "wq"]["kernel"]
+    assert "model" in str(wq_spec)
+
+    @jax.jit
+    def fwd(p, pix, ids, mask, gpos):
+        return reward_forward(p, cfg, pix, ids, mask, gpos,
+                              attn_impl="xla", remat=False)
+
+    out = fwd(p_sh, pix, ids, mask, gpos)
+    np.testing.assert_allclose(
+        np.asarray(out.score), np.asarray(single.score), atol=1e-4
+    )
