@@ -310,3 +310,41 @@ def fetch_remote_video(url: str, cache_dir: str = "./video_cache") -> str:
         for chunk in r.iter_content(chunk_size=1 << 20):
             f.write(chunk)
     return local
+
+
+def fetch_s3_video(
+    s3_client, bucket: str, key: str, root: str = "./datas/videos"
+) -> str:
+    """S3 download with local cache (``dataset.py:22-42`` ``download_file``).
+
+    Gated on a caller-provided boto3 client (boto3 is optional here, exactly
+    as AWS creds were optional in the reference's constructor defaults).
+    """
+    local = os.path.join(root, key)
+    if os.path.exists(local):
+        return local
+    os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+    s3_client.download_file(bucket, key, local)
+    return local
+
+
+def prefetch_videos(
+    paths: Sequence[str],
+    fetch_fn,
+    num_workers: int = 12,
+) -> None:
+    """Threaded bulk prefetch of remote videos into the local cache.
+
+    Replaces ``VideoDataset.__check_video__``'s ThreadPoolExecutor warm-up
+    (``dataset.py:299-309``); ``fetch_fn`` is e.g. ``fetch_remote_video`` or
+    a bound ``fetch_s3_video``.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        futures = [pool.submit(fetch_fn, p) for p in paths]
+        for f in futures:
+            try:
+                f.result()
+            except Exception as e:  # best-effort, like the reference
+                print(f"prefetch error: {e}")

@@ -175,6 +175,36 @@ class Trainer:
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
+    def resume_latest(self) -> Optional[str]:
+        """Restore params from the newest checkpoint in checkpoint_dir.
+
+        Recovery story (SURVEY.md §5 failure-detection row): deterministic
+        data order + orbax restore make resume exact; the reference's
+        recovery was 'slurm restarts + find first safetensors'
+        (``criteria_train.py:340-345``).
+        """
+        import re
+
+        pat = re.compile(rf"stage{self.tc.stage}_step(\d+)$")
+        best = None
+        for name in os.listdir(self.tc.checkpoint_dir):
+            m = pat.match(name)
+            if m:
+                step = int(m.group(1))
+                if best is None or step > best[0]:
+                    best = (step, os.path.join(self.tc.checkpoint_dir, name))
+        if best is None:
+            return None
+        from ..utils.checkpoint import restore_pytree
+
+        restored = restore_pytree(best[1], like=jax.device_get(self.params))
+        from ..parallel.mesh import shard_params as _shard
+
+        self.params = _shard(restored, self.mesh)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = best[0]
+        return best[1]
+
     def save(self) -> str:
         from ..utils.checkpoint import save_pytree
 

@@ -1,0 +1,135 @@
+"""Dataset iteration, collation, prefetch, and checkpoint-resume tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mjvideo_tpu.configs import tiny_test_config
+from mjvideo_tpu.data.dataset import (
+    PairCollator,
+    PreferencePairDataset,
+    batched,
+    prefetch,
+)
+from mjvideo_tpu.data.prompts import ByteTokenizer
+
+
+def _write_video(path, size=32, n=6):
+    import cv2
+
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                        (size, size))
+    rng = np.random.default_rng(0)
+    for _ in range(n):
+        w.write(rng.integers(0, 255, (size, size, 3), dtype=np.uint8))
+    w.release()
+
+
+def _record(caption="a cat", pref="Video 1 better"):
+    criteria = {f"c{i}": (i % 3) for i in range(28)}
+    aspects = {f"a{i}": 1 for i in range(5)}
+    return {
+        "caption": caption,
+        "video_0_path": "v0.mp4",
+        "video_1_path": "v1.mp4",
+        "video_0_label": criteria,
+        "video_1_label": criteria,
+        "video_0_overall_score": aspects,
+        "video_1_overall_score": aspects,
+        "video_0_total_score": 1,
+        "video_1_total_score": 2,
+        "category_preference": {f"a{i}": "Video 2 better" for i in range(5)},
+        "overall_preference": pref,
+    }
+
+
+@pytest.fixture()
+def data_dir(tmp_path):
+    _write_video(tmp_path / "v0.mp4")
+    _write_video(tmp_path / "v1.mp4")
+    records = [_record(), _record(pref="Same"),
+               _record(caption="a dog", pref="Video 2 better")]
+    jpath = tmp_path / "pairs.json"
+    jpath.write_text(json.dumps(records))
+    return tmp_path, str(jpath)
+
+
+def test_dataset_iteration_and_fields(data_dir):
+    root, jpath = data_dir
+    cfg = tiny_test_config()
+    tok = ByteTokenizer()
+    ds = PreferencePairDataset(
+        jpath, tok, cfg.chat, root=str(root), num_segments=2,
+        gating_pattern=tok.gating_pattern(),
+    )
+    assert len(ds) == 3
+    ex = next(iter(ds))
+    assert ex["video_0_pixel_values"].shape == (2, 56, 56, 3)
+    assert ex["video_0_criteria_score"].shape == (28,)
+    assert ex["video_0_overall_score"].tolist() == [1.0]
+    assert ex["video_1_overall_score"].tolist() == [-1.0]
+    assert ex["overall_preference"].tolist() == [0]
+    n_ctx = int((ex["video_0_input_ids"] == tok.img_context_token_id).sum())
+    assert n_ctx == 2 * cfg.chat.num_image_token
+
+
+def test_overall_mode_skips_undecided(data_dir):
+    root, jpath = data_dir
+    cfg = tiny_test_config()
+    tok = ByteTokenizer()
+    ds = PreferencePairDataset(
+        jpath, tok, cfg.chat, root=str(root), num_segments=2, overall=True,
+        gating_pattern=tok.gating_pattern(),
+    )
+    assert len(ds) == 2  # 'Same' filtered (dataset.py:311-320 semantics)
+    assert sum(1 for _ in ds) == 2
+
+
+def test_collator_pads_to_ceiling(data_dir):
+    root, jpath = data_dir
+    cfg = tiny_test_config()
+    tok = ByteTokenizer()
+    ds = PreferencePairDataset(
+        jpath, tok, cfg.chat, root=str(root), num_segments=2,
+        gating_pattern=tok.gating_pattern(),
+    )
+    coll = PairCollator(pad_token_id=0, max_length=512)
+    batches = list(batched(prefetch(ds), coll, batch_size=2,
+                           drop_remainder=False))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["video_0_input_ids"].shape == (2, 512)
+    assert b["video_0_attention_mask"].shape == (2, 512)
+    assert b["video_0_pixel_values"].shape == (2, 2, 56, 56, 3)
+    # padding region is pad_token / 0-mask
+    lens = b["video_0_attention_mask"].sum(-1)
+    assert (lens < 512).all()
+    row = b["video_0_input_ids"][0]
+    assert (row[int(lens[0]):] == 0).all()
+
+
+def test_trainer_save_and_resume(tmp_path):
+    import jax
+
+    from mjvideo_tpu.models.reward import init_reward_params
+    from mjvideo_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = tiny_test_config()
+    params = init_reward_params(jax.random.PRNGKey(0), cfg)
+    tc = TrainConfig(stage=1, attn_impl="xla", total_steps=2,
+                     checkpoint_dir=str(tmp_path))
+    tr = Trainer(cfg, params, tc)
+    tr.step = 7
+    path = tr.save()
+    assert "stage1_step7" in path
+
+    tr2 = Trainer(cfg, init_reward_params(jax.random.PRNGKey(1), cfg), tc)
+    restored_path = tr2.resume_latest()
+    assert restored_path == path
+    assert tr2.step == 7
+    a = np.asarray(jax.device_get(
+        tr.params["regression_layer"]["kernel"]))
+    b = np.asarray(jax.device_get(
+        tr2.params["regression_layer"]["kernel"]))
+    np.testing.assert_array_equal(a, b)

@@ -110,3 +110,46 @@ def test_safesora_filter_and_conversion():
     assert len(out) == 1
     assert out[0]["caption"] == "p1"
     assert out[0]["overall_preference"] == "Video 1 better"
+
+
+def test_fine_grained_benchmark_and_accuracy(tmp_path):
+    from mjvideo_tpu.eval.judges import (
+        fine_grained_accuracy,
+        run_fine_grained_benchmark,
+    )
+
+    class J:
+        def ask(self, prompt, video_path):
+            # rate 'good' videos Outstanding, others Extremely Poor
+            return ("RATING: Outstanding" if "good" in video_path
+                    else "RATING: Extremely Poor")
+
+    record = {
+        "caption": "c",
+        "video_0_path": "good.mp4",
+        "video_1_path": "bad.mp4",
+        "video_0_overall_score": {"Alignment": 1},
+        "video_1_overall_score": {"Alignment": 2},
+        "video_0_label": {"object": 1, "count": 2},
+        "video_1_label": {"object": 2, "count": 0},
+    }
+    results = run_fine_grained_benchmark(
+        J(), [record], results_path=str(tmp_path / "fg.jsonl")
+    )
+    assert len(results) == 1
+    judge = results[0]["judge"]
+    assert judge["Alignment"]["score_0"] == 10
+    assert judge["Alignment"]["subcategories"]["object"]["score_1"] == 1
+
+    acc = fine_grained_accuracy(results)
+    # object: v0 gt=1 pred good (10>5) correct; v1 gt=2 pred bad correct
+    assert acc["object"] == {"accuracy": 1.0, "count": 2}
+    # count: v0 gt=2 but pred good -> wrong; v1 gt=0 unlabeled -> skipped
+    assert acc["count"] == {"accuracy": 0.0, "count": 1}
+
+
+def test_videoscore_aggregate():
+    from mjvideo_tpu.eval.judges import VideoScoreJudge
+
+    assert VideoScoreJudge.aggregate([1.0, 2.0, 0.5, 1.5, 1.0]) == 6.0
+    assert len(VideoScoreJudge.DIMS) == 5
