@@ -81,7 +81,7 @@ class LLMConfig:
     q/k/v projections.
     """
 
-    architecture: str = "internlm2"  # 'internlm2' | 'llama'
+    architecture: str = "internlm2"  # 'internlm2' | 'llama' | 'phi3'
     vocab_size: int = 92553
     hidden_size: int = 2048
     intermediate_size: int = 8192
@@ -257,6 +257,11 @@ def llm_config_from_hf(d: Dict[str, Any]) -> LLMConfig:
         architecture = "internlm2"
     elif archs[0] == "LlamaForCausalLM":
         architecture = "llama"
+    elif archs[0] == "Phi3ForCausalLM":
+        # InternVL2-4B's LLM (phi3-chat template, conversation.py:368-379).
+        # Within the reward path's <=3,072-token sequences Phi-3's longrope
+        # scaling never activates, so standard RoPE is exact.
+        architecture = "phi3"
     else:
         raise ValueError(f"Unsupported LLM architecture: {archs[0]}")
     scaling = d.get("rope_scaling") or None
@@ -340,16 +345,17 @@ def mjvideo_2b_config() -> RewardConfig:
 
 
 def mjvideo_4b_config() -> RewardConfig:
-    """MJ-VIDEO-4B: InternViT-300M + Phi-3-mini (Llama-arch) backbone.
+    """MJ-VIDEO-4B: InternViT-300M + Phi-3-mini backbone.
 
-    Reference supports Llama-architecture LLMs (``modeling_internvl_chat.py:
-    125-130``); InternVL2-4B uses the phi3 template (``conversation.py:368-379``).
+    Reference supports non-InternLM2 LLMs (``modeling_internvl_chat.py:
+    125-130``); InternVL2-4B uses the phi3 template
+    (``conversation.py:368-379``).
     """
     return RewardConfig(
         chat=ChatConfig(
             llm=LLMConfig(
-                architecture="llama",
-                vocab_size=32020,
+                architecture="phi3",
+                vocab_size=32064,
                 hidden_size=3072,
                 intermediate_size=8192,
                 num_hidden_layers=32,

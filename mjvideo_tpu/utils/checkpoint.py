@@ -283,6 +283,68 @@ def import_decoder_params(
         embed = g("model.embed_tokens.weight")
         final_norm = g("model.norm.weight")
         lm_head_key = "lm_head.weight"
+    elif cfg.architecture == "phi3":
+        # Phi-3 packs qkv_proj as [q (Hq*D); k (Hkv*D); v (Hkv*D)] rows and
+        # gate_up_proj as [gate (I); up (I)] rows.
+        Hq, Hkv, D, I = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                         cfg.head_dim, cfg.intermediate_size)
+        qs, ks, vs, gates, ups = [], [], [], [], []
+        for i in range(L):
+            qkv = g(f"model.layers.{i}.self_attn.qkv_proj.weight")
+            qs.append(qkv[: Hq * D].T)
+            ks.append(qkv[Hq * D: Hq * D + Hkv * D].T)
+            vs.append(qkv[Hq * D + Hkv * D:].T)
+            gu = g(f"model.layers.{i}.mlp.gate_up_proj.weight")
+            gates.append(gu[:I].T)
+            ups.append(gu[I:].T)
+        layers = {
+            "attention_norm": {
+                "weight": _a(
+                    _stack([g(f"model.layers.{i}.input_layernorm.weight")
+                            for i in range(L)]),
+                    dtype,
+                )
+            },
+            "attention": {
+                "wq": {"kernel": _a(_stack(qs), dtype)},
+                "wk": {"kernel": _a(_stack(ks), dtype)},
+                "wv": {"kernel": _a(_stack(vs), dtype)},
+                "wo": {
+                    "kernel": _a(
+                        _stack([
+                            g(f"model.layers.{i}.self_attn.o_proj.weight")
+                            for i in range(L)
+                        ]).transpose(0, 2, 1),
+                        dtype,
+                    )
+                },
+            },
+            "ffn_norm": {
+                "weight": _a(
+                    _stack([
+                        g(f"model.layers.{i}.post_attention_layernorm.weight")
+                        for i in range(L)
+                    ]),
+                    dtype,
+                )
+            },
+            "feed_forward": {
+                "w1": {"kernel": _a(_stack(gates), dtype)},
+                "w3": {"kernel": _a(_stack(ups), dtype)},
+                "w2": {
+                    "kernel": _a(
+                        _stack([
+                            g(f"model.layers.{i}.mlp.down_proj.weight")
+                            for i in range(L)
+                        ]).transpose(0, 2, 1),
+                        dtype,
+                    )
+                },
+            },
+        }
+        embed = g("model.embed_tokens.weight")
+        final_norm = g("model.norm.weight")
+        lm_head_key = "lm_head.weight"
     else:
         raise ValueError(f"unknown architecture {cfg.architecture!r}")
 

@@ -117,6 +117,36 @@ def export_decoder(params: Dict[str, Any], cfg: LLMConfig,
         out[prefix + "model.norm.weight"] = _n(params["norm"]["weight"])
         if "output" in params:
             out[prefix + "output.weight"] = _w(params["output"]["kernel"])
+    elif cfg.architecture == "phi3":
+        out[prefix + "model.embed_tokens.weight"] = _n(
+            params["tok_embeddings"]
+        )
+        for i in range(cfg.num_hidden_layers):
+            pre = f"{prefix}model.layers.{i}."
+            out[pre + "self_attn.qkv_proj.weight"] = np.concatenate([
+                _w(lp["attention"]["wq"]["kernel"][i]),
+                _w(lp["attention"]["wk"]["kernel"][i]),
+                _w(lp["attention"]["wv"]["kernel"][i]),
+            ], axis=0)
+            out[pre + "self_attn.o_proj.weight"] = _w(
+                lp["attention"]["wo"]["kernel"][i]
+            )
+            out[pre + "mlp.gate_up_proj.weight"] = np.concatenate([
+                _w(lp["feed_forward"]["w1"]["kernel"][i]),
+                _w(lp["feed_forward"]["w3"]["kernel"][i]),
+            ], axis=0)
+            out[pre + "mlp.down_proj.weight"] = _w(
+                lp["feed_forward"]["w2"]["kernel"][i]
+            )
+            out[pre + "input_layernorm.weight"] = _n(
+                lp["attention_norm"]["weight"][i]
+            )
+            out[pre + "post_attention_layernorm.weight"] = _n(
+                lp["ffn_norm"]["weight"][i]
+            )
+        out[prefix + "model.norm.weight"] = _n(params["norm"]["weight"])
+        if "output" in params:
+            out[prefix + "lm_head.weight"] = _w(params["output"]["kernel"])
     else:  # llama
         out[prefix + "model.embed_tokens.weight"] = _n(
             params["tok_embeddings"]

@@ -94,3 +94,34 @@ def test_reward_checkpoint_roundtrip_preserves_forward():
     np.testing.assert_allclose(
         np.asarray(out1.rewards), np.asarray(out2.rewards), atol=1e-5
     )
+
+
+def test_phi3_and_llama_roundtrip():
+    """4B-family layouts: phi3 packed qkv/gate_up and llama separate projs
+    both export -> import to the same forward function."""
+    from mjvideo_tpu.configs import LLMConfig
+    from mjvideo_tpu.models import decoder as dec
+    from mjvideo_tpu.utils.checkpoint import import_decoder_params
+    from mjvideo_tpu.utils.export import export_decoder
+
+    for arch in ("phi3", "llama"):
+        cfg = LLMConfig(architecture=arch, vocab_size=64, hidden_size=32,
+                        intermediate_size=48, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        pad_token_id=0)
+        params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg,
+                                         with_lm_head=True)
+        state = export_decoder(params, cfg, prefix="")
+        if arch == "phi3":
+            assert "model.layers.0.self_attn.qkv_proj.weight" in state
+            assert "model.layers.0.mlp.gate_up_proj.weight" in state
+        else:
+            assert "model.layers.0.self_attn.q_proj.weight" in state
+        params2 = import_decoder_params(state, cfg, prefix="")
+
+        ids = jnp.asarray(np.arange(6)[None] % 64, jnp.int32)
+        x = dec.embed_tokens(params, ids)
+        h1 = dec.decoder_forward(params, cfg, x, remat=False)
+        h2 = dec.decoder_forward(params2, cfg,
+                                 dec.embed_tokens(params2, ids), remat=False)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
