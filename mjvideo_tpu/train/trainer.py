@@ -175,6 +175,72 @@ class Trainer:
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
+    def evaluate(self, batches: Iterable[Dict[str, Any]]) -> Dict[str, Any]:
+        """In-training eval: pairwise preference accuracy + per-dimension
+        criteria/aspect metrics (``overall_train.py:390-442`` +
+        ``evaluate_aspect`` ``:204-306``) from jit'd batched forwards."""
+        import numpy as np
+
+        from ..configs import ASPECT_NAMES, CRITERIA_NAMES
+        from ..eval.metrics import binary_dimension_metrics, preference_accuracy
+        from ..models.reward import reward_forward
+
+        cfg, tc = self.cfg, self.tc
+
+        @functools.partial(jax.jit)
+        def fwd(params, batch):
+            outs = {}
+            for v in (0, 1):
+                pix = batch[f"video_{v}_pixel_values"]
+                pix = pix.reshape((-1,) + pix.shape[-3:])
+                o = reward_forward(
+                    params, cfg, pix,
+                    batch[f"video_{v}_input_ids"],
+                    batch[f"video_{v}_attention_mask"],
+                    batch[f"video_{v}_gating_pos"],
+                    attn_impl=tc.attn_impl, remat=False,
+                )
+                outs[v] = (o.score, o.aspect_scores, o.rewards)
+            return outs
+
+        scores0, scores1, prefs, masks = [], [], [], []
+        crit_s, crit_gt, crit_rel = [], [], []
+        asp_s, asp_gt, asp_rel = [], [], []
+        for batch in batches:
+            jb = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+            )
+            outs = jax.device_get(fwd(self.params, jb))
+            scores0.append(outs[0][0])
+            scores1.append(outs[1][0])
+            prefs.append(np.asarray(batch["overall_preference"]).reshape(-1))
+            masks.append(np.asarray(batch["overall_mask"]).reshape(-1))
+            for v in (0, 1):
+                asp_s.append(outs[v][1])
+                crit_s.append(outs[v][2])
+                crit_gt.append(np.asarray(batch[f"video_{v}_criteria_score"]))
+                crit_rel.append(
+                    np.asarray(batch[f"video_{v}_criteria_related"]))
+                asp_gt.append(np.asarray(batch[f"video_{v}_aspect_score"]))
+                asp_rel.append(np.asarray(batch[f"video_{v}_aspect_related"]))
+
+        result = {
+            "preference": preference_accuracy(
+                np.concatenate(scores0), np.concatenate(scores1),
+                np.concatenate(prefs), np.concatenate(masks),
+            ),
+            "criteria": binary_dimension_metrics(
+                np.concatenate(crit_s), np.concatenate(crit_gt),
+                np.concatenate(crit_rel), names=CRITERIA_NAMES,
+            ),
+            "aspects": binary_dimension_metrics(
+                np.concatenate(asp_s), np.concatenate(asp_gt),
+                np.concatenate(asp_rel), names=ASPECT_NAMES,
+            ),
+        }
+        self.log({"step": self.step, "eval": result})
+        return result
+
     def resume_latest(self) -> Optional[str]:
         """Restore params from the newest checkpoint in checkpoint_dir.
 

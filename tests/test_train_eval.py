@@ -210,3 +210,17 @@ def test_score_fn_is_differentiable(cfg, params):
     g = jax.grad(f)(frames)
     assert g.shape == frames.shape
     assert bool(jnp.any(g != 0)) and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_trainer_evaluate_produces_metrics(cfg, params, tmp_path):
+    from mjvideo_tpu.train.trainer import TrainConfig, Trainer
+
+    tc = TrainConfig(stage=3, attn_impl="xla", total_steps=2,
+                     checkpoint_dir=str(tmp_path))
+    tr = Trainer(cfg, params, tc)
+    batch = jax.device_get(_tiny_batch(cfg, B=8))
+    res = tr.evaluate([batch])
+    assert 0.0 <= res["preference"]["accuracy"] <= 1.0
+    assert res["preference"]["count"] == 8
+    assert len(res["criteria"]) == 28 and len(res["aspects"]) == 5
+    assert all("f1" in m for m in res["criteria"])
