@@ -37,6 +37,11 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     batch = int(os.environ.get("BENCH_BATCH", 4 if on_tpu else 1))
     text_len = int(os.environ.get("BENCH_TEXT_LEN", 64))
+    # Tiles per frame: 1 = the standard reward config; >1 exercises the
+    # high-res dynamic-tiling path (BASELINE.json config #4, e.g. 13 for
+    # max_num=12 + thumbnail).
+    tiles = int(os.environ.get("BENCH_TILES", 1))
+    frames = frames * tiles
 
     c = cfg.chat
     n_img = c.num_image_token * frames

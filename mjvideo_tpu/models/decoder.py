@@ -149,3 +149,38 @@ def embed_tokens(params, input_ids: jnp.ndarray) -> jnp.ndarray:
 def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
     """LM head projection (fp32 logits, as HF does for loss stability)."""
     return dot_f32(hidden, params["output"]["kernel"])
+
+
+def init_sequence_classifier(key, cfg: LLMConfig, num_labels: int,
+                             dtype=jnp.float32):
+    """Score head for sequence classification
+    (``InternLM2ForSequenceClassification``, ``modeling_internlm2.py:
+    1311-1415`` — linear hidden -> num_labels, no bias)."""
+    return {"score": {"kernel": (
+        jax.random.normal(key, (cfg.hidden_size, num_labels)) * 0.02
+    ).astype(dtype)}}
+
+
+def sequence_classify(
+    params, head, cfg: LLMConfig,
+    inputs_embeds: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    attention_mask=None,
+    attn_impl: str = "xla",
+) -> jnp.ndarray:
+    """Pooled classification logits (B, num_labels).
+
+    Pools the last non-pad token exactly as the reference does
+    (``modeling_internlm2.py:1370-1390``: argmax(ids == pad) - 1 mod T).
+    """
+    hidden = decoder_forward(
+        params, cfg, inputs_embeds, attention_mask=attention_mask,
+        attn_impl=attn_impl, remat=False,
+    )
+    T = input_ids.shape[-1]
+    idx = (
+        jnp.argmax((input_ids == cfg.pad_token_id).astype(jnp.int32), -1) - 1
+    ) % T
+    pooled = jnp.take_along_axis(hidden, idx[:, None, None], axis=1,
+                                 mode="clip")[:, 0]
+    return dot_f32(pooled, head["score"]["kernel"])

@@ -227,6 +227,59 @@ def generate(
     return out
 
 
+def batch_chat(
+    params, cfg: ChatConfig, tokenizer, questions,
+    pixel_values=None, num_patches_lists=None,
+    generation_config: GenerationConfig = GenerationConfig(),
+    attn_impl: str = "xla",
+):
+    """Batched single-turn chat (``modeling_internvl_chat.py:336-367``).
+
+    Prompts are left-padded into one batch (generation positions stay
+    aligned — see ``generate``'s mask-cumsum positions) and decoded in one
+    jit'd call; the per-question tile stacks concatenate in order, matching
+    the flattened ``<IMG_CONTEXT>`` scatter.
+    """
+    import numpy as np
+
+    from ..data.conversation import get_template
+    from ..data.prompts import prepare_chat_input
+
+    chats = []
+    for i, q in enumerate(questions):
+        npl = num_patches_lists[i] if num_patches_lists else None
+        chats.append(prepare_chat_input(
+            cfg, tokenizer, q, num_patches_list=npl,
+            has_image=pixel_values is not None,
+        ))
+    T = max(c.input_ids.shape[1] for c in chats)
+    pad_id = getattr(tokenizer, "pad_token_id", None) or cfg.llm.pad_token_id
+    ids = np.full((len(chats), T), pad_id, np.int32)
+    mask = np.zeros((len(chats), T), np.int32)
+    for i, c in enumerate(chats):
+        L = c.input_ids.shape[1]
+        ids[i, T - L:] = c.input_ids[0]
+        mask[i, T - L:] = c.attention_mask[0]
+
+    template = get_template(cfg.template)
+    eos_id = tokenizer.convert_tokens_to_ids(template.sep.strip())
+    gc = generation_config._replace(eos_token_id=eos_id, pad_token_id=pad_id)
+    out = generate(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        pixel_values=None if pixel_values is None else jnp.asarray(pixel_values),
+        generation_config=gc, attn_impl=attn_impl,
+    )
+    responses = []
+    for row in np.asarray(out):
+        toks = [int(t) for t in row]
+        if eos_id in toks:
+            toks = toks[: toks.index(eos_id)]
+        responses.append(
+            tokenizer.decode(toks) if hasattr(tokenizer, "decode") else toks
+        )
+    return responses
+
+
 def chat(
     params, cfg: ChatConfig, tokenizer, question: str,
     pixel_values=None, num_patches_list=None,

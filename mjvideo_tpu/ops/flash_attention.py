@@ -5,7 +5,8 @@ Replaces the reference's CUDA flash-attn dependency
 ``modeling_internlm2.py:430-600`` causal varlen LLM path) with one TPU
 kernel covering both uses:
 
-* non-causal (ViT, seq 1025/tile) and causal (LLM, seq <= 3072),
+* non-causal (ViT, seq 1025/tile) and causal (LLM, seq <= 3072; long-video
+  configs reach ~40k tokens — SURVEY.md §5 long-context row),
 * grouped-query attention natively (q head h reads kv head h // G via the
   BlockSpec index map — no repeat_kv materialization),
 * padding via a (B, K) mask instead of flash-attn's varlen unpadding
@@ -14,13 +15,16 @@ kernel covering both uses:
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
 
-* Grid = (B, Hq, Q_blocks); each program streams the full K/V for its
-  (batch, kv-head) through VMEM in ``block_kv`` chunks with the classic
-  online-softmax recurrence carried as loop values (m, l, acc in fp32).
-* Causal programs bound their kv loop at the diagonal — blocks strictly
-  above it are never read or computed.
-* Lengths are padded to block multiples in the wrapper; D (64 for ViT,
-  128 for the LLM) rides the lane dimension unchanged.
+* Grid = (B, Hq, Q_blocks, KV_blocks), kv innermost; the online-softmax
+  state (m, l, acc in fp32) lives in VMEM scratch that persists across the
+  kv dimension, so only one (block_q, D) + one (block_kv, D) K and V tile
+  are resident at a time — VMEM use is independent of sequence length.
+* Causal programs skip compute for blocks strictly above the diagonal via
+  ``pl.when`` (their tiles still stream; fused q/kv block alignment keeps
+  the waste one block per row).
+* Precision: fp32 operands use HIGHEST (interpret mode truncates them
+  otherwise); bf16 operands use DEFAULT (Mosaic rejects fp32 contract
+  precision on bf16, whose MXU passes accumulate in fp32 anyway).
 * Backward: ``jax.custom_vjp`` recomputing with the XLA einsum path —
   mathematically the same function, so gradients are exact; a dedicated
   Pallas backward kernel can swap in behind the same signature.
@@ -41,92 +45,92 @@ NEG_INF = -1e30
 
 def _fa_kernel(
     q_ref,  # (1, 1, block_q, D)
-    k_ref,  # (1, 1, Kp, D)
-    v_ref,  # (1, 1, Kp, D)
-    mask_ref,  # (1, 1, Kp) int32, 1 = real token
+    k_ref,  # (1, 1, block_kv, D)
+    v_ref,  # (1, 1, block_kv, D)
+    mask_ref,  # (1, 1, block_kv) int32, 1 = real token
     o_ref,  # (1, 1, block_q, D)
+    acc_ref,  # VMEM (block_q, D) f32
+    m_ref,  # VMEM (block_q, 128) f32
+    l_ref,  # VMEM (block_q, 128) f32
     *,
     scale: float,
     causal: bool,
     block_q: int,
     block_kv: int,
-    kv_len: int,  # padded kv length (Kp)
-    q_offset_blocks: int,  # kv tokens preceding q position 0 (self-attn: 0)
 ):
     qi = pl.program_id(2)
-    q = q_ref[0, 0]  # (block_q, D), input dtype
-    D = q.shape[-1]
-    # HIGHEST keeps fp32 operands exact (interpret mode truncates them
-    # otherwise); Mosaic rejects fp32 contract precision for bf16 operands,
-    # which natively accumulate in fp32 on the MXU anyway.
-    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    ki = pl.program_id(3)
+    n_kv = pl.num_programs(3)
 
-    if causal:
-        # Last kv block that intersects the causal triangle for this q block.
-        n_kv = (qi + 1 + q_offset_blocks) * block_q
-        n_blocks = pl.cdiv(n_kv, block_kv)
-    else:
-        n_blocks = pl.cdiv(kv_len, block_kv)
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
-    def body(j, carry):
-        acc, m_prev, l_prev = carry
-        start = j * block_kv
-        k = k_ref[0, 0, pl.ds(start, block_kv), :]
-        v = v_ref[0, 0, pl.ds(start, block_kv), :]
+    # Causal: skip blocks strictly above the diagonal.
+    run = (qi + 1) * block_q > ki * block_kv if causal else True
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]  # (block_q, D)
+        k = k_ref[0, 0]  # (block_kv, D)
+        v = v_ref[0, 0]
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        ) * scale  # (block_q, block_kv) fp32, accumulated on the MXU
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale  # (block_q, block_kv) fp32
 
         if causal:
-            q_pos = (
-                qi * block_q
-                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-                + q_offset_blocks * block_q
-            )
-            k_pos = start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 1
-            )
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            k_pos = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(q_pos >= k_pos, s, NEG_INF)
-        mk = mask_ref[0, 0, pl.ds(start, block_kv)]  # (block_kv,)
+        mk = mask_ref[0, 0]  # (block_kv,)
         s = jnp.where(mk[None, :] != 0, s, NEG_INF)
 
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        # Match the XLA oracle: probs are cast to v.dtype for the pv matmul.
-        acc = acc * alpha + jax.lax.dot_general(
+        l_ref[:, :1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
+            preferred_element_type=jnp.float32, precision=prec,
         )
-        return acc, m_new, l_new
 
-    acc0 = jnp.zeros((block_q, D), jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
-
-    # Fully-masked rows (all-pad): m never left NEG_INF (every logit was
-    # masked, so p == exp(0) summed garbage into l/acc) — emit 0, not NaN.
-    dead = m <= NEG_INF * 0.5
-    out = jnp.where(dead, 0.0, acc / jnp.where(l == 0.0, 1.0, l))
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    @pl.when(ki == n_kv - 1)
+    def _finish():
+        m = m_ref[:, :1]
+        l = l_ref[:, :1]
+        # Fully-masked rows (all-pad): m never left NEG_INF (every logit was
+        # masked, so p == exp(0) summed garbage into l/acc) — emit 0.
+        dead = m <= NEG_INF * 0.5
+        out = jnp.where(dead, 0.0, acc_ref[:] / jnp.where(l == 0.0, 1.0, l))
+        o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_block(S: int, candidates=(512, 256, 128)) -> int:
+    """Largest block with <7% padding waste; falls back to 128."""
+    for b in candidates:
+        if _round_up(S, b) <= S * 1.07:
+            return b
+    return 128
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "causal", "scale", "block_q", "block_kv", "interpret"
-    ),
+    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
 )
 def _flash_attention_fwd_impl(
     q: jnp.ndarray,  # (B, Q, Hq, D)
@@ -135,8 +139,8 @@ def _flash_attention_fwd_impl(
     attention_mask: Optional[jnp.ndarray],  # (B, K) 1 = real
     causal: bool,
     scale: Optional[float],
-    block_q: int,
-    block_kv: int,
+    block_q: Optional[int],
+    block_kv: Optional[int],
     interpret: bool,
 ) -> jnp.ndarray:
     B, Q, Hq, D = q.shape
@@ -145,8 +149,8 @@ def _flash_attention_fwd_impl(
     if scale is None:
         scale = D**-0.5
 
-    block_q = min(block_q, _round_up(Q, 128))
-    block_kv = min(block_kv, _round_up(K, 128))
+    block_q = min(block_q or _pick_block(Q), _round_up(Q, 128))
+    block_kv = min(block_kv or _pick_block(K), _round_up(K, 128))
     Qp = _round_up(Q, block_q)
     Kp = _round_up(K, block_kv)
 
@@ -167,7 +171,6 @@ def _flash_attention_fwd_impl(
     mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Kp - K)))
     mask = mask[:, None, :]  # (B, 1, Kp): TPU block last-two-dims rule
 
-    # Causal offset: with right-padding, q row i attends kv <= i (self-attn).
     assert Q == K or not causal, "causal flash requires self-attention shapes"
 
     kernel = functools.partial(
@@ -176,31 +179,36 @@ def _flash_attention_fwd_impl(
         causal=causal,
         block_q=block_q,
         block_kv=block_kv,
-        kv_len=Kp,
-        q_offset_blocks=0,
     )
-
-    in_specs = [
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Kp, D), lambda b, h, i: (b, h // G, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Kp, D), lambda b, h, i: (b, h // G, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Kp), lambda b, h, i: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = [qt, kt, vt, mask]
 
     out = pl.pallas_call(
         kernel,
-        grid=(B, Hq, Qp // block_q),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+        grid=(B, Hq, Qp // block_q, Kp // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, i, j: (b, h // G, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, i, j: (b, h // G, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, h, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, i, j: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hq, Qp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
         interpret=interpret,
-    )(*args)
+    )(qt, kt, vt, mask)
 
     out = out[:, :, :Q, :]
     return jnp.transpose(out, (0, 2, 1, 3))
@@ -250,12 +258,13 @@ def flash_attention(
     attention_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 512,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
 ) -> jnp.ndarray:
     """Blockwise flash attention. q: (B, Q, Hq, D); k/v: (B, K, Hkv, D).
 
-    ``attention_mask``: (B, K), 1 = real token, 0 = padding.
+    ``attention_mask``: (B, K), 1 = real token, 0 = padding.  Block sizes
+    default to the least-padding choice in {512, 256, 128}.
     """
     return _flash_attention(
         q, k, v, attention_mask, causal, scale, block_q, block_kv

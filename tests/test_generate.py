@@ -135,3 +135,35 @@ def test_batched_left_padding_matches_single_row(cfg, params):
                               jnp.asarray(mask), generation_config=gc))
     assert out[0, 0] == int(jnp.argmax(_full_logits(params, cfg, ids_a)))
     assert out[1, 0] == int(jnp.argmax(_full_logits(params, cfg, ids_b)))
+
+
+def test_batch_chat_runs(cfg, params):
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.models.generate import GenerationConfig, batch_chat
+
+    tok = ByteTokenizer()
+    out = batch_chat(
+        params, cfg.chat, tok, ["hi", "a longer question here"],
+        generation_config=GenerationConfig(max_new_tokens=4, temperature=0.0),
+    )
+    assert len(out) == 2
+    assert all(isinstance(r, str) for r in out)
+
+
+def test_sequence_classifier(cfg, params):
+    from mjvideo_tpu.models.decoder import (
+        init_sequence_classifier,
+        sequence_classify,
+    )
+
+    llm = cfg.chat.llm
+    head = init_sequence_classifier(jax.random.PRNGKey(0), llm, num_labels=3)
+    ids = np.asarray([[5, 6, 7, llm.pad_token_id, llm.pad_token_id]],
+                     np.int32)
+    lm = params["language_model"]
+    import mjvideo_tpu.models.decoder as dec
+
+    emb = dec.embed_tokens(lm, jnp.asarray(ids))
+    logits = sequence_classify(lm, head, llm, emb, jnp.asarray(ids))
+    assert logits.shape == (1, 3)
+    assert bool(jnp.all(jnp.isfinite(logits)))
