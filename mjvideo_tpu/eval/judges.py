@@ -198,11 +198,7 @@ class InternVLJudge:
         self.tokenizer = tokenizer
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
-        import jax
-
-        self.attn_impl = attn_impl or (
-            "flash" if jax.default_backend() == "tpu" else "xla"
-        )
+        self.attn_impl = attn_impl or "auto"
 
     def ask(self, prompt: str, video_path: str) -> str:
         import jax.numpy as jnp

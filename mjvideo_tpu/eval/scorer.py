@@ -58,7 +58,7 @@ class RewardScorer:
         self.buckets = tuple(length_buckets)
         self.gating_pattern = tuple(gating_pattern)
         if attn_impl is None:
-            attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+            attn_impl = "auto"
         self.attn_impl = attn_impl
         self.pad_token_id = getattr(
             tokenizer, "pad_token_id", cfg.chat.llm.pad_token_id

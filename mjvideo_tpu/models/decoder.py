@@ -109,7 +109,7 @@ def decoder_forward(
     inputs_embeds: jnp.ndarray,  # (B, S, C)
     attention_mask: Optional[jnp.ndarray] = None,  # (B, S) 1=real
     position_ids: Optional[jnp.ndarray] = None,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     remat: bool = True,
 ) -> jnp.ndarray:
     """Run all decoder layers + final norm; returns hidden states (B, S, C).
@@ -166,7 +166,7 @@ def sequence_classify(
     inputs_embeds: jnp.ndarray,
     input_ids: jnp.ndarray,
     attention_mask=None,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """Pooled classification logits (B, num_labels).
 

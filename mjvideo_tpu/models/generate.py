@@ -18,14 +18,13 @@ Replaces the reference generation stack: ``InternLM2ForCausalLM.generate`` /
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..configs import ChatConfig, LLMConfig
-from ..ops.attention import attention_xla, make_attention_bias
-from ..ops.matmul import dot
+from ..ops.attention import attention_xla
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_tables
 from . import decoder as dec
@@ -148,7 +147,7 @@ def generate(
     pixel_values: Optional[jnp.ndarray] = None,  # (P, H, W, 3)
     generation_config: GenerationConfig = GenerationConfig(),
     rng: Optional[jax.Array] = None,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """Multimodal autoregressive generation; returns (B, max_new_tokens).
 
@@ -231,7 +230,7 @@ def batch_chat(
     params, cfg: ChatConfig, tokenizer, questions,
     pixel_values=None, num_patches_lists=None,
     generation_config: GenerationConfig = GenerationConfig(),
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ):
     """Batched single-turn chat (``modeling_internvl_chat.py:336-367``).
 
@@ -284,7 +283,7 @@ def chat(
     params, cfg: ChatConfig, tokenizer, question: str,
     pixel_values=None, num_patches_list=None,
     history=None, generation_config: GenerationConfig = GenerationConfig(),
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ) -> Tuple[str, list]:
     """Single-turn(ed) chat (``modeling_internvl_chat.py:264-334``)."""
     import numpy as np

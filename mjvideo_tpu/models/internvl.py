@@ -71,7 +71,7 @@ def apply_projector(p, x: jnp.ndarray) -> jnp.ndarray:
 
 def extract_feature(
     params, cfg: ChatConfig, pixel_values: jnp.ndarray,
-    attn_impl: str = "xla", remat: bool = True,
+    attn_impl: str = "auto", remat: bool = True,
 ) -> jnp.ndarray:
     """ViT -> drop cls -> HxW grid -> pixel_shuffle -> projector.
 
@@ -124,7 +124,7 @@ def chat_forward(
     input_ids: jnp.ndarray,  # (B, T)
     attention_mask: Optional[jnp.ndarray] = None,
     position_ids: Optional[jnp.ndarray] = None,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     remat: bool = True,
 ) -> jnp.ndarray:
     """Full multimodal forward; returns final hidden states (B, T, C).

@@ -193,7 +193,7 @@ def reward_forward(
     input_ids: jnp.ndarray,  # (B, T)
     attention_mask: Optional[jnp.ndarray],  # (B, T)
     gating_pos: jnp.ndarray,  # (B,)
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     remat: bool = True,
 ) -> RewardOutput:
     """Backbone forward + fused reward head; the north-star inference path."""

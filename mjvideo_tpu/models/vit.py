@@ -20,8 +20,6 @@ InternViT-6B (rms_norm + qk_norm), selected by config.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -171,7 +169,7 @@ def vit_forward(
     cfg: VisionConfig,
     pixel_values: jnp.ndarray,
     select_layer: int = -1,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     remat: bool = True,
 ) -> jnp.ndarray:
     """Run the encoder; returns hidden states (N, S, C) after ``select_layer``.

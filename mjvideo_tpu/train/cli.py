@@ -41,12 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beta", type=float, default=1.0)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
-    p.add_argument("--attn", choices=("flash", "xla"), default=None)
+    p.add_argument("--attn", choices=("auto", "flash", "xla"), default=None)
     p.add_argument("--tp", type=int, default=1, help="model-axis mesh size")
+    p.add_argument("--dp", type=int, default=-1,
+                   help="data-axis mesh size (-1 = all remaining devices)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--save-total-limit", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="hermetic smoke mode: tiny config + byte tokenizer")
     return p
 
 
@@ -62,16 +66,19 @@ def main(argv=None) -> None:
     from ..train.trainer import TrainConfig, Trainer, warm_start
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    attn = args.attn or (
-        "flash" if jax.default_backend() == "tpu" else "xla"
-    )
+    attn = args.attn or "auto"
 
     if args.model_path:
         from ..utils.checkpoint import load_reward_model
 
         cfg, params = load_reward_model(args.model_path, dtype=dtype)
     else:
-        cfg = mjvideo_2b_config()
+        if args.tiny:
+            from ..configs import tiny_test_config
+
+            cfg = tiny_test_config()
+        else:
+            cfg = mjvideo_2b_config()
         params = init_reward_params(
             jax.random.PRNGKey(args.seed), cfg, dtype=dtype
         )
@@ -119,6 +126,7 @@ def main(argv=None) -> None:
         checkpoint_dir=args.output_dir,
         keep_checkpoints=args.save_total_limit,
         mesh_model_axis=args.tp,
+        mesh_data_axis=args.dp,
     )
     trainer = Trainer(cfg, params, tc)
 

@@ -20,7 +20,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,13 +46,14 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     mse: Optional[bool] = None  # None = the stage's script default
     beta: float = 1.0
-    attn_impl: str = "flash"
+    attn_impl: str = "auto"
     remat: bool = True
     log_every: int = 10
     checkpoint_every: int = 500
     checkpoint_dir: str = "./checkpoints"
     keep_checkpoints: int = 3  # save_total_limit (criteria_train.py:30)
     mesh_model_axis: int = 1
+    mesh_data_axis: int = -1  # -1 = all remaining devices
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def stage_mse_default(self) -> bool:
@@ -161,7 +162,16 @@ class Trainer:
     ):
         self.cfg = cfg
         self.tc = tc
-        self.mesh = mesh or make_mesh(model=tc.mesh_model_axis)
+        if mesh is None:
+            import jax as _jax
+
+            devices = None
+            if tc.mesh_data_axis != -1:
+                devices = _jax.devices()[: tc.mesh_data_axis
+                                         * tc.mesh_model_axis]
+            mesh = make_mesh(data=tc.mesh_data_axis,
+                             model=tc.mesh_model_axis, devices=devices)
+        self.mesh = mesh
         self.params = shard_params(params, self.mesh)
         self.optimizer = make_optimizer(tc, self.params)
         self.opt_state = self.optimizer.init(self.params)

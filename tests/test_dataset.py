@@ -133,3 +133,34 @@ def test_trainer_save_and_resume(tmp_path):
     b = np.asarray(jax.device_get(
         tr2.params["regression_layer"]["kernel"]))
     np.testing.assert_array_equal(a, b)
+
+
+def test_train_cli_end_to_end_hermetic(tmp_path, monkeypatch):
+    """The full CLI path: sample data -> dataset -> trainer -> checkpoint."""
+    import subprocess
+    import sys
+
+    sample = tmp_path / "data"
+    r = subprocess.run(
+        [sys.executable, "examples/make_sample_data.py", "--out",
+         str(sample), "--pairs", "2"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+
+    from mjvideo_tpu.train import cli
+
+    out = tmp_path / "ckpt"
+    cli.main([
+        "--stage", "1", "--tiny", "--fp32", "--attn", "xla",
+        "--train-json", str(sample / "pairs.json"),
+        "--video-root", str(sample / "videos"),
+        "--output-dir", str(out),
+        "--batch-size", "2", "--max-steps", "1", "--num-segments", "2",
+        "--max-length", "512", "--dp", "2",
+    ])
+    import os
+
+    ckpts = [d for d in os.listdir(out) if d.startswith("stage1_step")]
+    assert ckpts, os.listdir(out)
+    assert (out / "train_args.json").exists()
