@@ -56,29 +56,44 @@ def evaluate_preference(
     (``overall_train.py:390-442`` semantics, incl. tie masking)."""
     from ..data.labels import deal_preference
 
+    from ..data.dataset import prefetch
+
     writer = IncrementalWriter(results_path)
+
+    def prepared():
+        """Host-side decode+tokenize, pipelined ahead of device compute."""
+        for i, item in enumerate(records):
+            if writer.seen(i):
+                continue
+            pref, mask = deal_preference(item["overall_preference"],
+                                         overall=True)
+            p0, i0, g0 = scorer.prepare_clip(
+                os.path.join(root, item["video_0_path"]), item["caption"],
+                num_segments=num_segments,
+            )
+            p1, i1, g1 = scorer.prepare_clip(
+                os.path.join(root, item["video_1_path"]), item["caption"],
+                num_segments=num_segments,
+            )
+            yield (i, pref[0], mask[0],
+                   np.concatenate([p0, p1], axis=0), [i0, i1], [g0, g1])
+
     s0s, s1s, prefs, masks = [], [], [], []
-    for i, item in enumerate(records):
-        if writer.seen(i):
-            continue
-        pref, mask = deal_preference(item["overall_preference"], overall=True)
-        r0, r1 = scorer.score_pair(
-            os.path.join(root, item["video_0_path"]),
-            os.path.join(root, item["video_1_path"]),
-            item["caption"], num_segments=num_segments,
-        )
+    for i, pref, mask, pixels, ids, gpos in prefetch(prepared(), 2):
+        out = scorer.score_batch(pixels, ids, gpos)
+        scores = np.asarray(out.score, np.float32)
         rec = {
             "id": i,
-            "score_0": float(r0["score"]),
-            "score_1": float(r1["score"]),
-            "preference": pref[0],
-            "mask": mask[0],
+            "score_0": float(scores[0]),
+            "score_1": float(scores[1]),
+            "preference": pref,
+            "mask": mask,
         }
         writer.write(rec)
         s0s.append(rec["score_0"])
         s1s.append(rec["score_1"])
-        prefs.append(pref[0])
-        masks.append(mask[0])
+        prefs.append(pref)
+        masks.append(mask)
     # merge resumed results
     if results_path and os.path.exists(results_path):
         s0s, s1s, prefs, masks = [], [], [], []

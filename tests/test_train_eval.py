@@ -224,3 +224,36 @@ def test_trainer_evaluate_produces_metrics(cfg, params, tmp_path):
     assert res["preference"]["count"] == 8
     assert len(res["criteria"]) == 28 and len(res["aspects"]) == 5
     assert all("f1" in m for m in res["criteria"])
+
+
+def test_evaluate_preference_driver(cfg, params, tmp_path):
+    """The pipelined preference evaluator end-to-end on synthetic videos."""
+    from mjvideo_tpu.eval.preference import evaluate_preference
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    v0, v1 = tmp_path / "a.mp4", tmp_path / "b.mp4"
+    _write_test_video(v0)
+    _write_test_video(v1)
+    records = [
+        {"video_0_path": "a.mp4", "video_1_path": "b.mp4",
+         "caption": "x", "overall_preference": "Video 1 better"},
+        {"video_0_path": "b.mp4", "video_1_path": "a.mp4",
+         "caption": "y", "overall_preference": "Same"},
+    ]
+    tok = ByteTokenizer()
+    scorer = RewardScorer(
+        cfg, params, tok, attn_impl="xla", dtype=jnp.float32,
+        length_buckets=(1024,), gating_pattern=tok.gating_pattern(),
+    )
+    res = evaluate_preference(
+        scorer, records, root=str(tmp_path), num_segments=2,
+        results_path=str(tmp_path / "res.jsonl"),
+    )
+    assert res["count"] == 1  # 'Same' masked
+    assert res["correct"] in (0, 1)
+    # resume path: re-running skips completed ids and returns same result
+    res2 = evaluate_preference(
+        scorer, records, root=str(tmp_path), num_segments=2,
+        results_path=str(tmp_path / "res.jsonl"),
+    )
+    assert res2 == res
