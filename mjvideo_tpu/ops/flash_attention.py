@@ -120,12 +120,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_block(S: int, candidates=(512, 256, 128)) -> int:
-    """Largest block with <7% padding waste; falls back to 128."""
-    for b in candidates:
-        if _round_up(S, b) <= S * 1.07:
-            return b
-    return 128
+def _pick_blocks(Q: int, K: int) -> tuple:
+    """Default block sizes, tuned on v5e (B4/S2112/GQA bf16):
+    (256, 512) -> 4.76ms vs (512, 512) 5.10ms vs (128, 128) 8.25ms —
+    fine-grained grids cost more than the padding they save."""
+    bq = 256 if Q > 256 else _round_up(Q, 128)
+    bk = 512 if K > 512 else _round_up(K, 128)
+    return bq, bk
 
 
 @functools.partial(
@@ -149,8 +150,9 @@ def _flash_attention_fwd_impl(
     if scale is None:
         scale = D**-0.5
 
-    block_q = min(block_q or _pick_block(Q), _round_up(Q, 128))
-    block_kv = min(block_kv or _pick_block(K), _round_up(K, 128))
+    default_bq, default_bk = _pick_blocks(Q, K)
+    block_q = min(block_q or default_bq, _round_up(Q, 128))
+    block_kv = min(block_kv or default_bk, _round_up(K, 128))
     Qp = _round_up(Q, block_q)
     Kp = _round_up(K, block_kv)
 
