@@ -1,33 +1,37 @@
-"""Pallas TPU flash attention (blockwise, online-softmax).
+"""Pallas TPU flash attention: forward + backward, blockwise online-softmax.
 
 Replaces the reference's CUDA flash-attn dependency
 (``modeling_intern_vit.py:35-96`` packed-QKV ViT path and
-``modeling_internlm2.py:430-600`` causal varlen LLM path) with one TPU
-kernel covering both uses:
+``modeling_internlm2.py:430-600`` causal varlen LLM path) with TPU kernels
+covering both uses:
 
 * non-causal (ViT, seq 1025/tile) and causal (LLM, seq <= 3072; long-video
   configs reach ~40k tokens — SURVEY.md §5 long-context row),
 * grouped-query attention natively (q head h reads kv head h // G via the
   BlockSpec index map — no repeat_kv materialization),
 * padding via a (B, K) mask instead of flash-attn's varlen unpadding
-  (SURVEY.md §2.3): masked logits get a large negative bias; fully-masked
-  query rows emit 0.
+  (SURVEY.md §2.3); fully-masked query rows emit 0.
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
 
-* Grid = (B, Hq, Q_blocks, KV_blocks), kv innermost; the online-softmax
-  state (m, l, acc in fp32) lives in VMEM scratch that persists across the
-  kv dimension, so only one (block_q, D) + one (block_kv, D) K and V tile
-  are resident at a time — VMEM use is independent of sequence length.
+* Forward grid = (B, Hq, Q_blocks, KV_blocks), kv innermost; the
+  online-softmax state (m, l, acc in fp32) lives in VMEM scratch persisting
+  across the kv dimension — VMEM use is independent of sequence length.
+  When gradients are needed the forward also emits the log-sum-exp rows.
+* Backward = two kernels (the standard flash-attention-2 split):
+  - dK/dV: grid (B, Hq, KV_blocks, Q_blocks), accumulators per kv block;
+    per-q-head partials are reduced over the G GQA groups outside.
+  - dQ: grid (B, Hq, Q_blocks, KV_blocks), accumulator per q block.
+  ``delta = rowsum(dO * O)`` is a cheap XLA elementwise reduce.
+* Block sizes tuned on v5e (B4/S2112 GQA bf16): (block_q=256, block_kv=512)
+  -> 4.76ms vs 8.25ms at (128,128) — fine grids cost more than padding.
 * Causal programs skip compute for blocks strictly above the diagonal via
-  ``pl.when`` (their tiles still stream; fused q/kv block alignment keeps
-  the waste one block per row).
+  ``pl.when``.
 * Precision: fp32 operands use HIGHEST (interpret mode truncates them
   otherwise); bf16 operands use DEFAULT (Mosaic rejects fp32 contract
   precision on bf16, whose MXU passes accumulate in fp32 anyway).
-* Backward: ``jax.custom_vjp`` recomputing with the XLA einsum path —
-  mathematically the same function, so gradients are exact; a dedicated
-  Pallas backward kernel can swap in behind the same signature.
+* Off-TPU the kernels run in interpret mode and the backward falls back to
+  the (mathematically identical) XLA einsum VJP.
 """
 
 from __future__ import annotations
@@ -41,22 +45,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+DEAD_LSE = 1e30  # lse sentinel for fully-masked rows: exp(s - 1e30) == 0
 
 
-def _fa_kernel(
-    q_ref,  # (1, 1, block_q, D)
-    k_ref,  # (1, 1, block_kv, D)
-    v_ref,  # (1, 1, block_kv, D)
-    mask_ref,  # (1, 1, block_kv) int32, 1 = real token
-    o_ref,  # (1, 1, block_q, D)
-    acc_ref,  # VMEM (block_q, D) f32
-    m_ref,  # VMEM (block_q, 128) f32
-    l_ref,  # VMEM (block_q, 128) f32
-    *,
-    scale: float,
-    causal: bool,
-    block_q: int,
-    block_kv: int,
+def _prec(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _dot(a, b, trans_a=False, trans_b=False):
+    dims = (((0 if trans_a else 1,), (1 if trans_b else 0,)), ((), ()))
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=_prec(a.dtype),
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_blocks(Q: int, K: int) -> tuple:
+    bq = 256 if Q > 256 else _round_up(Q, 128)
+    bk = 512 if K > 512 else _round_up(K, 128)
+    return bq, bk
+
+
+# --------------------------------------------------------------- forward
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref,  # blocks (see specs below)
+    o_ref, lse_ref,  # outputs
+    acc_ref, m_ref, l_ref,  # VMEM scratch
+    *, scale, causal, block_q, block_kv, with_lse,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -68,29 +89,21 @@ def _fa_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # Causal: skip blocks strictly above the diagonal.
     run = (qi + 1) * block_q > ki * block_kv if causal else True
 
     @pl.when(run)
     def _step():
-        q = q_ref[0, 0]  # (block_q, D)
-        k = k_ref[0, 0]  # (block_kv, D)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         v = v_ref[0, 0]
-        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * scale  # (block_q, block_kv) fp32
-
+        s = _dot(q, k, trans_b=True) * scale  # (block_q, block_kv) fp32
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0)
             k_pos = ki * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(q_pos >= k_pos, s, NEG_INF)
-        mk = mask_ref[0, 0]  # (block_kv,)
+        mk = mask_ref[0, 0]
         s = jnp.where(mk[None, :] != 0, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -100,50 +113,30 @@ def _fa_kernel(
         p = jnp.exp(s - m_new)
         l_ref[:, :1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[:, :1] = m_new
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        acc_ref[:] = acc_ref[:] * alpha + _dot(p.astype(v.dtype), v)
 
     @pl.when(ki == n_kv - 1)
     def _finish():
         m = m_ref[:, :1]
         l = l_ref[:, :1]
-        # Fully-masked rows (all-pad): m never left NEG_INF (every logit was
-        # masked, so p == exp(0) summed garbage into l/acc) — emit 0.
         dead = m <= NEG_INF * 0.5
         out = jnp.where(dead, 0.0, acc_ref[:] / jnp.where(l == 0.0, 1.0, l))
         o_ref[0, 0] = out.astype(o_ref.dtype)
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _pick_blocks(Q: int, K: int) -> tuple:
-    """Default block sizes, tuned on v5e (B4/S2112/GQA bf16):
-    (256, 512) -> 4.76ms vs (512, 512) 5.10ms vs (128, 128) 8.25ms —
-    fine-grained grids cost more than the padding they save."""
-    bq = 256 if Q > 256 else _round_up(Q, 128)
-    bk = 512 if K > 512 else _round_up(K, 128)
-    return bq, bk
+        if with_lse:
+            lse = jnp.where(dead, DEAD_LSE,
+                            m + jnp.log(jnp.maximum(l, 1e-30)))
+            lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :],
+                                             (8, block_q))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret",
+                     "with_lse"),
 )
-def _flash_attention_fwd_impl(
-    q: jnp.ndarray,  # (B, Q, Hq, D)
-    k: jnp.ndarray,  # (B, K, Hkv, D)
-    v: jnp.ndarray,
-    attention_mask: Optional[jnp.ndarray],  # (B, K) 1 = real
-    causal: bool,
-    scale: Optional[float],
-    block_q: Optional[int],
-    block_kv: Optional[int],
-    interpret: bool,
-) -> jnp.ndarray:
+def _fwd_impl(q, k, v, attention_mask, causal, scale, block_q, block_kv,
+              interpret, with_lse):
+    """Returns out (B, Q, Hq, D) [and lse (B, Hq, 8, Qp) if with_lse]."""
     B, Q, Hq, D = q.shape
     K, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
@@ -156,7 +149,6 @@ def _flash_attention_fwd_impl(
     Qp = _round_up(Q, block_q)
     Kp = _round_up(K, block_kv)
 
-    # (B, H, S, D) layout for blockwise streaming.
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
@@ -166,24 +158,34 @@ def _flash_attention_fwd_impl(
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
 
-    # Padded kv tail must be masked; fold it into the padding mask.
     mask = attention_mask
     if mask is None:
         mask = jnp.ones((B, K), jnp.int32)
-    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Kp - K)))
-    mask = mask[:, None, :]  # (B, 1, Kp): TPU block last-two-dims rule
+    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Kp - K)))[:, None, :]
 
     assert Q == K or not causal, "causal flash requires self-attention shapes"
 
-    kernel = functools.partial(
-        _fa_kernel,
-        scale=scale,
-        causal=causal,
-        block_q=block_q,
-        block_kv=block_kv,
-    )
+    if with_lse:
+        kernel = functools.partial(
+            _fwd_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, with_lse=True,
+        )
+    else:
+        def kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc, m, l):
+            _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, None,
+                        acc, m, l, scale=scale, causal=causal,
+                        block_q=block_q, block_kv=block_kv, with_lse=False)
+    out_shapes = [jax.ShapeDtypeStruct((B, Hq, Qp, D), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, D),
+                              lambda b, h, i, j: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((B, Hq, 8, Qp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 8, block_q),
+                                      lambda b, h, i, j: (b, h, 0, i),
+                                      memory_space=pltpu.VMEM))
 
-    out = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid=(B, Hq, Qp // block_q, Kp // block_kv),
         in_specs=[
@@ -200,10 +202,8 @@ def _flash_attention_fwd_impl(
                          lambda b, h, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D),
-                               lambda b, h, i, j: (b, h, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Qp, D), q.dtype),
+        out_specs=tuple(out_specs) if with_lse else out_specs[0],
+        out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -212,9 +212,228 @@ def _flash_attention_fwd_impl(
         interpret=interpret,
     )(qt, kt, vt, mask)
 
-    out = out[:, :, :Q, :]
-    return jnp.transpose(out, (0, 2, 1, 3))
+    if with_lse:
+        outp, lse = results
+    else:
+        outp, lse = results, None
+    out = jnp.transpose(outp[:, :, :Q, :], (0, 2, 1, 3))
+    return (out, lse) if with_lse else out
 
+
+# --------------------------------------------------------------- backward
+
+def _bwd_dkdv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, scale, causal, block_q, block_kv,
+):
+    """Accumulate dK/dV for one kv block over all q blocks (per q head;
+    GQA group-sum happens outside)."""
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    run = (qi + 1) * block_q > ki * block_kv if causal else True
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0, :][:, None]  # (block_q, 1)
+        delta = delta_ref[0, 0, 0, :][:, None]
+
+        s = _dot(q, k, trans_b=True) * scale
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            k_pos = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
+            s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        mk = mask_ref[0, 0]
+        s = jnp.where(mk[None, :] != 0, s, NEG_INF)
+
+        p = jnp.exp(s - lse)  # (block_q, block_kv) fp32
+        pq = p.astype(do.dtype)
+        dv_acc[:] = dv_acc[:] + _dot(pq, do, trans_a=True)
+        dp = _dot(do, v, trans_b=True)  # (block_q, block_kv) fp32
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dk_acc[:] = dk_acc[:] + _dot(ds, q, trans_a=True)
+
+    @pl.when(qi == n_q - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
+    dq_ref,
+    dq_acc,
+    *, scale, causal, block_q, block_kv,
+):
+    """Accumulate dQ for one q block over all kv blocks."""
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    run = (qi + 1) * block_q > ki * block_kv if causal else True
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0, :][:, None]
+        delta = delta_ref[0, 0, 0, :][:, None]
+
+        s = _dot(q, k, trans_b=True) * scale
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            k_pos = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
+            s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        mk = mask_ref[0, 0]
+        s = jnp.where(mk[None, :] != 0, s, NEG_INF)
+
+        p = jnp.exp(s - lse)
+        dp = _dot(do, v, trans_b=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq_acc[:] = dq_acc[:] + _dot(ds, k)
+
+    @pl.when(ki == n_kv - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
+)
+def _bwd_impl(q, k, v, attention_mask, out, lse, g, causal, scale,
+              block_q, block_kv, interpret):
+    B, Q, Hq, D = q.shape
+    K, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    if scale is None:
+        scale = D**-0.5
+
+    default_bq, default_bk = _pick_blocks(Q, K)
+    block_q = min(block_q or default_bq, _round_up(Q, 128))
+    block_kv = min(block_kv or default_bk, _round_up(K, 128))
+    Qp = _round_up(Q, block_q)
+    Kp = _round_up(K, block_kv)
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    dot_ = jnp.transpose(g, (0, 2, 1, 3)).astype(q.dtype)
+    out_t = jnp.transpose(out, (0, 2, 1, 3))
+    # delta = rowsum(dO * O): cheap XLA reduce, laid out (B, Hq, 8, Qp).
+    delta = jnp.sum(dot_.astype(jnp.float32) * out_t.astype(jnp.float32),
+                    axis=-1)  # (B, Hq, Q)
+    if Qp != Q:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+        dot_ = jnp.pad(dot_, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Qp - Q)))
+    if Kp != K:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+    delta = jnp.broadcast_to(delta[:, :, None, :], (B, Hq, 8, Qp))
+
+    mask = attention_mask
+    if mask is None:
+        mask = jnp.ones((B, K), jnp.int32)
+    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Kp - K)))[:, None, :]
+
+    q_spec = pl.BlockSpec((1, 1, block_q, D),
+                          lambda b, h, j, i: (b, h, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, block_kv, D),
+                           lambda b, h, j, i: (b, h // G, j, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, 8, block_q),
+                            lambda b, h, j, i: (b, h, 0, i),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, block_kv),
+                             lambda b, h, j, i: (b, 0, j),
+                             memory_space=pltpu.VMEM)
+
+    dk_part, dv_part = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_kv=block_kv),
+        grid=(B, Hq, Kp // block_kv, Qp // block_q),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
+                  mask_spec],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, Kp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Kp, D), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, D), jnp.float32),
+            pltpu.VMEM((block_kv, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qt, kt, vt, dot_, lse, delta, mask)
+
+    # dQ kernel: q blocks outer, kv inner.
+    q_spec2 = pl.BlockSpec((1, 1, block_q, D),
+                           lambda b, h, i, j: (b, h, i, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, 1, block_kv, D),
+                            lambda b, h, i, j: (b, h // G, j, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec2 = pl.BlockSpec((1, 1, 8, block_q),
+                             lambda b, h, i, j: (b, h, 0, i),
+                             memory_space=pltpu.VMEM)
+    mask_spec2 = pl.BlockSpec((1, 1, block_kv),
+                              lambda b, h, i, j: (b, 0, j),
+                              memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_kv=block_kv),
+        grid=(B, Hq, Qp // block_q, Kp // block_kv),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2,
+                  mask_spec2],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Qp, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=interpret,
+    )(qt, kt, vt, dot_, lse, delta, mask)
+
+    # Reduce GQA group partials and restore layouts/dtypes.
+    dq = jnp.transpose(dq[:, :, :Q, :], (0, 2, 1, 3)).astype(q.dtype)
+    dk = dk_part.reshape(B, Hkv, G, Kp, D).sum(axis=2)
+    dv = dv_part.reshape(B, Hkv, G, Kp, D).sum(axis=2)
+    dk = jnp.transpose(dk[:, :, :K, :], (0, 2, 1, 3)).astype(k.dtype)
+    dv = jnp.transpose(dv[:, :, :K, :], (0, 2, 1, 3)).astype(v.dtype)
+    return dq, dk, dv
+
+
+# --------------------------------------------------------------- vjp glue
 
 def _xla_reference(q, k, v, attention_mask, causal, scale):
     from .attention import attention_xla, make_attention_bias
@@ -227,30 +446,38 @@ def _xla_reference(q, k, v, attention_mask, causal, scale):
 def _flash_attention(q, k, v, attention_mask, causal, scale,
                      block_q, block_kv):
     interpret = jax.default_backend() != "tpu"
-    return _flash_attention_fwd_impl(
-        q, k, v, attention_mask, causal, scale, block_q, block_kv, interpret
-    )
+    return _fwd_impl(q, k, v, attention_mask, causal, scale,
+                     block_q, block_kv, interpret, False)
 
 
-def _fwd(q, k, v, attention_mask, causal, scale, block_q, block_kv):
-    out = _flash_attention(q, k, v, attention_mask, causal, scale,
-                           block_q, block_kv)
-    return out, (q, k, v, attention_mask)
+def _vjp_fwd(q, k, v, attention_mask, causal, scale, block_q, block_kv):
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        # Interpret-mode backward goes through the XLA formulation; no LSE.
+        out = _fwd_impl(q, k, v, attention_mask, causal, scale,
+                        block_q, block_kv, True, False)
+        return out, (q, k, v, attention_mask, None, None)
+    out, lse = _fwd_impl(q, k, v, attention_mask, causal, scale,
+                         block_q, block_kv, False, True)
+    return out, (q, k, v, attention_mask, out, lse)
 
 
-def _bwd(causal, scale, block_q, block_kv, res, g):
-    # Exact gradients via the XLA einsum formulation of the same function.
-    q, k, v, attention_mask = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_reference(q_, k_, v_, attention_mask,
-                                          causal, scale),
-        q, k, v,
-    )
-    dq, dk, dv = vjp(g)
+def _vjp_bwd(causal, scale, block_q, block_kv, res, g):
+    q, k, v, attention_mask, out, lse = res
+    if lse is None:  # off-TPU fallback: exact gradients via XLA einsum path
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_reference(q_, k_, v_, attention_mask,
+                                              causal, scale),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    dq, dk, dv = _bwd_impl(q, k, v, attention_mask, out, lse, g,
+                           causal, scale, block_q, block_kv, False)
     return dq, dk, dv, None
 
 
-_flash_attention.defvjp(_fwd, _bwd)
+_flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def flash_attention(
@@ -265,9 +492,21 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Blockwise flash attention. q: (B, Q, Hq, D); k/v: (B, K, Hkv, D).
 
-    ``attention_mask``: (B, K), 1 = real token, 0 = padding.  Block sizes
-    default to the least-padding choice in {512, 256, 128}.
+    ``attention_mask``: (B, K), 1 = real token, 0 = padding.
+    Differentiable: on TPU the backward runs the Pallas dK/dV + dQ kernels;
+    elsewhere it falls back to the exact XLA recompute.
     """
     return _flash_attention(
         q, k, v, attention_mask, causal, scale, block_q, block_kv
     )
+
+
+def flash_attention_with_lse(
+    q, k, v, attention_mask=None, causal=False, scale=None,
+    block_q=None, block_kv=None, interpret=None,
+):
+    """(out, lse) — for tests and downstream kernels needing softmax stats."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fwd_impl(q, k, v, attention_mask, causal, scale,
+                     block_q, block_kv, interpret, True)

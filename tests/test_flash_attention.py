@@ -71,3 +71,49 @@ def test_flash_fully_masked_rows_are_zero():
     out = flash_attention(q, k, v, attention_mask=mask, causal=False)
     assert bool(jnp.all(jnp.isfinite(out)))
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("causal,masked,Hkv", [(True, True, 2),
+                                               (False, False, 4)])
+def test_pallas_backward_kernels_match_xla_vjp(causal, masked, Hkv):
+    """The TPU backward path (dK/dV + dQ kernels), run in interpret mode,
+    must produce the same gradients as the XLA einsum VJP."""
+    from mjvideo_tpu.ops.flash_attention import (
+        _bwd_impl,
+        flash_attention_with_lse,
+    )
+
+    rng = np.random.default_rng(3)
+    B, S, Hq, D = 2, 70, 4, 32
+    q = jnp.asarray(rng.normal(size=(B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, S, Hq, D)), jnp.float32)
+    mask = None
+    if masked:
+        lens = rng.integers(10, S, size=B)
+        mask = jnp.asarray(
+            (np.arange(S)[None, :] < lens[:, None]).astype(np.int32)
+        )
+
+    # A masked loss zeroes the cotangent on padded rows; use the same
+    # cotangent for both paths.
+    gm = g if mask is None else g * mask[:, :, None, None]
+
+    out, lse = flash_attention_with_lse(
+        q, k, v, attention_mask=mask, causal=causal, interpret=True
+    )
+    dq, dk, dv = _bwd_impl(q, k, v, mask, out, lse, gm,
+                           causal, None, None, None, True)
+
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: multi_head_attention(
+            q_, k_, v_, attention_mask=mask, causal=causal, impl="xla"
+        ),
+        q, k, v,
+    )
+    dq_ref, dk_ref, dv_ref = vjp(gm)
+
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-5)
