@@ -334,3 +334,69 @@ def test_reward_forward_end_to_end(cfg, params):
         np.testing.assert_allclose(
             w[:, list(crit)].sum(-1), 1.0, atol=1e-5
         )
+
+
+def test_vit_6b_variant_qknorm_rmsnorm_matches_torch():
+    """The InternViT-6B style block (rms_norm + qk_normalization over the
+    full hidden dim, modeling_intern_vit.py:215-218) vs a torch oracle."""
+    from mjvideo_tpu.configs import VisionConfig
+    from mjvideo_tpu.models.vit import init_vit_params, vit_forward
+
+    vc = VisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        qk_normalization=True, norm_type="rms_norm",
+    )
+    p = init_vit_params(jax.random.PRNGKey(3), vc)
+    # randomize norms so the test is not trivially identity
+    key = jax.random.PRNGKey(4)
+    p["layers"]["attn"]["q_norm"]["weight"] = (
+        1.0 + 0.1 * jax.random.normal(key, (1, 32)))
+    p["layers"]["attn"]["k_norm"]["weight"] = (
+        1.0 - 0.1 * jax.random.normal(key, (1, 32)))
+
+    rng = np.random.default_rng(5)
+    pix = jnp.asarray(rng.normal(size=(2, 28, 28, 3)), jnp.float32)
+    got = np.asarray(vit_forward(p, vc, pix, remat=False))
+
+    # torch oracle of one block (pre-norm rms, qk-norm across hidden dim)
+    def t(x):
+        return torch.tensor(np.asarray(x, np.float32))
+
+    def rms(x, w, eps=1e-6):
+        var = x.pow(2).mean(-1, keepdim=True)
+        return w * (x * torch.rsqrt(var + eps))
+
+    emb = p["embeddings"]
+    # patch embed oracle: conv k14 s14 == unfold+matmul (ordering ph,pw,c)
+    pixt = t(pix)
+    B = 2
+    patches = pixt.reshape(B, 2, 14, 2, 14, 3).permute(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(B, 4, 14 * 14 * 3)
+    x = patches @ t(emb["patch_embedding"]["kernel"]) + t(
+        emb["patch_embedding"]["bias"])
+    cls = t(emb["class_embedding"]).expand(B, 1, 32)
+    x = torch.cat([cls, x], dim=1) + t(emb["position_embedding"])
+
+    lp = jax.tree.map(lambda a: a[0], p["layers"])
+    H, D = 4, 8
+    h = rms(x, t(lp["norm1"]["weight"]))
+    qkv = h @ t(lp["attn"]["qkv"]["kernel"]) + t(lp["attn"]["qkv"]["bias"])
+    q, k, v = qkv.chunk(3, dim=-1)
+    q = rms(q, t(lp["attn"]["q_norm"]["weight"]))
+    k = rms(k, t(lp["attn"]["k_norm"]["weight"]))
+    S = q.shape[1]
+    q = q.reshape(B, S, H, D).transpose(1, 2)
+    k = k.reshape(B, S, H, D).transpose(1, 2)
+    v = v.reshape(B, S, H, D).transpose(1, 2)
+    attn = torch.softmax((q * D**-0.5) @ k.transpose(-2, -1), dim=-1) @ v
+    attn = attn.transpose(1, 2).reshape(B, S, 32)
+    attn = attn @ t(lp["attn"]["proj"]["kernel"]) + t(lp["attn"]["proj"]["bias"])
+    x = x + attn * t(lp["ls1"])
+    h = rms(x, t(lp["norm2"]["weight"]))
+    h = h @ t(lp["mlp"]["fc1"]["kernel"]) + t(lp["mlp"]["fc1"]["bias"])
+    h = torch.nn.functional.gelu(h)
+    h = h @ t(lp["mlp"]["fc2"]["kernel"]) + t(lp["mlp"]["fc2"]["bias"])
+    want = (x + h * t(lp["ls2"])).numpy()
+
+    np.testing.assert_allclose(got, want, atol=2e-5)
