@@ -31,7 +31,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     # CPU fallback keeps the bench runnable anywhere (tiny model, labeled).
     cfg = mjvideo_2b_config() if on_tpu else tiny_test_config()
-    attn_impl = "auto"
+    attn_impl = os.environ.get("BENCH_ATTN", "auto")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     frames = int(os.environ.get("BENCH_FRAMES", 8))

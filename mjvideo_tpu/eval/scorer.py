@@ -50,8 +50,17 @@ class RewardScorer:
         # collator ceiling (dataset.py:408).
         length_buckets: Sequence[int] = (1024, 2304, 3072),
         gating_pattern: Sequence[int] = GATING_TOKEN_PATTERN,
+        mesh=None,
     ):
+        """``mesh``: an optional ('data','model') Mesh — params are placed
+        per the TP rules and scoring batches shard over ``data`` (the
+        v5e-8 serving configuration; single chip needs no mesh)."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.tokenizer = tokenizer
         self.dtype = dtype
@@ -98,13 +107,19 @@ class RewardScorer:
             for i in input_ids_list
         ])
         fwd = self._jitted(T, pixel_values.shape[0], B)
-        return fwd(
-            self.params,
+        args = (
             jnp.asarray(pixel_values, self.dtype),
             jnp.asarray(ids, jnp.int32),
             jnp.asarray(mask, jnp.int32),
             jnp.asarray(np.asarray(gating_pos, np.int32)),
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            # pixel tiles shard with their rows (tiles are row-major per
+            # clip, so the leading axis aligns with the batch axis).
+            args = tuple(shard_batch(list(args), self.mesh))
+        return fwd(self.params, *args)
 
     def prepare_clip(
         self, video_path: str, caption: str,

@@ -119,3 +119,33 @@ def test_tp_sharded_forward_matches_single_device(cfg, params):
     np.testing.assert_allclose(
         np.asarray(out.score), np.asarray(single.score), atol=1e-4
     )
+
+
+def test_mesh_sharded_scorer_matches_unsharded(cfg, params):
+    """RewardScorer with a data-parallel mesh equals the plain scorer."""
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    tok = ByteTokenizer()
+    kw = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(256,),
+              gating_pattern=tok.gating_pattern())
+    plain = RewardScorer(cfg, params, tok, **kw)
+    meshed = RewardScorer(cfg, params, tok, mesh=make_mesh(data=4, model=2),
+                          **kw)
+
+    rng = np.random.default_rng(7)
+    c = cfg.chat
+    n_img = c.num_image_token
+    B = 4
+    pixels = rng.normal(size=(B, c.vision.image_size, c.vision.image_size, 3)
+                        ).astype(np.float32)
+    ids_list, gpos = [], []
+    for _ in range(B):
+        ids = np.full((n_img + 12,), 5, np.int32)
+        ids[2:2 + n_img] = c.img_context_token_id
+        ids_list.append(ids)
+        gpos.append(len(ids) - 4)
+    a = plain.score_batch(pixels, ids_list, gpos)
+    b = meshed.score_batch(pixels, ids_list, gpos)
+    np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
+                               atol=1e-4)
