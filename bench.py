@@ -23,6 +23,15 @@ BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.0 / 8.0  # north star on v5e-8
 
 def main():
     import jax
+
+    # Persistent compile cache: repeated bench runs skip the ~5-min remote
+    # TPU compile.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from mjvideo_tpu.configs import mjvideo_2b_config, tiny_test_config
