@@ -257,3 +257,24 @@ def test_evaluate_preference_driver(cfg, params, tmp_path):
         results_path=str(tmp_path / "res.jsonl"),
     )
     assert res2 == res
+
+
+def test_profiling_utilities(tmp_path):
+    import time
+
+    from mjvideo_tpu.utils.profiling import StepTimer, Throughput
+
+    tp = Throughput(ema=0.5)
+    r1 = tp.update(10)
+    time.sleep(0.01)
+    r2 = tp.update(10)
+    assert r1 > 0 and r2 > 0 and tp.total == 20
+    assert tp.average() > 0
+
+    path = tmp_path / "steps.jsonl"
+    st = StepTimer(str(path))
+    rec = st.step(loss=1.5)
+    assert rec["loss"] == 1.5 and rec["step_time_s"] >= 0
+    assert path.exists()
+    line = json.loads(path.read_text().strip())
+    assert line["loss"] == 1.5
