@@ -19,3 +19,24 @@ from .configs import (  # noqa: F401
     mjvideo_4b_config,
     tiny_test_config,
 )
+
+# Heavier entry points load lazily so `import mjvideo_tpu` stays cheap.
+_LAZY = {
+    "RewardScorer": ("mjvideo_tpu.eval.scorer", "RewardScorer"),
+    "load_reward_model": ("mjvideo_tpu.utils.checkpoint", "load_reward_model"),
+    "reward_forward": ("mjvideo_tpu.models.reward", "reward_forward"),
+    "init_reward_params": ("mjvideo_tpu.models.reward", "init_reward_params"),
+    "Trainer": ("mjvideo_tpu.train.trainer", "Trainer"),
+    "TrainConfig": ("mjvideo_tpu.train.trainer", "TrainConfig"),
+    "make_mesh": ("mjvideo_tpu.parallel.mesh", "make_mesh"),
+    "load_video": ("mjvideo_tpu.data.video", "load_video"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'mjvideo_tpu' has no attribute {name!r}")
