@@ -86,6 +86,10 @@ def _make_judge(args):
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    from ..utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.benchmark == "genai":
         from datasets import load_dataset  # HF datasets
 

@@ -60,6 +60,10 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
+    from ..utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..configs import mjvideo_2b_config
     from ..data.dataset import PairCollator, PreferencePairDataset, batched, prefetch
     from ..models.reward import init_reward_params

@@ -79,3 +79,22 @@ class StepTimer:
             with open(self.path, "a") as f:
                 f.write(json.dumps(rec, default=float) + "\n")
         return rec
+
+
+def enable_compilation_cache(cache_dir: str = "/tmp/jax_cache",
+                             min_compile_secs: float = 1.0) -> bool:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    On the axon-tunneled TPU a fresh jit of the 2B model costs ~5 minutes of
+    remote compilation; the cache makes repeated runs (benchmarks, evals,
+    resumed trainings) start in seconds.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+        return True
+    except Exception:
+        return False
