@@ -94,19 +94,17 @@ def multi_head_attention(
 
     ``attention_mask``: (B, K) with 1 = real token, 0 = padding.
 
-    ``impl='auto'`` (measured on v5e, see docs/PARITY.md known-gaps notes):
-    the Pallas flash kernel wins for causal/long sequences (LLM: 8.3ms vs
-    12.1ms XLA at B4/S2112); XLA wins for short non-causal many-batch shapes
-    (ViT: 13.4ms vs 28.9ms flash at B32/S1025/D64) where the blockwise grid
-    is too fine-grained for the MXU.  Off-TPU, flash runs interpreted, so
-    XLA is always the right call.
+    ``impl='auto'`` (measured on v5e, docs/PERF.md): the Pallas flash
+    kernel wins both model shapes with per-shape block defaults — LLM
+    causal B4/S2112: 4.8ms vs 12.1ms XLA; ViT non-causal B32/S1025/D64
+    with whole-row kv blocks: 8.9ms vs 13.4ms XLA (XLA materializes the
+    fp32 logits in HBM).  Off-TPU, flash runs interpreted, so XLA is the
+    right call there.
     """
     if impl == "auto":
         import jax
 
-        on_tpu = jax.default_backend() == "tpu"
-        use_flash = on_tpu and (causal or q.shape[1] > 1536)
-        impl = "flash" if use_flash else "xla"
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if impl == "flash":
         from .flash_attention import flash_attention
 

@@ -65,9 +65,22 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_blocks(Q: int, K: int) -> tuple:
-    bq = 256 if Q > 256 else _round_up(Q, 128)
-    bk = 512 if K > 512 else _round_up(K, 128)
+def _pick_blocks(Q: int, K: int, causal: bool) -> tuple:
+    """Defaults tuned on v5e.
+
+    Causal (LLM B4/S2112 GQA bf16): (256, 512) -> 4.76ms vs (512,512) 5.10
+    vs (128,128) 8.25 — small kv blocks let the diagonal skip work.
+    Non-causal (ViT B32/S1025/D64 bf16): whole-row kv wins — (1152, 1152)
+    8.94ms vs (256, 512) 13.97ms vs XLA einsum 13.4ms; there is no triangle
+    to skip, so fewer bigger programs beat streaming.
+    """
+    if causal:
+        bq = 256 if Q > 256 else _round_up(Q, 128)
+        bk = 512 if K > 512 else _round_up(K, 128)
+        return bq, bk
+    Kp = _round_up(K, 128)
+    bk = Kp if Kp <= 2048 else 512
+    bq = min(_round_up(Q, 128), 1152)
     return bq, bk
 
 
@@ -143,7 +156,7 @@ def _fwd_impl(q, k, v, attention_mask, causal, scale, block_q, block_kv,
     if scale is None:
         scale = D**-0.5
 
-    default_bq, default_bk = _pick_blocks(Q, K)
+    default_bq, default_bk = _pick_blocks(Q, K, causal)
     block_q = min(block_q or default_bq, _round_up(Q, 128))
     block_kv = min(block_kv or default_bk, _round_up(K, 128))
     Qp = _round_up(Q, block_q)
@@ -331,7 +344,7 @@ def _bwd_impl(q, k, v, attention_mask, out, lse, g, causal, scale,
     if scale is None:
         scale = D**-0.5
 
-    default_bq, default_bk = _pick_blocks(Q, K)
+    default_bq, default_bk = _pick_blocks(Q, K, causal)
     block_q = min(block_q or default_bq, _round_up(Q, 128))
     block_kv = min(block_kv or default_bk, _round_up(K, 128))
     Qp = _round_up(Q, block_q)
