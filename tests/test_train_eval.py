@@ -278,3 +278,19 @@ def test_profiling_utilities(tmp_path):
     assert path.exists()
     line = json.loads(path.read_text().strip())
     assert line["loss"] == 1.5
+
+
+def test_report_helpers(tmp_path):
+    from mjvideo_tpu.eval.report import format_table, save_report
+
+    rows = [
+        {"dimension": "object", "accuracy": 0.5, "count": 10},
+        {"dimension": "attribute", "accuracy": 1.0, "count": 4},
+    ]
+    csv_path = save_report(rows, str(tmp_path / "m.csv"))
+    assert "object" in open(csv_path).read()
+    # xlsx degrades to csv when no Excel writer is installed
+    out_path = save_report(rows, str(tmp_path / "m.xlsx"))
+    assert os.path.getsize(out_path) > 0
+    table = format_table(rows)
+    assert "dimension" in table and "0.5000" in table
