@@ -78,10 +78,13 @@ def _pick_blocks(Q: int, K: int, causal: bool) -> tuple:
         bq = 256 if Q > 256 else _round_up(Q, 128)
         bk = 512 if K > 512 else _round_up(K, 128)
         return bq, bk
-    Kp = _round_up(K, 128)
-    bk = Kp if Kp <= 2048 else 512
-    bq = min(_round_up(Q, 128), 1152)
-    return bq, bk
+    # Whole-array blocks only need 8-alignment (the 128-lane rule is
+    # satisfied by block == array dim), trimming pad waste: 1025 -> 1032
+    # instead of 1152 (8.68ms vs 8.94ms measured).
+    Kp8 = _round_up(K, 8)
+    if Kp8 <= 2048:
+        return _round_up(Q, 8), Kp8
+    return min(_round_up(Q, 128), 1152), 512
 
 
 # --------------------------------------------------------------- forward
