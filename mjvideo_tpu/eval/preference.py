@@ -118,17 +118,33 @@ def evaluate_aspects(
 ) -> Dict[str, List[Dict]]:
     """Per-criteria and per-aspect binary metrics over both videos of each
     pair (``overall_train.py:204-306`` / ``criteria_train.py:107-316``)."""
+    from ..data.dataset import prefetch
     from ..data.labels import pair_record_labels
 
     writer = IncrementalWriter(results_path)
     crit_scores, crit_gt, crit_rel = [], [], []
     asp_scores, asp_gt, asp_rel = [], [], []
-    for i, item in enumerate(records):
-        labels = pair_record_labels(item)
-        r0, r1 = scorer.score_pair(
-            os.path.join(root, item["video_0_path"]),
-            os.path.join(root, item["video_1_path"]),
-            item["caption"], num_segments=num_segments,
+
+    def prepared():
+        for i, item in enumerate(records):
+            labels = pair_record_labels(item)
+            p0, i0, g0 = scorer.prepare_clip(
+                os.path.join(root, item["video_0_path"]), item["caption"],
+                num_segments=num_segments,
+            )
+            p1, i1, g1 = scorer.prepare_clip(
+                os.path.join(root, item["video_1_path"]), item["caption"],
+                num_segments=num_segments,
+            )
+            yield (i, labels,
+                   np.concatenate([p0, p1], axis=0), [i0, i1], [g0, g1])
+
+    for i, labels, pixels, ids, gpos in prefetch(prepared(), 2):
+        out = scorer.score_batch(pixels, ids, gpos)
+        r0, r1 = (
+            {"rewards": np.asarray(out.rewards, np.float32)[b],
+             "aspect_scores": np.asarray(out.aspect_scores, np.float32)[b]}
+            for b in (0, 1)
         )
         for v, r in ((0, r0), (1, r1)):
             crit_scores.append(r["rewards"])

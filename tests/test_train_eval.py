@@ -294,3 +294,34 @@ def test_report_helpers(tmp_path):
     assert os.path.getsize(out_path) > 0
     table = format_table(rows)
     assert "dimension" in table and "0.5000" in table
+
+
+def test_evaluate_aspects_driver(cfg, params, tmp_path):
+    from mjvideo_tpu.eval.preference import evaluate_aspects
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    v0, v1 = tmp_path / "a.mp4", tmp_path / "b.mp4"
+    _write_test_video(v0)
+    _write_test_video(v1)
+    criteria = {f"c{i}": (i % 3) for i in range(28)}
+    aspects = {f"a{i}": 1 for i in range(5)}
+    records = [{
+        "caption": "x",
+        "video_0_path": "a.mp4", "video_1_path": "b.mp4",
+        "video_0_label": criteria, "video_1_label": criteria,
+        "video_0_overall_score": aspects, "video_1_overall_score": aspects,
+        "video_0_total_score": 1, "video_1_total_score": 2,
+        "category_preference": {f"a{i}": "Same" for i in range(5)},
+        "overall_preference": "Video 1 better",
+    }]
+    tok = ByteTokenizer()
+    scorer = RewardScorer(
+        cfg, params, tok, attn_impl="xla", dtype=jnp.float32,
+        length_buckets=(1024,), gating_pattern=tok.gating_pattern(),
+    )
+    res = evaluate_aspects(scorer, records, root=str(tmp_path),
+                           num_segments=2,
+                           results_path=str(tmp_path / "asp.jsonl"))
+    assert len(res["criteria"]) == 28
+    assert len(res["aspects"]) == 5
+    assert all(np.isfinite(m["mean"]) for m in res["criteria"])
