@@ -54,6 +54,7 @@ class TrainConfig:
     keep_checkpoints: int = 3  # save_total_limit (criteria_train.py:30)
     mesh_model_axis: int = 1
     mesh_data_axis: int = -1  # -1 = all remaining devices
+    tensorboard: bool = False  # reference: report_to='tensorboard'
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def stage_mse_default(self) -> bool:
@@ -180,10 +181,25 @@ class Trainer:
         os.makedirs(tc.checkpoint_dir, exist_ok=True)
         self._metrics_path = os.path.join(tc.checkpoint_dir, "metrics.jsonl")
         self._saved: list = []
+        self._tb = None
+        if tc.tensorboard:
+            # The reference logs Trainer scalars to tensorboard
+            # (criteria_train.py:35,424); optional here, JSONL always on.
+            try:
+                from flax.metrics.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    os.path.join(tc.checkpoint_dir, "tb"))
+            except ImportError:
+                pass
 
     def log(self, record: Dict[str, Any]) -> None:
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self._tb is not None and "step" in record:
+            for k, v in record.items():
+                if isinstance(v, (int, float)) and k != "step":
+                    self._tb.scalar(k, v, record["step"])
 
     def evaluate(self, batches: Iterable[Dict[str, Any]]) -> Dict[str, Any]:
         """In-training eval: pairwise preference accuracy + per-dimension

@@ -164,3 +164,22 @@ def test_train_cli_end_to_end_hermetic(tmp_path, monkeypatch):
     ckpts = [d for d in os.listdir(out) if d.startswith("stage1_step")]
     assert ckpts, os.listdir(out)
     assert (out / "train_args.json").exists()
+
+
+def test_trainer_tensorboard_logging(tmp_path):
+    import jax
+
+    from mjvideo_tpu.configs import tiny_test_config
+    from mjvideo_tpu.models.reward import init_reward_params
+    from mjvideo_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = tiny_test_config()
+    tc = TrainConfig(stage=1, attn_impl="xla", total_steps=1,
+                     checkpoint_dir=str(tmp_path), tensorboard=True)
+    tr = Trainer(cfg, init_reward_params(jax.random.PRNGKey(0), cfg), tc)
+    tr.log({"step": 1, "loss": 0.5})
+    import os
+
+    tb_dir = tmp_path / "tb"
+    if tr._tb is not None:  # flax tensorboard available in this image
+        assert tb_dir.exists() and len(os.listdir(tb_dir)) > 0
