@@ -131,6 +131,16 @@ class PairCollator:
                 )
             elif key.endswith("attention_mask"):
                 batch[key] = np.stack([self._pad_ids(v, 0) for v in vals])
+            elif key.endswith("pixel_values"):
+                shapes = {v.shape for v in vals}
+                if len(shapes) != 1:
+                    raise ValueError(
+                        "variable tile counts in one batch "
+                        f"({sorted(shapes)}); train with max_num=1 (the "
+                        "reference's setting, dataset.py:357-358) or bucket "
+                        "clips by tile count before batching"
+                    )
+                batch[key] = np.stack(vals)
             else:
                 batch[key] = np.stack(vals)
         return batch
