@@ -117,3 +117,28 @@ def test_pallas_backward_kernels_match_xla_vjp(causal, masked, Hkv):
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-5)
+
+
+def test_flash_cross_attention_q_ne_k():
+    """Non-causal cross-attention shapes (Q != K) must match XLA."""
+    rng = np.random.default_rng(4)
+    B, Q, K, H, D = 2, 37, 91, 4, 16
+    q = _rand(rng, (B, Q, H, D))
+    k = _rand(rng, (B, K, H, D))
+    v = _rand(rng, (B, K, H, D))
+    lens = rng.integers(10, K, size=B)
+    mask = jnp.asarray((np.arange(K)[None, :] < lens[:, None]).astype(np.int32))
+    ref = multi_head_attention(q, k, v, attention_mask=mask, causal=False,
+                               impl="xla")
+    got = flash_attention(q, k, v, attention_mask=mask, causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_custom_scale():
+    rng = np.random.default_rng(5)
+    q = _rand(rng, (1, 24, 2, 8))
+    k = _rand(rng, (1, 24, 2, 8))
+    v = _rand(rng, (1, 24, 2, 8))
+    ref = multi_head_attention(q, k, v, causal=True, scale=0.25, impl="xla")
+    got = flash_attention(q, k, v, causal=True, scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
