@@ -44,7 +44,7 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     frames = int(os.environ.get("BENCH_FRAMES", 8))
-    batch = int(os.environ.get("BENCH_BATCH", 2 if on_tpu else 1))  # 2 measured fastest per-clip on v5e (docs/PERF.md)
+    batch = int(os.environ.get("BENCH_BATCH", 1))  # small batches measured fastest per-clip on v5e (docs/PERF.md)
     text_len = int(os.environ.get("BENCH_TEXT_LEN", 64))
     # Tiles per frame: 1 = the standard reward config; >1 exercises the
     # high-res dynamic-tiling path (BASELINE.json config #4, e.g. 13 for
