@@ -15,8 +15,12 @@ import json
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="MJ-Video TPU evaluator")
     p.add_argument("--benchmark",
-                   choices=("overall", "aspects", "genai", "safesora"),
-                   required=True)
+                   choices=("overall", "aspects", "fine-grained", "genai",
+                            "safesora"),
+                   required=True,
+                   help="'aspects'/'fine-grained': per-dimension metrics — "
+                        "scorer mode reads the reward heads directly; judge "
+                        "mode asks per-category/subcategory rating prompts")
     p.add_argument("--data-json", default=None,
                    help="records JSON (MJ-BENCH-VIDEO / SafeSora format)")
     p.add_argument("--video-root", default="")
@@ -109,14 +113,24 @@ def main(argv=None) -> None:
             from .preference import filter_safesora_pairs
 
             records = filter_safesora_pairs(records)
-        if args.judge:
+        if args.judge and args.benchmark == "fine-grained":
+            from .judges import fine_grained_accuracy, run_fine_grained_benchmark
+
+            results = run_fine_grained_benchmark(
+                _make_judge(args), records, root=args.video_root,
+                results_path=args.results,
+            )
+            res = fine_grained_accuracy(results)
+        elif args.judge:
             from .judges import run_overall_benchmark
 
             res = run_overall_benchmark(
                 _make_judge(args), records, root=args.video_root,
                 results_path=args.results,
             )
-        elif args.benchmark == "aspects":
+        elif args.benchmark in ("aspects", "fine-grained"):
+            # scorer mode: the reward model's criteria/aspect heads ARE the
+            # fine-grained judgment — one forward yields all 33 dimensions.
             from .preference import evaluate_aspects
 
             res = evaluate_aspects(
