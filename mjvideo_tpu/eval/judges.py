@@ -404,10 +404,10 @@ class VideoScoreJudge:
     (``eval_genai_videoScore.py:41-129``) — 16-frame decode, 5-dim scores
     summed into one scalar.
 
-    The Idefics2 backbone has no JAX port here; this wrapper runs the
-    published torch model when the ``mantis`` package is installed and
-    raises a clear error otherwise.  ``aggregate`` (the 5-dim sum) is the
-    part the benchmarks depend on and is pure.
+    Runs on this framework's JAX Idefics2 port
+    (``models/videoscore.py``, validated numerically against the
+    transformers implementation); point it at a local VideoScore checkpoint
+    (safetensors + config.json) and a processor/tokenizer.
     """
 
     DIMS = ("visual quality", "temporal consistency", "dynamic degree",
@@ -417,25 +417,68 @@ class VideoScoreJudge:
     def aggregate(scores) -> float:
         return float(sum(scores))
 
-    def __init__(self, model_name: str =
-                 "TIGER-Lab/VideoScore-v1.1"):
-        try:
-            from mantis.models.idefics2 import (  # type: ignore # noqa: F401
-                Idefics2ForSequenceClassification,
-            )
-        except ImportError as e:
-            raise RuntimeError(
-                "VideoScoreJudge requires the 'mantis' package (not baked "
-                "into this image); the aggregate() logic is available "
-                "standalone."
-            ) from e
-        self.model_name = model_name
+    def __init__(self, checkpoint_path: str, tokenizer=None,
+                 num_frames: int = 16, dtype=None):
+        import jax.numpy as jnp
+
+        from ..models.videoscore import (
+            VideoScoreConfig,
+            import_videoscore_params,
+            videoscore_config_from_hf,
+        )
+        from ..utils.checkpoint import load_safetensors_dir
+
+        self.dtype = dtype or jnp.bfloat16
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(checkpoint_path, "config.json")) as f:
+            hf = _json.load(f)
+        self.cfg = videoscore_config_from_hf(hf)
+        state = load_safetensors_dir(checkpoint_path)
+        self.params = import_videoscore_params(state, self.cfg, self.dtype)
+        self.tokenizer = tokenizer
+        self.num_frames = num_frames
+        self._ = VideoScoreConfig  # keep symbol for type checkers
+
+    def score_frames(self, pixel_values, input_ids, attention_mask):
+        """(N_frames, H, W, 3) fp32 + tokenized prompt -> per-dim scores."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.videoscore import videoscore_forward
+
+        logits = videoscore_forward(
+            self.params, self.cfg,
+            jnp.asarray(pixel_values, self.dtype),
+            jnp.asarray(input_ids, jnp.int32),
+            jnp.asarray(attention_mask, jnp.int32),
+        )
+        return np.asarray(logits, np.float32)[0]
 
     def score(self, video_path: str, prompt: str) -> float:
-        raise NotImplementedError(
-            "torch inference path intentionally unimplemented in the "
-            "TPU framework; plug the published model in via 'mantis'."
-        )
+        """16-frame decode -> 5-dim regression -> summed scalar
+        (``eval_genai_videoScore.py`` semantics)."""
+        if self.tokenizer is None:
+            raise RuntimeError("VideoScoreJudge needs a tokenizer/processor")
+        import numpy as np
+
+        from ..data.video import decode_frames, get_frame_indices, video_metadata
+        from ..ops.preprocess import resize_matrix  # noqa: F401 (doc link)
+
+        n, fps = video_metadata(video_path)
+        idx = get_frame_indices(n, self.num_frames, fps=fps)
+        frames = decode_frames(video_path, idx)
+        size = self.cfg.vision.image_size
+        from ..data.video import _pil_resize, normalize
+
+        pix = np.stack([_pil_resize(f, (size, size)) for f in frames])
+        pix = normalize(pix)
+        enc = self.tokenizer(prompt)
+        ids = np.asarray([enc["input_ids"]], np.int32)
+        mask = np.asarray([enc.get("attention_mask",
+                                   [1] * ids.shape[1])], np.int32)
+        return self.aggregate(self.score_frames(pix, ids, mask))
 
 
 def run_overall_benchmark(
