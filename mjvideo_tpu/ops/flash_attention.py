@@ -90,6 +90,7 @@ def _pick_blocks(Q: int, K: int, causal: bool) -> tuple:
 # --------------------------------------------------------------- forward
 
 def _fwd_kernel(
+    off_ref,  # SMEM (1, 1) int32: global position of q row 0 (SP shards)
     q_ref, k_ref, v_ref, mask_ref,  # blocks (see specs below)
     o_ref, lse_ref,  # outputs
     acc_ref, m_ref, l_ref,  # VMEM scratch
@@ -98,6 +99,7 @@ def _fwd_kernel(
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     n_kv = pl.num_programs(3)
+    off = off_ref[0, 0]
 
     @pl.when(ki == 0)
     def _init():
@@ -105,7 +107,7 @@ def _fwd_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    run = (qi + 1) * block_q > ki * block_kv if causal else True
+    run = (off + (qi + 1) * block_q > ki * block_kv) if causal else True
 
     @pl.when(run)
     def _step():
@@ -114,7 +116,7 @@ def _fwd_kernel(
         v = v_ref[0, 0]
         s = _dot(q, k, trans_b=True) * scale  # (block_q, block_kv) fp32
         if causal:
-            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            q_pos = off + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0)
             k_pos = ki * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1)
@@ -150,9 +152,13 @@ def _fwd_kernel(
     static_argnames=("causal", "scale", "block_q", "block_kv", "interpret",
                      "with_lse"),
 )
-def _fwd_impl(q, k, v, attention_mask, causal, scale, block_q, block_kv,
-              interpret, with_lse):
-    """Returns out (B, Q, Hq, D) [and lse (B, Hq, 8, Qp) if with_lse]."""
+def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
+              block_kv, interpret, with_lse):
+    """Returns out (B, Q, Hq, D) [and lse (B, Hq, 8, Qp) if with_lse].
+
+    ``q_offset``: global sequence position of q row 0 — nonzero only under
+    sequence parallelism, where this shard's queries start mid-sequence.
+    """
     B, Q, Hq, D = q.shape
     K, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
@@ -179,7 +185,13 @@ def _fwd_impl(q, k, v, attention_mask, causal, scale, block_q, block_kv,
         mask = jnp.ones((B, K), jnp.int32)
     mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Kp - K)))[:, None, :]
 
-    assert Q == K or not causal, "causal flash requires self-attention shapes"
+    if q_offset is None:
+        assert Q == K or not causal, (
+            "causal flash requires self-attention shapes (or an explicit "
+            "q_offset for sequence-parallel shards)"
+        )
+        q_offset = jnp.zeros((), jnp.int32)
+    off = jnp.asarray(q_offset, jnp.int32).reshape(1, 1)
 
     if with_lse:
         kernel = functools.partial(
@@ -187,8 +199,8 @@ def _fwd_impl(q, k, v, attention_mask, causal, scale, block_q, block_kv,
             block_q=block_q, block_kv=block_kv, with_lse=True,
         )
     else:
-        def kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc, m, l):
-            _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, None,
+        def kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, acc, m, l):
+            _fwd_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, None,
                         acc, m, l, scale=scale, causal=causal,
                         block_q=block_q, block_kv=block_kv, with_lse=False)
     out_shapes = [jax.ShapeDtypeStruct((B, Hq, Qp, D), q.dtype)]
@@ -205,6 +217,8 @@ def _fwd_impl(q, k, v, attention_mask, causal, scale, block_q, block_kv,
         kernel,
         grid=(B, Hq, Qp // block_q, Kp // block_kv),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b, h, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, D),
                          lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
@@ -226,7 +240,7 @@ def _fwd_impl(q, k, v, attention_mask, causal, scale, block_q, block_kv,
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qt, kt, vt, mask)
+    )(off, qt, kt, vt, mask)
 
     if with_lse:
         outp, lse = results
@@ -239,6 +253,7 @@ def _fwd_impl(q, k, v, attention_mask, causal, scale, block_q, block_kv,
 # --------------------------------------------------------------- backward
 
 def _bwd_dkdv_kernel(
+    off_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
@@ -249,13 +264,14 @@ def _bwd_dkdv_kernel(
     ki = pl.program_id(2)
     qi = pl.program_id(3)
     n_q = pl.num_programs(3)
+    off = off_ref[0, 0]
 
     @pl.when(qi == 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    run = (qi + 1) * block_q > ki * block_kv if causal else True
+    run = (off + (qi + 1) * block_q > ki * block_kv) if causal else True
 
     @pl.when(run)
     def _step():
@@ -268,7 +284,7 @@ def _bwd_dkdv_kernel(
 
         s = _dot(q, k, trans_b=True) * scale
         if causal:
-            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            q_pos = off + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0)
             k_pos = ki * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1)
@@ -290,6 +306,7 @@ def _bwd_dkdv_kernel(
 
 
 def _bwd_dq_kernel(
+    off_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
     dq_ref,
     dq_acc,
@@ -299,12 +316,13 @@ def _bwd_dq_kernel(
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     n_kv = pl.num_programs(3)
+    off = off_ref[0, 0]
 
     @pl.when(ki == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    run = (qi + 1) * block_q > ki * block_kv if causal else True
+    run = (off + (qi + 1) * block_q > ki * block_kv) if causal else True
 
     @pl.when(run)
     def _step():
@@ -317,7 +335,7 @@ def _bwd_dq_kernel(
 
         s = _dot(q, k, trans_b=True) * scale
         if causal:
-            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            q_pos = off + qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0)
             k_pos = ki * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1)
@@ -339,7 +357,7 @@ def _bwd_dq_kernel(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
 )
-def _bwd_impl(q, k, v, attention_mask, out, lse, g, causal, scale,
+def _bwd_impl(q, k, v, attention_mask, q_offset, out, lse, g, causal, scale,
               block_q, block_kv, interpret):
     B, Q, Hq, D = q.shape
     K, Hkv = k.shape[1], k.shape[2]
@@ -374,7 +392,12 @@ def _bwd_impl(q, k, v, attention_mask, out, lse, g, causal, scale,
     if mask is None:
         mask = jnp.ones((B, K), jnp.int32)
     mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Kp - K)))[:, None, :]
+    if q_offset is None:
+        q_offset = jnp.zeros((), jnp.int32)
+    off = jnp.asarray(q_offset, jnp.int32).reshape(1, 1)
 
+    off_spec = pl.BlockSpec((1, 1), lambda b, h, j, i: (0, 0),
+                            memory_space=pltpu.SMEM)
     q_spec = pl.BlockSpec((1, 1, block_q, D),
                           lambda b, h, j, i: (b, h, i, 0),
                           memory_space=pltpu.VMEM)
@@ -392,8 +415,8 @@ def _bwd_impl(q, k, v, attention_mask, out, lse, g, causal, scale,
         functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_kv=block_kv),
         grid=(B, Hq, Kp // block_kv, Qp // block_q),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
-                  mask_spec],
+        in_specs=[off_spec, q_spec, kv_spec, kv_spec, q_spec, row_spec,
+                  row_spec, mask_spec],
         out_specs=(
             pl.BlockSpec((1, 1, block_kv, D),
                          lambda b, h, j, i: (b, h, j, 0),
@@ -411,7 +434,7 @@ def _bwd_impl(q, k, v, attention_mask, out, lse, g, causal, scale,
             pltpu.VMEM((block_kv, D), jnp.float32),
         ],
         interpret=interpret,
-    )(qt, kt, vt, dot_, lse, delta, mask)
+    )(off, qt, kt, vt, dot_, lse, delta, mask)
 
     # dQ kernel: q blocks outer, kv inner.
     q_spec2 = pl.BlockSpec((1, 1, block_q, D),
@@ -426,19 +449,21 @@ def _bwd_impl(q, k, v, attention_mask, out, lse, g, causal, scale,
     mask_spec2 = pl.BlockSpec((1, 1, block_kv),
                               lambda b, h, i, j: (b, 0, j),
                               memory_space=pltpu.VMEM)
+    off_spec2 = pl.BlockSpec((1, 1), lambda b, h, i, j: (0, 0),
+                             memory_space=pltpu.SMEM)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_kv=block_kv),
         grid=(B, Hq, Qp // block_q, Kp // block_kv),
-        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2,
-                  mask_spec2],
+        in_specs=[off_spec2, q_spec2, kv_spec2, kv_spec2, q_spec2,
+                  row_spec2, row_spec2, mask_spec2],
         out_specs=pl.BlockSpec((1, 1, block_q, D),
                                lambda b, h, i, j: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hq, Qp, D), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
-    )(qt, kt, vt, dot_, lse, delta, mask)
+    )(off, qt, kt, vt, dot_, lse, delta, mask)
 
     # Reduce GQA group partials and restore layouts/dtypes.
     dq = jnp.transpose(dq[:, :, :Q, :], (0, 2, 1, 3)).astype(q.dtype)
@@ -458,28 +483,29 @@ def _xla_reference(q, k, v, attention_mask, causal, scale):
     return attention_xla(q, k, v, bias=bias, scale=scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention(q, k, v, attention_mask, causal, scale,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention(q, k, v, attention_mask, q_offset, causal, scale,
                      block_q, block_kv):
     interpret = jax.default_backend() != "tpu"
-    return _fwd_impl(q, k, v, attention_mask, causal, scale,
+    return _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale,
                      block_q, block_kv, interpret, False)
 
 
-def _vjp_fwd(q, k, v, attention_mask, causal, scale, block_q, block_kv):
+def _vjp_fwd(q, k, v, attention_mask, q_offset, causal, scale,
+             block_q, block_kv):
     interpret = jax.default_backend() != "tpu"
-    if interpret:
+    if interpret and q_offset is None:
         # Interpret-mode backward goes through the XLA formulation; no LSE.
-        out = _fwd_impl(q, k, v, attention_mask, causal, scale,
+        out = _fwd_impl(q, k, v, attention_mask, None, causal, scale,
                         block_q, block_kv, True, False)
-        return out, (q, k, v, attention_mask, None, None)
-    out, lse = _fwd_impl(q, k, v, attention_mask, causal, scale,
-                         block_q, block_kv, False, True)
-    return out, (q, k, v, attention_mask, out, lse)
+        return out, (q, k, v, attention_mask, None, None, None)
+    out, lse = _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale,
+                         block_q, block_kv, interpret, True)
+    return out, (q, k, v, attention_mask, q_offset, out, lse)
 
 
 def _vjp_bwd(causal, scale, block_q, block_kv, res, g):
-    q, k, v, attention_mask, out, lse = res
+    q, k, v, attention_mask, q_offset, out, lse = res
     if lse is None:  # off-TPU fallback: exact gradients via XLA einsum path
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _xla_reference(q_, k_, v_, attention_mask,
@@ -487,10 +513,11 @@ def _vjp_bwd(causal, scale, block_q, block_kv, res, g):
             q, k, v,
         )
         dq, dk, dv = vjp(g)
-        return dq, dk, dv, None
-    dq, dk, dv = _bwd_impl(q, k, v, attention_mask, out, lse, g,
-                           causal, scale, block_q, block_kv, False)
-    return dq, dk, dv, None
+        return dq, dk, dv, None, None
+    interpret = jax.default_backend() != "tpu"
+    dq, dk, dv = _bwd_impl(q, k, v, attention_mask, q_offset, out, lse, g,
+                           causal, scale, block_q, block_kv, interpret)
+    return dq, dk, dv, None, None
 
 
 _flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
@@ -505,24 +532,27 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
+    q_offset: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Blockwise flash attention. q: (B, Q, Hq, D); k/v: (B, K, Hkv, D).
 
     ``attention_mask``: (B, K), 1 = real token, 0 = padding.
+    ``q_offset``: global position of q row 0 (sequence-parallel shards).
     Differentiable: on TPU the backward runs the Pallas dK/dV + dQ kernels;
-    elsewhere it falls back to the exact XLA recompute.
+    elsewhere it falls back to the exact XLA recompute (Pallas interpret
+    kernels when q_offset is set).
     """
     return _flash_attention(
-        q, k, v, attention_mask, causal, scale, block_q, block_kv
+        q, k, v, attention_mask, q_offset, causal, scale, block_q, block_kv
     )
 
 
 def flash_attention_with_lse(
     q, k, v, attention_mask=None, causal=False, scale=None,
-    block_q=None, block_kv=None, interpret=None,
+    block_q=None, block_kv=None, interpret=None, q_offset=None,
 ):
     """(out, lse) — for tests and downstream kernels needing softmax stats."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _fwd_impl(q, k, v, attention_mask, causal, scale,
+    return _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale,
                      block_q, block_kv, interpret, True)

@@ -103,7 +103,7 @@ def test_pallas_backward_kernels_match_xla_vjp(causal, masked, Hkv):
     out, lse = flash_attention_with_lse(
         q, k, v, attention_mask=mask, causal=causal, interpret=True
     )
-    dq, dk, dv = _bwd_impl(q, k, v, mask, out, lse, gm,
+    dq, dk, dv = _bwd_impl(q, k, v, mask, None, out, lse, gm,
                            causal, None, None, None, True)
 
     _, vjp = jax.vjp(

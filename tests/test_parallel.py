@@ -149,3 +149,38 @@ def test_mesh_sharded_scorer_matches_unsharded(cfg, params):
     b = meshed.score_batch(pixels, ids_list, gpos)
     np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
                                atol=1e-4)
+
+
+def test_sequence_parallel_attention_matches_single_device(cfg):
+    """SP flash attention (q sharded, KV all-gathered, global causal offset)
+    must equal single-device attention on the 8-CPU mesh."""
+    from mjvideo_tpu.eval import metrics  # noqa: F401 (import side check)
+    from mjvideo_tpu.ops.attention import multi_head_attention
+    from mjvideo_tpu.parallel.sequence import shard_sequence, sp_flash_attention
+
+    rng = np.random.default_rng(11)
+    B, S, Hq, Hkv, D = 1, 64, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    lens = np.array([S - 10])
+    mask = jnp.asarray((np.arange(S)[None, :] < lens[:, None]).astype(np.int32))
+
+    ref = multi_head_attention(q, k, v, attention_mask=mask, causal=True,
+                               impl="xla")
+
+    mesh = make_mesh(data=8, model=1)
+    qs = shard_sequence(q, mesh)
+    ks = shard_sequence(k, mesh)
+    vs = shard_sequence(v, mesh)
+    ms = shard_sequence(mask, mesh, dim=1)
+    got = sp_flash_attention(qs, ks, vs, mesh, axis="data",
+                             attention_mask=ms, causal=True)
+    gotm = np.asarray(got) * np.asarray(mask)[:, :, None, None]
+    refm = np.asarray(ref) * np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(gotm, refm, atol=3e-5)
+
+    # no-mask variant
+    got2 = sp_flash_attention(qs, ks, vs, mesh, axis="data", causal=True)
+    ref2 = multi_head_attention(q, k, v, causal=True, impl="xla")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=3e-5)
