@@ -184,3 +184,37 @@ def test_sequence_parallel_attention_matches_single_device(cfg):
     got2 = sp_flash_attention(qs, ks, vs, mesh, axis="data", causal=True)
     ref2 = multi_head_attention(q, k, v, causal=True, impl="xla")
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=3e-5)
+
+
+def test_ring_attention_matches_single_device(cfg):
+    """Ring attention (ppermute'd KV chunks + lse merge) == single device."""
+    from mjvideo_tpu.ops.attention import multi_head_attention
+    from mjvideo_tpu.parallel.sequence import (
+        ring_flash_attention,
+        shard_sequence,
+    )
+
+    rng = np.random.default_rng(13)
+    B, S, Hq, Hkv, D = 1, 64, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    mask = jnp.asarray((np.arange(S)[None, :] < S - 7).astype(np.int32))
+
+    mesh = make_mesh(data=8, model=1)
+    qs, ks, vs = (shard_sequence(t, mesh) for t in (q, k, v))
+    ms = shard_sequence(mask, mesh, dim=1)
+
+    for causal in (True, False):
+        ref = multi_head_attention(q, k, v, attention_mask=mask,
+                                   causal=causal, impl="xla")
+        got = ring_flash_attention(qs, ks, vs, mesh, axis="data",
+                                   attention_mask=ms, causal=causal)
+        gm = np.asarray(got) * np.asarray(mask)[:, :, None, None]
+        rm = np.asarray(ref) * np.asarray(mask)[:, :, None, None]
+        np.testing.assert_allclose(gm, rm, atol=3e-5, err_msg=f"causal={causal}")
+
+    # no mask
+    got2 = ring_flash_attention(qs, ks, vs, mesh, axis="data", causal=True)
+    ref2 = multi_head_attention(q, k, v, causal=True, impl="xla")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=3e-5)
