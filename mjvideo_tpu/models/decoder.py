@@ -81,8 +81,13 @@ def _dense(p, x):
 
 
 def _decoder_layer(cfg: LLMConfig, p, x, attention_mask, cos, sin,
-                   position_ids, attn_impl):
-    """One decoder layer. Ref: ``modeling_internlm2.py:610-681``."""
+                   position_ids, attn_impl, sp=None):
+    """One decoder layer. Ref: ``modeling_internlm2.py:610-681``.
+
+    ``sp``: optional sequence-parallel spec {'mesh', 'axis', 'kind'} — the
+    attention runs as a shard_map (ring or all-gather-KV) over the mesh
+    while everything position-wise stays GSPMD-partitioned by jit.
+    """
     B, S, C = x.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -91,9 +96,20 @@ def _decoder_layer(cfg: LLMConfig, p, x, attention_mask, cos, sin,
     k = _dense(p["attention"]["wk"], h).reshape(B, S, Hkv, D)
     v = _dense(p["attention"]["wv"], h).reshape(B, S, Hkv, D)
     q, k = apply_rope(q, k, cos, sin, position_ids)
-    attn = multi_head_attention(
-        q, k, v, attention_mask=attention_mask, causal=True, impl=attn_impl
-    )
+    if sp is not None:
+        from ..parallel.sequence import ring_flash_attention, sp_flash_attention
+
+        sp_fn = (ring_flash_attention if sp.get("kind", "ring") == "ring"
+                 else sp_flash_attention)
+        attn = sp_fn(
+            q, k, v, sp["mesh"], axis=sp.get("axis", "data"),
+            attention_mask=attention_mask, causal=True,
+        )
+    else:
+        attn = multi_head_attention(
+            q, k, v, attention_mask=attention_mask, causal=True,
+            impl=attn_impl
+        )
     x = x + _dense(p["attention"]["wo"], attn.reshape(B, S, Hq * D))
 
     h = rms_norm(x, p["ffn_norm"]["weight"], eps=cfg.rms_norm_eps)
@@ -111,12 +127,18 @@ def decoder_forward(
     position_ids: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
     remat: bool = True,
+    sp=None,
 ) -> jnp.ndarray:
     """Run all decoder layers + final norm; returns hidden states (B, S, C).
 
     Equivalent to the reference's ``hidden_states[-1]`` with
     ``output_hidden_states=True`` (``modeling_internlm2.py:930-970`` — the
     final entry is post-``self.norm``).
+
+    ``sp={'mesh': Mesh, 'axis': 'data', 'kind': 'ring'|'allgather'}`` runs
+    attention sequence-parallel: shard ``inputs_embeds``/``attention_mask``
+    on the sequence dim and jit as usual — position-wise layers partition
+    via GSPMD, attention via the explicit shard_map.
     """
     S = inputs_embeds.shape[1]
     cos, sin = rope_tables(
@@ -131,7 +153,8 @@ def decoder_forward(
     def block(carry, lp):
         return (
             _decoder_layer(
-                cfg, lp, carry, attention_mask, cos, sin, position_ids, attn_impl
+                cfg, lp, carry, attention_mask, cos, sin, position_ids,
+                attn_impl, sp=sp,
             ),
             None,
         )

@@ -218,3 +218,31 @@ def test_ring_attention_matches_single_device(cfg):
     got2 = ring_flash_attention(qs, ks, vs, mesh, axis="data", causal=True)
     ref2 = multi_head_attention(q, k, v, causal=True, impl="xla")
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=3e-5)
+
+
+def test_sequence_parallel_decoder_matches_single_device(cfg, params):
+    """Full decoder with ring attention under seq sharding == single device."""
+    from mjvideo_tpu.models import decoder as dec
+    from mjvideo_tpu.parallel.sequence import shard_sequence
+
+    lc = cfg.chat.llm
+    lm = params["model"]["language_model"]
+    rng = np.random.default_rng(17)
+    B, S = 1, 64
+    x = jnp.asarray(rng.normal(size=(B, S, lc.hidden_size)), jnp.float32)
+    mask = jnp.asarray((np.arange(S)[None, :] < S - 9).astype(np.int32))
+
+    ref = dec.decoder_forward(lm, lc, x, attention_mask=mask,
+                              attn_impl="xla", remat=False)
+
+    mesh = make_mesh(data=8, model=1)
+    xs = shard_sequence(x, mesh)
+    ms = shard_sequence(mask, mesh, dim=1)
+    for kind in ("ring", "allgather"):
+        got = dec.decoder_forward(
+            lm, lc, xs, attention_mask=ms, remat=False,
+            sp={"mesh": mesh, "axis": "data", "kind": kind},
+        )
+        gm = np.asarray(got) * np.asarray(mask)[:, :, None]
+        rm = np.asarray(ref) * np.asarray(mask)[:, :, None]
+        np.testing.assert_allclose(gm, rm, atol=5e-5, err_msg=kind)
