@@ -125,3 +125,99 @@ def test_phi3_and_llama_roundtrip():
         h2 = dec.decoder_forward(params2, cfg,
                                  dec.embed_tokens(params2, ids), remat=False)
         np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+
+
+def test_phi3_decoder_matches_transformers():
+    """Our phi3 path (packed qkv/gate_up import + llama-style forward) vs
+    the transformers Phi3Model on a tiny random model."""
+    import torch
+    from transformers import Phi3Config, Phi3Model
+
+    from mjvideo_tpu.configs import LLMConfig
+    from mjvideo_tpu.models import decoder as dec
+
+    hf = Phi3Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        pad_token_id=0, attn_implementation="eager",
+        resid_pdrop=0.0, embd_pdrop=0.0, attention_dropout=0.0,
+    )
+    torch.manual_seed(1)
+    tm = Phi3Model(hf).eval()
+
+    cfg = LLMConfig(
+        architecture="phi3", vocab_size=96, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=128, pad_token_id=0,
+    )
+    from mjvideo_tpu.utils.checkpoint import import_decoder_params
+
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    # transformers Phi3Model state dict has no 'model.' prefix; add it.
+    state = {"model." + k: v for k, v in state.items()}
+    params = import_decoder_params(state, cfg, prefix="", with_lm_head=False)
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 90, size=(2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    mask[1, 6:] = 0
+
+    with torch.no_grad():
+        want = tm(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+
+    x = dec.embed_tokens(params, jnp.asarray(ids, jnp.int32))
+    got = np.asarray(dec.decoder_forward(
+        params, cfg, x, attention_mask=jnp.asarray(mask, jnp.int32),
+        attn_impl="xla", remat=False,
+    ))
+    m = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(got * m, want * m, atol=5e-5)
+
+
+def test_llama_decoder_matches_transformers():
+    """Our llama path vs the transformers LlamaModel on a tiny random model
+    (the Mistral text tower of VideoScore shares this code path)."""
+    import torch
+    from transformers import LlamaConfig, LlamaModel
+
+    from mjvideo_tpu.configs import LLMConfig
+    from mjvideo_tpu.models import decoder as dec
+    from mjvideo_tpu.utils.checkpoint import import_decoder_params
+
+    hf = LlamaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        pad_token_id=0, attn_implementation="eager",
+        attention_bias=False, mlp_bias=False,
+    )
+    torch.manual_seed(2)
+    tm = LlamaModel(hf).eval()
+
+    cfg = LLMConfig(
+        architecture="llama", vocab_size=96, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=128, pad_token_id=0,
+    )
+    state = {"model." + k: v.numpy() for k, v in tm.state_dict().items()}
+    params = import_decoder_params(state, cfg, prefix="", with_lm_head=False)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, 90, size=(2, 11)).astype(np.int64)
+    mask = np.ones((2, 11), np.int64)
+    mask[0, 8:] = 0
+
+    with torch.no_grad():
+        want = tm(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    x = dec.embed_tokens(params, jnp.asarray(ids, jnp.int32))
+    got = np.asarray(dec.decoder_forward(
+        params, cfg, x, attention_mask=jnp.asarray(mask, jnp.int32),
+        attn_impl="xla", remat=False,
+    ))
+    m = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(got * m, want * m, atol=5e-5)
