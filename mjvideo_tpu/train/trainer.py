@@ -40,6 +40,10 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    # bf16 first-moment storage halves optimizer memory (2B params: 7.2GB
+    # fp32 mu -> 3.6GB), often the difference between fitting a single v5e
+    # chip or not; v stays fp32 for stability.
+    adam_mu_dtype: Optional[str] = None  # None | 'bfloat16' 
     warmup_steps: int = 0
     total_steps: int = 1000
     schedule: str = "linear"  # HF Trainer default: linear decay w/ warmup
@@ -101,6 +105,7 @@ def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
         optax.adamw(
             lr, b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps,
             weight_decay=tc.weight_decay,
+            mu_dtype=jnp.bfloat16 if tc.adam_mu_dtype == "bfloat16" else None,
         ),
     )
     mask = trainable_mask(params, tc.stage)

@@ -325,3 +325,16 @@ def test_evaluate_aspects_driver(cfg, params, tmp_path):
     assert len(res["criteria"]) == 28
     assert len(res["aspects"]) == 5
     assert all(np.isfinite(m["mean"]) for m in res["criteria"])
+
+
+def test_bf16_adam_mu_state(cfg, params, tmp_path):
+    from mjvideo_tpu.train.trainer import TrainConfig, make_optimizer
+
+    tc = TrainConfig(stage=1, adam_mu_dtype="bfloat16", attn_impl="xla",
+                     checkpoint_dir=str(tmp_path))
+    opt = make_optimizer(tc, params)
+    state = opt.init(params)
+    leaves = jax.tree.leaves(
+        state, is_leaf=lambda x: hasattr(x, "dtype") and hasattr(x, "shape"))
+    dtypes = {str(l.dtype) for l in leaves if hasattr(l, "dtype")}
+    assert "bfloat16" in dtypes  # mu stored in bf16
