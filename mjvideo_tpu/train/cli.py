@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--save-total-limit", type=int, default=3)
+    p.add_argument("--bf16-adam-mu", action="store_true",
+                   help="store Adam first moments in bf16 (halves opt memory)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="hermetic smoke mode: tiny config + byte tokenizer")
@@ -131,6 +133,7 @@ def main(argv=None) -> None:
         keep_checkpoints=args.save_total_limit,
         mesh_model_axis=args.tp,
         mesh_data_axis=args.dp,
+        adam_mu_dtype="bfloat16" if args.bf16_adam_mu else None,
     )
     trainer = Trainer(cfg, params, tc)
 
