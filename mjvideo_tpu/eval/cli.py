@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results", default=None, help="incremental JSONL path")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh size for the scorer (batch "
+                        "shards over chips; pair scoring uses batch 2, so "
+                        "dp must divide 2 unless batching more clips)")
     return p
 
 
@@ -58,8 +62,13 @@ def _make_scorer(args):
         args.tokenizer or args.model_path, trust_remote_code=True,
         use_fast=False,
     )
+    mesh = None
+    if args.dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.dp, model=1)
     return RewardScorer(cfg, params, tok, dtype=dtype,
-                        gating_pattern=cfg.gating_token_pattern)
+                        gating_pattern=cfg.gating_token_pattern, mesh=mesh)
 
 
 def _make_judge(args):
