@@ -1,0 +1,79 @@
+"""Throughput-oriented scoring loop: watch a directory, score every video.
+
+Demonstrates the production serving shape: host decode pipelined ahead of
+device compute (``data.dataset.prefetch``), bucketed static shapes, and the
+north-star clips/sec counter (``utils.profiling.Throughput``).
+
+    python examples/serve.py --model-path /path/to/MJ-VIDEO-2B \
+        --videos dir_of_mp4s --caption-file captions.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--videos", required=True, help="directory of videos")
+    ap.add_argument("--caption-file", default=None,
+                    help="json {filename: caption}; default caption otherwise")
+    ap.add_argument("--num-segments", type=int, default=8)
+    ap.add_argument("--out", default="scores.jsonl")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from mjvideo_tpu.data.dataset import prefetch
+    from mjvideo_tpu.eval import RewardScorer
+    from mjvideo_tpu.utils.checkpoint import load_reward_model
+    from mjvideo_tpu.utils.profiling import Throughput, enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg, params = load_reward_model(args.model_path, dtype=jnp.bfloat16)
+    tok = AutoTokenizer.from_pretrained(args.model_path,
+                                        trust_remote_code=True, use_fast=False)
+    scorer = RewardScorer(cfg, params, tok,
+                          gating_pattern=cfg.gating_token_pattern)
+
+    captions = {}
+    if args.caption_file:
+        with open(args.caption_file) as f:
+            captions = json.load(f)
+
+    videos = sorted(
+        f for f in os.listdir(args.videos)
+        if f.lower().endswith((".mp4", ".webm", ".avi", ".mov"))
+    )
+
+    def prepared():
+        for name in videos:
+            caption = captions.get(name, "a generated video")
+            yield name, scorer.prepare_clip(
+                os.path.join(args.videos, name), caption,
+                num_segments=args.num_segments,
+            )
+
+    tp = Throughput()
+    with open(args.out, "a") as out:
+        for name, (pixels, ids, gpos) in prefetch(prepared(), 2):
+            res = scorer.score_batch(pixels, [ids], [gpos])
+            rec = {
+                "video": name,
+                "score": float(res.score[0]),
+                "aspect_scores": [float(x) for x in res.aspect_scores[0]],
+            }
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            rate = tp.update(1)
+            print(f"{name}: {rec['score']:+.4f}  ({rate:.2f} clips/s)")
+    print(f"done: {tp.total} clips, avg {tp.average():.2f} clips/s")
+
+
+if __name__ == "__main__":
+    main()
