@@ -183,3 +183,24 @@ def test_prepare_chat_input_end_to_end():
         ids[chat.gating_pos:chat.gating_pos + len(pat)], np.asarray(pat)
     )
     assert chat.attention_mask.shape == chat.input_ids.shape
+
+
+def test_load_video_shorter_than_segments(tmp_path):
+    """A 3-frame video sampled at 8 segments duplicates frames, not crashes."""
+    import cv2
+
+    from mjvideo_tpu.data.video import load_video
+
+    path = tmp_path / "short.mp4"
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                        (32, 32))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    w.release()
+
+    pixels, npl = load_video(str(path), num_segments=8, max_num=1,
+                             input_size=56)
+    assert pixels.shape == (8, 56, 56, 3)
+    assert npl == [1] * 8
+    assert np.isfinite(pixels).all()
