@@ -61,12 +61,15 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
     q, k = apply_rope(q, k, cos, sin, position_ids)
 
     # Scatter new K/V into their cache slots (position_ids are the slots).
-    idx = position_ids[..., None, None]  # (B, S, 1, 1)
+    # Writes are masked by the slot's validity so pad tokens never land in
+    # the cache — decode can then safely reuse a right-padded prompt's pad
+    # slots (the scatter is additive; an unmasked pad write would corrupt).
+    write_ok = jnp.take_along_axis(cache_mask, position_ids, axis=1)  # (B, S)
     oh = jax.nn.one_hot(position_ids, k_cache.shape[1], dtype=k.dtype)
+    oh = oh * write_ok[:, :, None].astype(k.dtype)
     # (B, S, max_len) x (B, S, Hkv, D) -> (B, max_len, Hkv, D)
     k_cache = k_cache + jnp.einsum("bsm,bshd->bmhd", oh, k.astype(k_cache.dtype))
     v_cache = v_cache + jnp.einsum("bsm,bshd->bmhd", oh, v.astype(v_cache.dtype))
-    del idx
 
     # Attend over the whole cache, masked to valid slots + causality.
     q_pos = position_ids  # (B, S)
@@ -196,21 +199,26 @@ def generate(
     out0 = jnp.full((B, gc.max_new_tokens), gc.pad_token_id, jnp.int32)
     out0 = out0.at[:, 0].set(next_tok.astype(jnp.int32))
     finished0 = next_tok == gc.eos_token_id
-    # next token position per row, used both as RoPE position and cache slot
-    pos0 = jnp.sum(attention_mask, axis=-1)
+    # Generated token i lives at per-row slot start+i, which is both its
+    # cache slot and its RoPE position: it continues the prompt's
+    # slot-indexed positions seamlessly for left-padded rows (start == T)
+    # and right-padded rows (start == n_real; the pad slots hold no K/V
+    # thanks to the masked cache writes above).
+    start = last_idx + 1  # (B,)
+    rows = jnp.arange(B)
 
     def cond(state):
-        step, _, _, finished, _, _, _ = state
+        step, _, _, finished, _, _ = state
         return (step < gc.max_new_tokens - 1) & ~jnp.all(finished)
 
     def body(state):
-        step, out, cache, finished, pos, mask, rng = state
+        step, out, cache, finished, mask, rng = state
         tok = out[:, step]
         emb = dec.embed_tokens(lm, tok[:, None])
-        slot = T + step  # static layout: generated token i -> slot T + i
-        mask = mask.at[:, slot].set(1)
+        slot = start + step  # (B,)
+        mask = mask.at[rows, slot].set(1)
         hidden, cache = decoder_forward_cached(
-            lm, llm_cfg, emb, cache, pos[:, None], mask
+            lm, llm_cfg, emb, cache, slot[:, None], mask
         )
         logits = dec.lm_logits(lm, hidden[:, 0])
         rng, key = jax.random.split(rng)
@@ -218,11 +226,10 @@ def generate(
         nxt = jnp.where(finished, gc.pad_token_id, nxt)
         out = out.at[:, step + 1].set(nxt)
         finished = finished | (nxt == gc.eos_token_id)
-        return step + 1, out, cache, finished, pos + 1, mask, rng
+        return step + 1, out, cache, finished, mask, rng
 
-    state = (0, out0, cache, finished0, pos0 + 1,
-             cache_mask0.at[:, T].set(1), rng)
-    _, out, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (0, out0, cache, finished0, cache_mask0, rng)
+    _, out, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return out
 
 

@@ -137,6 +137,58 @@ def test_batched_left_padding_matches_single_row(cfg, params):
     assert out[1, 0] == int(jnp.argmax(_full_logits(params, cfg, ids_b)))
 
 
+def _greedy_oracle(params, cfg, ids_row, n_new):
+    """Uncached greedy rollout: full forward over the growing sequence."""
+    toks = [int(t) for t in ids_row]
+    out = []
+    for _ in range(n_new):
+        nxt = int(jnp.argmax(_full_logits(params, cfg, toks)))
+        out.append(nxt)
+        toks.append(nxt)
+    return out
+
+
+def test_generate_full_sequence_matches_uncached_rollout(cfg, params):
+    """EVERY generated token (not just the prefill one) must match the
+    uncached oracle — regression for the decode-loop slot/position bug where
+    steps >= 1 attended a never-written zero K/V slot."""
+    rng = np.random.default_rng(3)
+    T, n_new = 7, 5
+    ids = rng.integers(1, 50, size=(1, T)).astype(np.int32)
+    mask = np.ones((1, T), np.int32)
+    gc = GenerationConfig(max_new_tokens=n_new, eos_token_id=-1,
+                          temperature=0.0, pad_token_id=0)
+    got = np.asarray(generate(params, cfg.chat, jnp.asarray(ids),
+                              jnp.asarray(mask), generation_config=gc)[0])
+    want = _greedy_oracle(params, cfg, ids[0], n_new)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_generate_padded_batch_full_sequence(cfg, params, side):
+    """Full sequences of a padded batch match each row's solo oracle, for
+    both padding layouts (right padding reuses pad cache slots)."""
+    rng = np.random.default_rng(4)
+    lens, T, n_new = [6, 3], 6, 4
+    rows = [rng.integers(1, 50, size=L).astype(np.int32) for L in lens]
+    ids = np.zeros((2, T), np.int32)
+    mask = np.zeros((2, T), np.int32)
+    for i, row in enumerate(rows):
+        L = len(row)
+        sl = slice(T - L, T) if side == "left" else slice(0, L)
+        ids[i, sl], mask[i, sl] = row, 1
+
+    gc = GenerationConfig(max_new_tokens=n_new, eos_token_id=-1,
+                          temperature=0.0, pad_token_id=0)
+    out = np.asarray(generate(params, cfg.chat, jnp.asarray(ids),
+                              jnp.asarray(mask), generation_config=gc))
+    for i, row in enumerate(rows):
+        np.testing.assert_array_equal(
+            out[i], _greedy_oracle(params, cfg, row, n_new),
+            err_msg=f"{side}-padded row {i}",
+        )
+
+
 def test_batch_chat_runs(cfg, params):
     from mjvideo_tpu.data.prompts import ByteTokenizer
     from mjvideo_tpu.models.generate import GenerationConfig, batch_chat
