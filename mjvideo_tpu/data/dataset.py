@@ -114,8 +114,15 @@ class PairCollator:
 
     def _pad_ids(self, ids: np.ndarray, value: int) -> np.ndarray:
         T = self.max_length
-        if ids.shape[0] >= T:
-            return ids[:T]
+        if ids.shape[0] > T:
+            # Refuse to truncate: gating_pos and the last-non-pad pooling
+            # index were computed on the untruncated sequence, so slicing
+            # would silently pool the wrong token (take_along_axis clips).
+            raise ValueError(
+                f"sequence length {ids.shape[0]} exceeds the collator "
+                f"max_length {T}; raise max_length (long-video configs need "
+                "~frames*tiles*256 + prompt tokens) instead of truncating"
+            )
         return np.pad(ids, (0, T - ids.shape[0]), constant_values=value)
 
     def __call__(

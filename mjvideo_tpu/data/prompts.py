@@ -65,14 +65,12 @@ def expand_image_tokens(
 def find_gating_position(
     input_ids: Sequence[int], pattern: Sequence[int] = GATING_TOKEN_PATTERN
 ) -> int:
-    """Index of the LAST token of the LAST occurrence of ``pattern``.
+    """START index of the LAST occurrence of ``pattern``.
 
     Host-side equivalent of ``find_token_for_gating`` (``moe_reward.py:50-57``)
     — which returns the start index of the last occurrence; the reference then
-    pools hidden[:, that index].  We keep identical semantics: returned index
-    points at the pattern START, as the reference's gating uses
-    ``hidden_states[torch.arange(...), gating_token_positions]`` with the
-    start position.
+    pools hidden[:, that index] via
+    ``hidden_states[torch.arange(...), gating_token_positions]``.
     """
     ids = list(input_ids)
     n = len(pattern)
@@ -90,6 +88,7 @@ def prepare_chat_input(
     history: Optional[List[Tuple[str, str]]] = None,
     has_image: bool = True,
     gating_pattern: Sequence[int] = GATING_TOKEN_PATTERN,
+    require_gating: bool = True,
 ) -> ChatInputs:
     """Build the full ChatML prompt and tokenize it.
 
@@ -119,6 +118,18 @@ def prepare_chat_input(
     try:
         gating_pos = find_gating_position(ids, gating_pattern)
     except ValueError:
+        # The reference raises here too (``moe_reward.py:57``): a missing
+        # pattern means the template/tokenizer combo is wrong for reward
+        # scoring, and pooling a fallback token would yield quietly-wrong
+        # scores.  Generation callers that never read gating_pos opt out.
+        if require_gating:
+            raise ValueError(
+                f"gating token pattern {list(gating_pattern)} not found in "
+                "input_ids — conversation template and tokenizer do not "
+                "match the reward model's gating pattern. Pass "
+                "require_gating=False only if gating_pos is unused "
+                "(pure generation)."
+            )
         gating_pos = len(ids) - 1
     return ChatInputs(
         input_ids=np.asarray([ids], dtype=np.int32),

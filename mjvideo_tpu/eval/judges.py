@@ -510,7 +510,14 @@ def run_overall_benchmark(
             "preference": pref[0], "mask": mask[0],
             "response_0": r0, "response_1": r1,
         })
+        s0s.append(s0)
+        s1s.append(s1)
+        prefs.append(pref[0])
+        masks.append(mask[0])
+    # merge resumed results; with results_path=None the in-memory lists hold
+    # everything scored above
     if results_path and os.path.exists(results_path):
+        s0s, s1s, prefs, masks = [], [], [], []
         with open(results_path) as f:
             for line in f:
                 r = json.loads(line)

@@ -200,7 +200,14 @@ def evaluate_genai_bench(
             "vote_type": ex["vote_type"],
         }
         writer.write(rec)
+        lefts.append(rec["score_left"])
+        rights.append(rec["score_right"])
+        votes.append(rec["vote_type"])
+    # merge resumed results (the re-read supersedes the in-memory lists so a
+    # resumed run scores the union; with results_path=None the in-memory
+    # accumulation above is the result)
     if results_path and os.path.exists(results_path):
+        lefts, rights, votes = [], [], []
         with open(results_path) as f:
             for line in f:
                 r = json.loads(line)

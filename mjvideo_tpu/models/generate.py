@@ -256,7 +256,7 @@ def batch_chat(
         npl = num_patches_lists[i] if num_patches_lists else None
         chats.append(prepare_chat_input(
             cfg, tokenizer, q, num_patches_list=npl,
-            has_image=pixel_values is not None,
+            has_image=pixel_values is not None, require_gating=False,
         ))
     T = max(c.input_ids.shape[1] for c in chats)
     pad_id = getattr(tokenizer, "pad_token_id", None) or cfg.llm.pad_token_id
@@ -302,7 +302,7 @@ def chat(
         num_patches_list = [pixel_values.shape[0]]
     chat_in = prepare_chat_input(
         cfg, tokenizer, question, num_patches_list=num_patches_list,
-        history=history,
+        history=history, require_gating=False,
     )
     template = get_template(cfg.template)
     eos_id = tokenizer.convert_tokens_to_ids(template.sep.strip())

@@ -71,7 +71,7 @@ def apply_projector(p, x: jnp.ndarray) -> jnp.ndarray:
 
 def extract_feature(
     params, cfg: ChatConfig, pixel_values: jnp.ndarray,
-    attn_impl: str = "auto", remat: bool = True,
+    attn_impl: str = "auto", remat: bool = True, vit_rng=None,
 ) -> jnp.ndarray:
     """ViT -> drop cls -> HxW grid -> pixel_shuffle -> projector.
 
@@ -81,6 +81,7 @@ def extract_feature(
     vit_out = vit_forward(
         params["vision_model"], cfg.vision, pixel_values,
         select_layer=cfg.select_layer, attn_impl=attn_impl, remat=remat,
+        rng=vit_rng,
     )
     vit_embeds = vit_out[:, 1:, :]  # drop cls
     n, s, c = vit_embeds.shape
@@ -126,6 +127,7 @@ def chat_forward(
     position_ids: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
     remat: bool = True,
+    vit_rng=None,
 ) -> jnp.ndarray:
     """Full multimodal forward; returns final hidden states (B, T, C).
 
@@ -136,7 +138,8 @@ def chat_forward(
     """
     input_embeds = dec.embed_tokens(params["language_model"], input_ids)
     vit_embeds = extract_feature(
-        params, cfg, pixel_values, attn_impl=attn_impl, remat=remat
+        params, cfg, pixel_values, attn_impl=attn_impl, remat=remat,
+        vit_rng=vit_rng,
     )
     input_embeds = scatter_image_embeds(
         input_embeds, input_ids, vit_embeds, cfg.img_context_token_id

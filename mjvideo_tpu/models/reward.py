@@ -195,10 +195,16 @@ def reward_forward(
     gating_pos: jnp.ndarray,  # (B,)
     attn_impl: str = "auto",
     remat: bool = True,
+    vit_rng=None,
 ) -> RewardOutput:
-    """Backbone forward + fused reward head; the north-star inference path."""
+    """Backbone forward + fused reward head; the north-star inference path.
+
+    ``vit_rng`` enables ViT DropPath/dropout (training mode) when the vision
+    config carries nonzero rates; None = deterministic eval.
+    """
     hidden = chat_forward(
         params["model"], cfg.chat, pixel_values, input_ids,
         attention_mask=attention_mask, attn_impl=attn_impl, remat=remat,
+        vit_rng=vit_rng,
     )
     return reward_head(params, cfg, hidden, input_ids, gating_pos)

@@ -135,8 +135,28 @@ def embeddings(p, cfg: VisionConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
     return x + pos.astype(x.dtype)
 
 
-def _block(cfg: VisionConfig, p, x: jnp.ndarray, attn_impl: str) -> jnp.ndarray:
-    """One pre-norm ViT block with LayerScale. Ref: intern_vit.py:266-295."""
+def _drop_path(x: jnp.ndarray, rate, key) -> jnp.ndarray:
+    """Stochastic depth on a residual branch (timm DropPath semantics,
+    ``modeling_intern_vit.py:280-281``): per-sample binary keep, scaled."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0], 1, 1))
+    return (jnp.where(mask, x.astype(jnp.float32) / keep, 0.0)).astype(x.dtype)
+
+
+def _dropout(x: jnp.ndarray, rate: float, key) -> jnp.ndarray:
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return (jnp.where(mask, x.astype(jnp.float32) / keep, 0.0)).astype(x.dtype)
+
+
+def _block(cfg: VisionConfig, p, x: jnp.ndarray, attn_impl: str,
+           dp_rate=None, rng=None) -> jnp.ndarray:
+    """One pre-norm ViT block with LayerScale. Ref: intern_vit.py:266-295.
+
+    ``rng`` set = training mode: applies proj dropout (``cfg.dropout``,
+    ``modeling_intern_vit.py:198``) and DropPath at this layer's ``dp_rate``
+    on both residual branches.  ``rng`` None = deterministic (eval).
+    """
     B, S, C = x.shape
     H, D = cfg.num_attention_heads, cfg.head_dim
 
@@ -155,12 +175,20 @@ def _block(cfg: VisionConfig, p, x: jnp.ndarray, attn_impl: str) -> jnp.ndarray:
     attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl)
     attn = attn.reshape(B, S, C)
     attn = dot(attn, p["attn"]["proj"]["kernel"]) + p["attn"]["proj"]["bias"]
-    x = x + attn * p["ls1"]
+    if rng is not None:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        if cfg.dropout > 0.0:
+            attn = _dropout(attn, cfg.dropout, k3)
+        x = x + _drop_path(attn * p["ls1"], dp_rate, k1)
+    else:
+        x = x + attn * p["ls1"]
 
     h = _norm(cfg, p["norm2"], x).astype(x.dtype)
     h = dot(h, p["mlp"]["fc1"]["kernel"]) + p["mlp"]["fc1"]["bias"]
     h = jax.nn.gelu(h, approximate=False)
     h = dot(h, p["mlp"]["fc2"]["kernel"]) + p["mlp"]["fc2"]["bias"]
+    if rng is not None:
+        return x + _drop_path(h * p["ls2"], dp_rate, k2)
     return x + h * p["ls2"]
 
 
@@ -171,6 +199,7 @@ def vit_forward(
     select_layer: int = -1,
     attn_impl: str = "auto",
     remat: bool = True,
+    rng=None,
 ) -> jnp.ndarray:
     """Run the encoder; returns hidden states (N, S, C) after ``select_layer``.
 
@@ -178,6 +207,12 @@ def vit_forward(
     ``modeling_internvl_chat.py:244-254``); more-negative values stop early —
     done here by slicing the scanned layer stack, so the skipped layers are
     never computed (the reference computes them and discards).
+
+    ``rng`` set = training mode: DropPath at per-layer rates
+    ``linspace(0, cfg.drop_path_rate, L)`` (``modeling_intern_vit.py:312``)
+    and proj dropout apply.  ``rng`` None = eval (deterministic).
+    ``attention_dropout`` (dropout on softmax probs) is unsupported inside
+    the fused attention kernels and raises rather than silently no-op.
     """
     x = embeddings(params["embeddings"], cfg, pixel_values)
 
@@ -187,8 +222,26 @@ def vit_forward(
     if n_run != L:
         layers = jax.tree.map(lambda a: a[:n_run], layers)
 
-    block = lambda carry, lp: (_block(cfg, lp, carry, attn_impl), None)
+    stochastic = rng is not None and (cfg.drop_path_rate > 0.0
+                                      or cfg.dropout > 0.0)
+    if stochastic:
+        if cfg.attention_dropout > 0.0:
+            raise ValueError(
+                "attention_dropout > 0 is not supported by the fused "
+                "attention kernels; published InternViT configs use 0.0"
+            )
+        dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, n_run)
+        keys = jax.random.split(rng, n_run)
+
+        def block(carry, sc):
+            lp, r, k = sc
+            return _block(cfg, lp, carry, attn_impl, dp_rate=r, rng=k), None
+
+        xs = (layers, dp_rates, keys)
+    else:
+        block = lambda carry, lp: (_block(cfg, lp, carry, attn_impl), None)
+        xs = layers
     if remat:
         block = jax.checkpoint(block)
-    x, _ = jax.lax.scan(block, x, layers)
+    x, _ = jax.lax.scan(block, x, xs)
     return x

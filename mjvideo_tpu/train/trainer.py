@@ -10,7 +10,9 @@ overall}_train.py``) and their accelerate/DDP launch story.  TPU-first:
 * Stage chaining = warm-starting params from the previous stage's orbax
   checkpoint (the reference chains safetensors files,
   ``aspect_train.py:18``, ``overall_train.py:20``).
-* Deterministic data order makes checkpoint resume exact.
+* Checkpoints carry {params, opt_state}; together with deterministic data
+  order (the caller feeds batches from ``Trainer.step`` onward) resume is
+  bit-exact.
 """
 
 from __future__ import annotations
@@ -120,7 +122,7 @@ def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
     mse = tc.mse if tc.mse is not None else tc.stage_mse_default()
     stage_loss = STAGES[tc.stage].loss_fn
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, vit_rng=None):
         outs = []
         for v in (0, 1):
             pix = batch[f"video_{v}_pixel_values"]
@@ -133,6 +135,8 @@ def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
                     batch[f"video_{v}_attention_mask"],
                     batch[f"video_{v}_gating_pos"],
                     attn_impl=tc.attn_impl, remat=tc.remat,
+                    vit_rng=None if vit_rng is None
+                    else jax.random.fold_in(vit_rng, v),
                 )
             )
         return stage_loss(outs[0], outs[1], batch, mse=mse, beta=tc.beta) \
@@ -145,8 +149,8 @@ def make_train_step(cfg: RewardConfig, tc: TrainConfig, optimizer) -> Callable:
     loss_fn = make_loss_fn(cfg, tc)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    def train_step(params, opt_state, batch, rng=None):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
@@ -183,6 +187,9 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         self.step_fn = make_train_step(cfg, tc, self.optimizer)
         self.step = 0
+        vis = cfg.chat.vision
+        self._needs_vit_rng = vis.drop_path_rate > 0.0 or vis.dropout > 0.0
+        self._base_rng = jax.random.PRNGKey(0)
         os.makedirs(tc.checkpoint_dir, exist_ok=True)
         self._metrics_path = os.path.join(tc.checkpoint_dir, "metrics.jsonl")
         self._saved: list = []
@@ -273,12 +280,15 @@ class Trainer:
         return result
 
     def resume_latest(self) -> Optional[str]:
-        """Restore params from the newest checkpoint in checkpoint_dir.
+        """Restore params AND optimizer state from the newest checkpoint.
 
-        Recovery story (SURVEY.md §5 failure-detection row): deterministic
-        data order + orbax restore make resume exact; the reference's
-        recovery was 'slurm restarts + find first safetensors'
-        (``criteria_train.py:340-345``).
+        Recovery story (SURVEY.md §5 failure-detection row): checkpoints
+        carry {params, opt_state}, so Adam moments and the schedule count
+        survive; with the caller feeding batches deterministically from
+        ``self.step`` onward, resume is bit-exact (tested in
+        tests/test_train_eval.py).  The reference's recovery was 'slurm
+        restarts + find first safetensors' (``criteria_train.py:340-345``),
+        which also reset optimizer state.
         """
         import re
 
@@ -292,13 +302,37 @@ class Trainer:
                     best = (step, os.path.join(self.tc.checkpoint_dir, name))
         if best is None:
             return None
+        from ..parallel.mesh import shard_params as _shard
         from ..utils.checkpoint import restore_pytree
 
-        restored = restore_pytree(best[1], like=jax.device_get(self.params))
-        from ..parallel.mesh import shard_params as _shard
+        params_like = jax.device_get(self.params)
+        if os.path.isdir(os.path.join(best[1], "params")):
+            params = restore_pytree(
+                os.path.join(best[1], "params"), like=params_like)
+            opt_state = restore_pytree(
+                os.path.join(best[1], "opt_state"),
+                like=jax.device_get(self.opt_state))
+        else:
+            # Older checkpoints stored bare params; warn that optimizer
+            # moments start fresh (resume then NOT exact).
+            import warnings
 
-        self.params = _shard(restored, self.mesh)
-        self.opt_state = self.optimizer.init(self.params)
+            warnings.warn(
+                f"checkpoint {best[1]} has no opt_state (pre-split format); "
+                "optimizer moments re-initialized", stacklevel=2)
+            params, opt_state = restore_pytree(best[1], like=params_like), None
+
+        self.params = _shard(params, self.mesh)
+        if opt_state is None:
+            self.opt_state = self.optimizer.init(self.params)
+        else:
+            # Re-place the restored host opt_state with the same shardings a
+            # fresh init would have (mu/nu follow the param shardings).
+            template = self.optimizer.init(self.params)
+            self.opt_state = jax.tree.map(
+                lambda t, x: jax.device_put(x, t.sharding),
+                template, opt_state,
+            )
         self.step = best[0]
         return best[1]
 
@@ -308,7 +342,9 @@ class Trainer:
         path = os.path.join(
             self.tc.checkpoint_dir, f"stage{self.tc.stage}_step{self.step}"
         )
-        save_pytree(path, jax.device_get(self.params))
+        save_pytree(os.path.join(path, "params"), jax.device_get(self.params))
+        save_pytree(os.path.join(path, "opt_state"),
+                    jax.device_get(self.opt_state))
         self._saved.append(path)
         while len(self._saved) > self.tc.keep_checkpoints:
             import shutil
@@ -329,9 +365,17 @@ class Trainer:
             batch = shard_batch(
                 {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
             )
-            self.params, self.opt_state, metrics = self.step_fn(
-                self.params, self.opt_state, batch
-            )
+            if self._needs_vit_rng:
+                # Step-keyed fold keeps stochastic depth deterministic across
+                # resume (the key depends only on the step number).
+                rng = jax.random.fold_in(self._base_rng, self.step)
+                self.params, self.opt_state, metrics = self.step_fn(
+                    self.params, self.opt_state, batch, rng
+                )
+            else:
+                self.params, self.opt_state, metrics = self.step_fn(
+                    self.params, self.opt_state, batch
+                )
             self.step += 1
             if self.step % self.tc.log_every == 0:
                 last = {k: float(v) for k, v in metrics.items()}
@@ -347,7 +391,14 @@ class Trainer:
 
 
 def warm_start(params, checkpoint_path: str):
-    """Load a previous stage's orbax checkpoint into an existing pytree."""
+    """Load a previous stage's orbax checkpoint into an existing pytree.
+
+    Accepts both the split layout (``<path>/params`` + ``<path>/opt_state``;
+    only params are loaded — the next stage builds its own optimizer) and
+    the older bare-params layout.
+    """
     from ..utils.checkpoint import restore_pytree
 
-    return restore_pytree(checkpoint_path, like=jax.device_get(params))
+    sub = os.path.join(checkpoint_path, "params")
+    path = sub if os.path.isdir(sub) else checkpoint_path
+    return restore_pytree(path, like=jax.device_get(params))

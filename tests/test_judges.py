@@ -87,6 +87,40 @@ def test_judge_pair_and_benchmark(tmp_path):
     assert (res2["count"], res2["correct"]) == (1, 0)
 
 
+def test_benchmark_without_results_path_still_aggregates():
+    """Regression: with results_path=None the drivers must accumulate
+    in memory, not silently return metrics over empty arrays."""
+    res = run_overall_benchmark(
+        _FakeJudge(),
+        [{"video_0_path": "good_a.mp4", "video_1_path": "bad_b.mp4",
+          "caption": "c", "overall_preference": "Video 1 better"},
+         {"video_0_path": "bad_a.mp4", "video_1_path": "good_b.mp4",
+          "caption": "c", "overall_preference": "Video 2 better"}],
+        results_path=None,
+    )
+    assert res["count"] == 2
+    assert res["correct"] == 2
+
+
+def test_genai_bench_without_results_path_still_aggregates():
+    from mjvideo_tpu.eval.preference import evaluate_genai_bench
+
+    class _FakeScorer:
+        def score_pair(self, v0, v1, caption, num_segments=8):
+            good = lambda p: 2.0 if "good" in p else -2.0  # noqa: E731
+            return {"score": good(v0)}, {"score": good(v1)}
+
+    examples = [
+        {"left_video": "good_l.mp4", "right_video": "bad_r.mp4",
+         "prompt": "p", "vote_type": "leftvote"},
+        {"left_video": "bad_l.mp4", "right_video": "good_r.mp4",
+         "prompt": "p", "vote_type": "rightvote"},
+    ]
+    res = evaluate_genai_bench(_FakeScorer(), examples, results_path=None)
+    assert res["total"] == 2
+    assert res["accuracy"] == 1.0
+
+
 def test_safesora_filter_and_conversion():
     from mjvideo_tpu.eval.preference import filter_safesora_pairs
 

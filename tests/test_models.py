@@ -103,6 +103,38 @@ def test_vit_forward_shape(cfg, params):
     assert out.shape == (3, vc.seq_len, vc.hidden_size)
 
 
+def test_vit_drop_path_training_vs_eval(cfg, params):
+    """DropPath/dropout (modeling_intern_vit.py:278-281) activate only when
+    an rng is passed AND the config carries nonzero rates."""
+    import dataclasses
+
+    vc = cfg.chat.vision
+    vp = params["model"]["vision_model"]
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(2, vc.image_size, vc.image_size, 3)).astype(np.float32))
+    base = vit.vit_forward(vp, vc, img)
+
+    # rate 0 + rng: stochastic mode is a no-op (keeps the eval path exact)
+    same = vit.vit_forward(vp, vc, img, rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+
+    vc_dp = dataclasses.replace(vc, drop_path_rate=0.5, dropout=0.1)
+    a = vit.vit_forward(vp, vc_dp, img, rng=jax.random.PRNGKey(1))
+    b = vit.vit_forward(vp, vc_dp, img, rng=jax.random.PRNGKey(2))
+    c = vit.vit_forward(vp, vc_dp, img, rng=jax.random.PRNGKey(1))
+    assert bool(jnp.any(a != b))  # different keys -> different drops
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))  # same key
+    assert bool(jnp.all(jnp.isfinite(a)))
+    # rng=None stays deterministic even with nonzero rates (eval mode)
+    ev = vit.vit_forward(vp, vc_dp, img)
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(base))
+
+    vc_bad = dataclasses.replace(vc, drop_path_rate=0.5, attention_dropout=0.1)
+    with pytest.raises(ValueError, match="attention_dropout"):
+        vit.vit_forward(vp, vc_bad, img, rng=jax.random.PRNGKey(1))
+
+
 # ------------------------------------------------------------ decoder oracle
 
 

@@ -327,6 +327,38 @@ def test_evaluate_aspects_driver(cfg, params, tmp_path):
     assert all(np.isfinite(m["mean"]) for m in res["criteria"])
 
 
+def test_resume_is_bit_exact(cfg, params, tmp_path):
+    """train(2) + save + resume + train(2) == train(4) bit-for-bit: the
+    checkpoint must carry Adam moments and the schedule count, not just
+    params (regression: resume used to re-init opt_state)."""
+    from mjvideo_tpu.train.trainer import TrainConfig, Trainer
+
+    all_b = [jax.device_get(_tiny_batch(cfg, rng=np.random.default_rng(100 + i)))
+             for i in range(4)]
+
+    def make(dirname):
+        tc = TrainConfig(stage=1, attn_impl="xla", learning_rate=1e-3,
+                         total_steps=4, checkpoint_every=10**9, log_every=1,
+                         mesh_data_axis=1, mesh_model_axis=1,
+                         checkpoint_dir=str(tmp_path / dirname))
+        return Trainer(cfg, jax.tree.map(lambda a: a.copy(), params), tc)
+
+    tr_a = make("a")
+    tr_a.train(iter(all_b))
+
+    tr_b = make("b")
+    tr_b.train(iter(all_b[:2]))
+    tr_b.save()
+    tr_c = make("b")  # fresh trainer over the same checkpoint dir
+    path = tr_c.resume_latest()
+    assert path is not None and tr_c.step == 2
+    tr_c.train(iter(all_b[2:]))
+
+    for a, c in zip(jax.tree.leaves(jax.device_get(tr_a.params)),
+                    jax.tree.leaves(jax.device_get(tr_c.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_bf16_adam_mu_state(cfg, params, tmp_path):
     from mjvideo_tpu.train.trainer import TrainConfig, make_optimizer
 
