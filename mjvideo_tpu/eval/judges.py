@@ -238,6 +238,59 @@ class InternVLJudge:
         return response
 
 
+class Qwen2VLJudge:
+    """A local judge backed by the Qwen2-VL JAX port (``models/qwen2vl.py``).
+
+    Second local backbone family after InternVL, matching the reference's
+    Qwen2-VL 2B/7B swift baselines (``eval_overall_qwen2_2b.py:119-129``).
+    Frames are uniformly sampled, smart-resized, CLIP-normalized and fed as
+    temporal patch groups; the answer decodes greedily (swift's default).
+    """
+
+    def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
+                 max_new_tokens: int = 64, max_pixels: int = 360 * 420,
+                 attn_impl: Optional[str] = None):
+        self.cfg = cfg  # Qwen2VLConfig
+        self.params = params
+        self.tokenizer = tokenizer
+        self.num_segments = num_segments
+        self.max_new_tokens = max_new_tokens
+        self.max_pixels = max_pixels
+        self.attn_impl = attn_impl or "auto"
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        from ..data.video import (
+            decode_frames,
+            get_frame_indices,
+            video_metadata,
+        )
+        from ..models.qwen2vl import (
+            build_video_prompt_ids,
+            get_rope_index,
+            greedy_generate,
+            preprocess_video_frames,
+        )
+
+        n_frames, fps = video_metadata(video_path)
+        indices = get_frame_indices(n_frames, self.num_segments, fps=fps)
+        frames = decode_frames(video_path, indices)
+        patches, grid = preprocess_video_frames(
+            frames, self.cfg.vision, max_pixels=self.max_pixels)
+        ids = build_video_prompt_ids(self.tokenizer, self.cfg, grid, prompt)
+        pos, _ = get_rope_index(ids, [grid], self.cfg)
+        toks = greedy_generate(
+            self.params, self.cfg, ids, pos,
+            pixel_patches=patches, grid=grid,
+            max_new_tokens=self.max_new_tokens,
+            eos_token_id=self.cfg.im_end_token_id,
+            attn_impl=self.attn_impl,
+        )
+        if toks and toks[-1] == self.cfg.im_end_token_id:
+            toks = toks[:-1]
+        return self.tokenizer.decode(toks) if hasattr(
+            self.tokenizer, "decode") else str(toks)
+
+
 def _extract_frames_b64(video_path: str, every: int = 50,
                         max_frames: int = 8) -> List[str]:
     """cv2 frame extraction -> base64 JPEG (``eval_overall_gpt4o.py:64-74``)."""

@@ -128,6 +128,7 @@ def decoder_forward(
     attn_impl: str = "auto",
     remat: bool = True,
     sp=None,
+    rope_override=None,
 ) -> jnp.ndarray:
     """Run all decoder layers + final norm; returns hidden states (B, S, C).
 
@@ -139,16 +140,24 @@ def decoder_forward(
     attention sequence-parallel: shard ``inputs_embeds``/``attention_mask``
     on the sequence dim and jit as usual — position-wise layers partition
     via GSPMD, attention via the explicit shard_map.
+
+    ``rope_override=(cos, sin)`` supplies pre-gathered per-token rotary
+    values of shape (B, S, head_dim) — used by the multimodal-RoPE
+    architectures (Qwen2-VL) where positions are 3-channel.
     """
     S = inputs_embeds.shape[1]
-    cos, sin = rope_tables(
-        S,
-        cfg.head_dim,
-        base=cfg.rope_theta,
-        scaling_type=cfg.rope_scaling_type,
-        scaling_factor=cfg.rope_scaling_factor,
-        max_position_embeddings=cfg.max_position_embeddings,
-    )
+    if rope_override is not None:
+        cos, sin = rope_override
+        position_ids = None
+    else:
+        cos, sin = rope_tables(
+            S,
+            cfg.head_dim,
+            base=cfg.rope_theta,
+            scaling_type=cfg.rope_scaling_type,
+            scaling_factor=cfg.rope_scaling_factor,
+            max_position_embeddings=cfg.max_position_embeddings,
+        )
 
     def block(carry, lp):
         return (

@@ -87,6 +87,127 @@ def _pick_blocks(Q: int, K: int, causal: bool) -> tuple:
     return min(_round_up(Q, 128), 1152), 512
 
 
+# ------------------------------------------------ non-causal fast forward
+
+def _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                   *, scale, hp, kv_pad, with_lse):
+    """Whole-row non-causal attention, no padding mask (the ViT case:
+    every tile token is real).  Direct softmax — no online-softmax state,
+    no mask where(); ``hp`` heads per program amortize program dispatch.
+
+    Zero-padded kv columns (``kv_pad`` of them) produce s == 0 exactly and
+    contribute nothing to p@v (v rows are zero); their only effect is
+    ``kv_pad * exp(-m)`` extra mass in the denominator, subtracted
+    analytically — an O(block_q) correction instead of an O(block_q * K)
+    mask select.
+    """
+    for h in range(hp):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = _dot(q, k, trans_b=True) * scale  # (block_q, Kp) fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if kv_pad:
+            l = l - kv_pad * jnp.exp(-m)
+        acc = _dot(p.astype(v.dtype), v)
+        o_ref[0, h] = (acc / l).astype(o_ref.dtype)
+        if with_lse:
+            lse = m + jnp.log(l)
+            lse_ref[0, h] = jnp.broadcast_to(lse[:, 0][None, :],
+                                             (8, q.shape[0]))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "heads_per_program", "interpret",
+                     "with_lse"),
+)
+def _fwd_nc_impl(q, k, v, scale, block_q, heads_per_program, interpret,
+                 with_lse):
+    """Specialized forward for non-causal, maskless MHA (ViT path)."""
+    B, Q, H, D = q.shape
+    K = k.shape[1]
+    if scale is None:
+        scale = D**-0.5
+    Kp = _round_up(K, 8)
+    # v5e sweep (benchmarks/vit_attn_bench.py): hp=1 whole-row wins —
+    # 4.64ms vs 5.2-6.0ms for split blocks; extra heads/program bought
+    # nothing once dimension_semantics pipelines the grid.
+    hp = heads_per_program or 1
+    while H % hp:
+        hp //= 2
+    block_q = min(block_q or _round_up(Q, 8), _round_up(Q, 8))
+    # Mosaic's scoped-VMEM stack is 16MB; the dominant live buffers are the
+    # per-head fp32 s and p (block_q x Kp each).  Shrink block_q (then hp)
+    # until the estimate fits with headroom for in/out double-buffering.
+    def vmem_est(bq, h):
+        # The head loop is unrolled, so each head's fp32 s and p can stay
+        # live simultaneously (observed: hp=4 whole-row hit 26.5M).
+        sp = h * 2 * bq * Kp * 4
+        io = h * (bq + 2 * Kp + bq) * D * 2 * 2  # q/k/v/o bf16, 2x buffered
+        return sp + io
+
+    while vmem_est(block_q, hp) > 14 * 1024 * 1024 and block_q > 256:
+        block_q = _round_up(block_q // 2, 8)
+    while vmem_est(block_q, hp) > 14 * 1024 * 1024 and hp > 1:
+        hp //= 2
+    Qp = _round_up(Q, block_q)
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    if Qp != Q:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+    if Kp != K:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+
+    kernel = functools.partial(
+        _fwd_nc_kernel, scale=scale, hp=hp, kv_pad=Kp - K, with_lse=with_lse)
+    if not with_lse:
+        def kernel(q_ref, k_ref, v_ref, o_ref):  # noqa: F811
+            _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, None, scale=scale,
+                           hp=hp, kv_pad=Kp - K, with_lse=False)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, H, Qp, D), q.dtype)]
+    out_specs = [pl.BlockSpec((1, hp, block_q, D),
+                              lambda b, g, i: (b, g, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, 8, Qp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, hp, 8, block_q),
+                                      lambda b, g, i: (b, g, 0, i),
+                                      memory_space=pltpu.VMEM))
+
+    results = pl.pallas_call(
+        kernel,
+        grid=(B, H // hp, Qp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, hp, block_q, D), lambda b, g, i: (b, g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, Kp, D), lambda b, g, i: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, Kp, D), lambda b, g, i: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs) if with_lse else out_specs[0],
+        out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+
+    if with_lse:
+        outp, lse = results
+    else:
+        outp, lse = results, None
+    out = jnp.transpose(outp[:, :, :Q, :], (0, 2, 1, 3))
+    return (out, lse) if with_lse else out
+
+
 # --------------------------------------------------------------- forward
 
 def _fwd_kernel(
@@ -150,10 +271,10 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv", "interpret",
-                     "with_lse"),
+                     "with_lse", "heads_per_program"),
 )
 def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
-              block_kv, interpret, with_lse):
+              block_kv, interpret, with_lse, heads_per_program=None):
     """Returns out (B, Q, Hq, D) [and lse (B, Hq, 8, Qp) if with_lse].
 
     ``q_offset``: global sequence position of q row 0 — nonzero only under
@@ -164,6 +285,14 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
     G = Hq // Hkv
     if scale is None:
         scale = D**-0.5
+
+    # Maskless non-causal MHA (the ViT / SigLIP shape) takes the
+    # specialized direct-softmax kernel: no mask select, no online-softmax
+    # bookkeeping, multiple heads per program (see _fwd_nc_kernel).
+    if (not causal and attention_mask is None and q_offset is None
+            and G == 1 and _round_up(K, 8) <= 4096):
+        return _fwd_nc_impl(q, k, v, scale, block_q, heads_per_program,
+                            interpret, with_lse)
 
     default_bq, default_bk = _pick_blocks(Q, K, causal)
     block_q = min(block_q or default_bq, _round_up(Q, 128))
@@ -239,6 +368,10 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=interpret,
     )(off, qt, kt, vt, mask)
 
@@ -433,6 +566,10 @@ def _bwd_impl(q, k, v, attention_mask, q_offset, out, lse, g, causal, scale,
             pltpu.VMEM((block_kv, D), jnp.float32),
             pltpu.VMEM((block_kv, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=interpret,
     )(off, qt, kt, vt, dot_, lse, delta, mask)
 
@@ -462,6 +599,10 @@ def _bwd_impl(q, k, v, attention_mask, q_offset, out, lse, g, causal, scale,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hq, Qp, D), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=interpret,
     )(off, qt, kt, vt, dot_, lse, delta, mask)
 
@@ -550,9 +691,11 @@ def flash_attention(
 def flash_attention_with_lse(
     q, k, v, attention_mask=None, causal=False, scale=None,
     block_q=None, block_kv=None, interpret=None, q_offset=None,
+    heads_per_program=None,
 ):
     """(out, lse) — for tests and downstream kernels needing softmax stats."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale,
-                     block_q, block_kv, interpret, True)
+                     block_q, block_kv, interpret, True,
+                     heads_per_program=heads_per_program)

@@ -68,10 +68,15 @@ def apply_rope(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Apply rotary embedding to q, k of shape (..., seq, num_heads, head_dim).
 
-    ``cos``/``sin`` are (max_seq, head_dim); ``position_ids`` is (batch, seq)
-    or None for the identity positions 0..seq-1.
+    ``cos``/``sin`` are (max_seq, head_dim) tables gathered by
+    ``position_ids`` (batch, seq), or pre-gathered per-token values of shape
+    (batch, seq, head_dim) — the multimodal-RoPE path (Qwen2-VL) builds
+    those from 3-channel position ids and passes them directly.
     """
-    if position_ids is None:
+    if cos.ndim == 3:  # per-token cos/sin, already (B, S, D)
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+    elif position_ids is None:
         seq = q.shape[-3]
         c = cos[:seq][None, :, None, :]
         s = sin[:seq][None, :, None, :]

@@ -142,3 +142,59 @@ def test_flash_custom_scale():
     ref = multi_head_attention(q, k, v, causal=True, scale=0.25, impl="xla")
     got = flash_attention(q, k, v, causal=True, scale=0.25)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("S,H,hp", [(67, 4, None), (129, 4, 2), (40, 8, 4)])
+def test_nc_maskless_kernel_matches_xla(S, H, hp):
+    """The specialized maskless non-causal path (direct softmax + analytic
+    kv-pad correction + multi-head programs) must match XLA exactly,
+    including K not a multiple of 8."""
+    from mjvideo_tpu.ops.flash_attention import flash_attention_with_lse
+
+    rng = np.random.default_rng(0)
+    D = 64
+    q = _rand(rng, (2, S, H, D))
+    k = _rand(rng, (2, S, H, D))
+    v = _rand(rng, (2, S, H, D))
+    ref = multi_head_attention(q, k, v, causal=False, impl="xla")
+    got, lse = flash_attention_with_lse(
+        q, k, v, causal=False, interpret=True, heads_per_program=hp
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # lse must equal log(sum(exp(s))) of the true (unpadded) row
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   precision=jax.lax.Precision.HIGHEST) * (D ** -0.5)
+    lse_ref = jax.scipy.special.logsumexp(s, axis=-1)  # (B, H, S)
+    np.testing.assert_allclose(
+        np.asarray(lse[:, :, 0, :S]), np.asarray(lse_ref), atol=2e-5
+    )
+
+
+def test_nc_maskless_backward_consumes_new_lse():
+    """On-TPU backward pairs the specialized forward's lse with the general
+    dK/dV + dQ kernels (ones mask); must match the XLA VJP."""
+    from mjvideo_tpu.ops.flash_attention import (
+        _bwd_impl,
+        flash_attention_with_lse,
+    )
+
+    rng = np.random.default_rng(1)
+    B, S, H, D = 2, 67, 4, 32
+    q = _rand(rng, (B, S, H, D))
+    k = _rand(rng, (B, S, H, D))
+    v = _rand(rng, (B, S, H, D))
+    g = _rand(rng, (B, S, H, D))
+
+    out, lse = flash_attention_with_lse(q, k, v, causal=False, interpret=True)
+    dq, dk, dv = _bwd_impl(q, k, v, None, None, out, lse, g,
+                           False, None, None, None, True)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: multi_head_attention(q_, k_, v_, causal=False,
+                                                impl="xla"),
+        q, k, v,
+    )
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-5)
