@@ -18,6 +18,8 @@ Replaces the reference generation stack: ``InternLM2ForCausalLM.generate`` /
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -284,6 +286,115 @@ def batch_chat(
             tokenizer.decode(toks) if hasattr(tokenizer, "decode") else toks
         )
     return responses
+
+
+def stream_generate(
+    params, cfg: ChatConfig,
+    input_ids: jnp.ndarray,  # (1, T)
+    attention_mask: jnp.ndarray,
+    pixel_values: Optional[jnp.ndarray] = None,
+    generation_config: GenerationConfig = GenerationConfig(),
+    rng: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+):
+    """Token-by-token generation as a Python generator (B=1).
+
+    Equivalent of ``InternLM2ForCausalLM.stream_chat``'s threaded
+    TextIteratorStreamer (``modeling_internlm2.py:1270-1292``) — without the
+    thread: JAX dispatch is already asynchronous, so a host-side generator
+    stepping one jit'd single-token forward per yield is the idiomatic
+    streaming surface.  Prefill compiles once per prompt bucket; the decode
+    step compiles once total (static single-token shapes).
+    """
+    gc = generation_config
+    lm = params["language_model"]
+    llm_cfg = cfg.llm
+    B, T = input_ids.shape
+    assert B == 1, "streaming is a single-conversation surface"
+    max_len = T + gc.max_new_tokens
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def prefill(params, input_ids, attention_mask, pixel_values):
+        embeds = dec.embed_tokens(params["language_model"], input_ids)
+        if pixel_values is not None:
+            vit = extract_feature(params, cfg, pixel_values,
+                                  attn_impl=attn_impl, remat=False)
+            embeds = scatter_image_embeds(
+                embeds, input_ids, vit, cfg.img_context_token_id)
+        slot_ids = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+        cache = init_kv_cache(llm_cfg, B, max_len, dtype=embeds.dtype)
+        cache_mask = jnp.pad(attention_mask,
+                             ((0, 0), (0, gc.max_new_tokens)))
+        hidden, cache = decoder_forward_cached(
+            params["language_model"], llm_cfg, embeds, cache, slot_ids,
+            cache_mask)
+        last_idx = jnp.max(
+            jnp.where(attention_mask != 0, jnp.arange(T)[None], -1), axis=-1)
+        last_hidden = jnp.take_along_axis(
+            hidden, last_idx[:, None, None], axis=1)[:, 0]
+        return dec.lm_logits(params["language_model"], last_hidden), \
+            cache, cache_mask, last_idx + 1
+
+    @jax.jit
+    def decode_step(lm, tok, cache, cache_mask, slot):
+        emb = dec.embed_tokens(lm, tok[:, None])
+        cache_mask = cache_mask.at[jnp.arange(B), slot].set(1)
+        hidden, cache = decoder_forward_cached(
+            lm, llm_cfg, emb, cache, slot[:, None], cache_mask)
+        return dec.lm_logits(lm, hidden[:, 0]), cache, cache_mask
+
+    logits, cache, cache_mask, start = prefill(
+        params, input_ids, attention_mask, pixel_values)
+    rng, key = jax.random.split(rng)
+    tok = _sample(logits, gc, key).astype(jnp.int32)
+    for step in range(gc.max_new_tokens):
+        t = int(tok[0])
+        if t == gc.eos_token_id:
+            return
+        yield t
+        if step == gc.max_new_tokens - 1:
+            return
+        logits, cache, cache_mask = decode_step(
+            lm, tok, cache, cache_mask, start + step)
+        rng, key = jax.random.split(rng)
+        tok = _sample(logits, gc, key).astype(jnp.int32)
+
+
+def stream_chat(
+    params, cfg: ChatConfig, tokenizer, question: str,
+    pixel_values=None, num_patches_list=None, history=None,
+    generation_config: GenerationConfig = GenerationConfig(),
+    attn_impl: str = "auto",
+):
+    """Streaming single-turn chat: yields the growing response string.
+
+    The final yielded value is the complete response; callers wanting the
+    updated history append ``(question, response)`` themselves (as the
+    reference's streamer consumers do)."""
+    from ..data.conversation import get_template
+    from ..data.prompts import prepare_chat_input
+
+    if num_patches_list is None and pixel_values is not None:
+        num_patches_list = [pixel_values.shape[0]]
+    chat_in = prepare_chat_input(
+        cfg, tokenizer, question, num_patches_list=num_patches_list,
+        history=history, require_gating=False,
+    )
+    template = get_template(cfg.template)
+    eos_id = tokenizer.convert_tokens_to_ids(template.sep.strip())
+    gc = generation_config._replace(eos_token_id=eos_id)
+    toks: list = []
+    for t in stream_generate(
+        params, cfg,
+        jnp.asarray(chat_in.input_ids), jnp.asarray(chat_in.attention_mask),
+        pixel_values=None if pixel_values is None
+        else jnp.asarray(pixel_values),
+        generation_config=gc, attn_impl=attn_impl,
+    ):
+        toks.append(t)
+        yield (tokenizer.decode(toks) if hasattr(tokenizer, "decode")
+               else list(toks))
 
 
 def chat(

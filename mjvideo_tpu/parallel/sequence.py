@@ -37,7 +37,7 @@ def sp_flash_attention(
     padding mask) are all-gathered over ICI, and the flash kernel receives
     ``q_offset = axis_index * S/N`` so the causal triangle is global.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.flash_attention import flash_attention
 
@@ -64,13 +64,13 @@ def sp_flash_attention(
         fn = shard_map(
             lambda q_l, k_l, v_l: body(q_l, k_l, v_l, None),
             mesh=mesh, in_specs=(seq_spec, seq_spec, seq_spec),
-            out_specs=seq_spec, check_rep=False,
+            out_specs=seq_spec, check_vma=False,
         )
         return fn(q, k, v)
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, P(None, axis)),
-        out_specs=seq_spec, check_rep=False,
+        out_specs=seq_spec, check_vma=False,
     )
     return fn(q, k, v, attention_mask)
 
@@ -96,7 +96,7 @@ def ring_flash_attention(
     the standard log-sum-exp merge.  Fully-masked steps contribute weight 0
     (DEAD_LSE sentinel).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.flash_attention import DEAD_LSE, flash_attention_with_lse
 
@@ -154,13 +154,13 @@ def ring_flash_attention(
         fn = shard_map(
             lambda q_l, k_l, v_l: body(q_l, k_l, v_l, None),
             mesh=mesh, in_specs=(seq_spec, seq_spec, seq_spec),
-            out_specs=seq_spec, check_rep=False,
+            out_specs=seq_spec, check_vma=False,
         )
         return fn(q, k, v)
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, P(None, axis)),
-        out_specs=seq_spec, check_rep=False,
+        out_specs=seq_spec, check_vma=False,
     )
     return fn(q, k, v, attention_mask)
 

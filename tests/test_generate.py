@@ -219,3 +219,25 @@ def test_sequence_classifier(cfg, params):
     logits = sequence_classify(lm, head, llm, emb, jnp.asarray(ids))
     assert logits.shape == (1, 3)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_stream_chat_matches_chat(cfg, params):
+    """Streamed tokens must equal the one-shot chat() response."""
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.models.generate import (
+        GenerationConfig,
+        chat,
+        stream_chat,
+    )
+
+    tok = ByteTokenizer()
+    gc = GenerationConfig(max_new_tokens=5, temperature=0.0)
+    want, _ = chat(params, cfg.chat, tok, "hello", generation_config=gc)
+
+    partials = list(stream_chat(params, cfg.chat, tok, "hello",
+                                generation_config=gc))
+    assert partials, "stream yielded nothing"
+    # each partial extends the previous; the last equals the full response
+    for a, b in zip(partials, partials[1:]):
+        assert b.startswith(a[:len(a)])
+    assert partials[-1] == want
