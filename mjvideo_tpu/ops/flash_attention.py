@@ -68,15 +68,22 @@ def _round_up(x: int, m: int) -> int:
 def _pick_blocks(Q: int, K: int, causal: bool) -> tuple:
     """Defaults tuned on v5e.
 
-    Causal (LLM B4/S2112 GQA bf16): (256, 512) -> 4.76ms vs (512,512) 5.10
-    vs (128,128) 8.25 — small kv blocks let the diagonal skip work.
-    Non-causal (ViT B32/S1025/D64 bf16): whole-row kv wins — (1152, 1152)
-    8.94ms vs (256, 512) 13.97ms vs XLA einsum 13.4ms; there is no triangle
-    to skip, so fewer bigger programs beat streaming.
+    Causal (LLM 1x2112 GQA bf16, same-process model-level A/B,
+    benchmarks/model_ab.py): (256, 1024) 9.43 clips/s > (512, 1024) 9.40 >
+    (256, 512) 9.27 > (512, 512) 9.22 > (128, 512) 9.03 — bigger kv blocks
+    win now that dimension_semantics pipelines the grid; q=256 keeps the
+    diagonal skip effective.
+    Non-causal (ViT B32/S1025/D64 bf16): whole-row kv wins — see
+    _fwd_nc_impl (4.64ms) and benchmarks/vit_attn_bench.py.
     """
     if causal:
         bq = 256 if Q > 256 else _round_up(Q, 128)
-        bk = 512 if K > 512 else _round_up(K, 128)
+        if K > 1024:
+            bk = 1024
+        elif K > 512:
+            bk = 512
+        else:
+            bk = _round_up(K, 128)
         return bq, bk
     # Whole-array blocks only need 8-alignment (the 128-lane rule is
     # satisfied by block == array dim), trimming pad waste: 1025 -> 1032
