@@ -49,6 +49,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=16)
     ap.add_argument("--segments", type=int, default=8)
+    ap.add_argument("--device-preprocess", action="store_true",
+                    help="ship raw uint8 frames; resize+normalize on-device")
     args = ap.parse_args()
 
     from mjvideo_tpu.utils.profiling import enable_compilation_cache
@@ -73,6 +75,7 @@ def main():
     scorer = RewardScorer(
         cfg, params, tok, attn_impl="auto", dtype=dtype,
         length_buckets=(4096,), gating_pattern=tok.gating_pattern(),
+        device_preprocess=args.device_preprocess,
     )
 
     with tempfile.TemporaryDirectory() as d:

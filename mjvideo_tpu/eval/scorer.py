@@ -51,10 +51,19 @@ class RewardScorer:
         length_buckets: Sequence[int] = (1024, 2304, 3072),
         gating_pattern: Sequence[int] = GATING_TOKEN_PATTERN,
         mesh=None,
+        device_preprocess: bool = False,
     ):
         """``mesh``: an optional ('data','model') Mesh — params are placed
         per the TP rules and scoring batches shard over ``data`` (the
-        v5e-8 serving configuration; single chip needs no mesh)."""
+        v5e-8 serving configuration; single chip needs no mesh).
+
+        ``device_preprocess=True`` (serving fast path, max_num=1 only):
+        the host ships raw DECODED uint8 frames at their original
+        resolution; bicubic resize + ImageNet normalize run fused into the
+        scoring jit on the MXU (``ops/preprocess.py``).  Cuts the H2D
+        payload ~4-12x and removes the per-frame PIL resize from the host
+        (the two costs that dominate end-to-end serving — docs/PERF.md).
+        One extra compile per distinct source resolution."""
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
@@ -72,13 +81,20 @@ class RewardScorer:
         self.pad_token_id = getattr(
             tokenizer, "pad_token_id", cfg.chat.llm.pad_token_id
         ) or cfg.chat.llm.pad_token_id
+        self.device_preprocess = device_preprocess
 
     @functools.lru_cache(maxsize=8)
     def _jitted(self, T: int, n_tiles: int, B: int):
         cfg, attn_impl = self.cfg, self.attn_impl
+        dev_pre, dtype = self.device_preprocess, self.dtype
 
         @jax.jit
         def fwd(params, pix, ids, mask, gating_pos):
+            if dev_pre:
+                from ..ops.preprocess import preprocess_frames_device
+
+                pix = preprocess_frames_device(
+                    pix, cfg.chat.image_size, dtype=dtype)
             return reward_forward(
                 params, cfg, pix, ids, mask, gating_pos,
                 attn_impl=attn_impl, remat=False,
@@ -107,8 +123,9 @@ class RewardScorer:
             for i in input_ids_list
         ])
         fwd = self._jitted(T, pixel_values.shape[0], B)
+        pix_dtype = jnp.uint8 if self.device_preprocess else self.dtype
         args = (
-            jnp.asarray(pixel_values, self.dtype),
+            jnp.asarray(pixel_values, pix_dtype),
             jnp.asarray(ids, jnp.int32),
             jnp.asarray(mask, jnp.int32),
             jnp.asarray(np.asarray(gating_pos, np.int32)),
@@ -125,11 +142,27 @@ class RewardScorer:
         self, video_path: str, caption: str,
         num_segments: int = 8, max_num: int = 1,
     ) -> Tuple[np.ndarray, np.ndarray, int]:
-        """Host-side: decode + tile + prompt one clip."""
-        pixels, num_patches_list = load_video(
-            video_path, num_segments=num_segments, max_num=max_num,
-            input_size=self.cfg.chat.image_size,
-        )
+        """Host-side: decode (+ tile unless device_preprocess) + prompt."""
+        if self.device_preprocess:
+            if max_num != 1:
+                raise ValueError(
+                    "device_preprocess supports max_num=1 (the reward "
+                    "default); dynamic tiling grids are host decisions")
+            from ..data.video import (
+                decode_frames,
+                get_frame_indices,
+                video_metadata,
+            )
+
+            n_frames, fps = video_metadata(video_path)
+            idx = get_frame_indices(n_frames, num_segments, fps=fps)
+            pixels = np.stack(decode_frames(video_path, idx))  # uint8
+            num_patches_list = [1] * num_segments
+        else:
+            pixels, num_patches_list = load_video(
+                video_path, num_segments=num_segments, max_num=max_num,
+                input_size=self.cfg.chat.image_size,
+            )
         question = build_video_question(caption, len(num_patches_list))
         chat = prepare_chat_input(
             self.cfg.chat, self.tokenizer, question,

@@ -118,11 +118,23 @@ def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
 
 
 def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
-    """(params, batch) -> scalar loss; two sibling forwards + stage loss."""
+    """(params, batch) -> scalar loss; two sibling forwards + stage loss.
+
+    Frozen subtrees (per the stage's policy) are wrapped in
+    ``stop_gradient`` so their gradients are never computed or stored —
+    the optax ``set_to_zero`` mask alone would still materialize them
+    (the reference pays this as ``ddp_find_unused_parameters=True``).
+    ``grad_norm`` therefore reports the TRAINABLE-parameter norm.
+    """
     mse = tc.mse if tc.mse is not None else tc.stage_mse_default()
     stage_loss = STAGES[tc.stage].loss_fn
 
-    def loss_fn(params, batch, vit_rng=None):
+    def loss_fn(raw_params, batch, vit_rng=None):
+        mask = trainable_mask(raw_params, tc.stage)
+        params = jax.tree.map(
+            lambda p, t: p if t else jax.lax.stop_gradient(p),
+            raw_params, mask,
+        )
         outs = []
         for v in (0, 1):
             pix = batch[f"video_{v}_pixel_values"]

@@ -64,3 +64,47 @@ def test_device_tiling_matches_host_geometry():
     assert want.shape == (3, 48, 48, 3)
     err = np.abs(got[:3] - want).max()
     assert err < 0.08, err
+
+
+def test_scorer_device_preprocess_matches_host_path(tmp_path):
+    """device_preprocess=True (raw uint8 frames in, resize+normalize fused
+    into the scoring jit) must score within the fidelity budget of the
+    host-PIL path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mjvideo_tpu.configs import tiny_test_config
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.scorer import RewardScorer
+    from mjvideo_tpu.models.reward import init_reward_params
+
+    import cv2
+
+    video = tmp_path / "clip.mp4"
+    size = 64
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                        (size, size))
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        frame = np.full((size, size, 3), (i * 20) % 255, np.uint8)
+        frame[:, : size // 2] = rng.integers(0, 255, (size, size // 2, 3),
+                                             dtype=np.uint8)
+        w.write(frame)
+    w.release()
+
+    cfg = tiny_test_config()
+    params = init_reward_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    kw = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(1024,),
+              gating_pattern=tok.gating_pattern())
+    host = RewardScorer(cfg, params, tok, **kw)
+    dev = RewardScorer(cfg, params, tok, device_preprocess=True, **kw)
+
+    rh = host.score_video(str(video), "a split screen", num_segments=2)
+    rd = dev.score_video(str(video), "a split screen", num_segments=2)
+    # PIL's 8-bit two-pass resize vs the float matmul resize differ by
+    # ~1/255 per pixel; far inside the 1e-2 score budget.
+    np.testing.assert_allclose(rd["score"], rh["score"], atol=1e-2)
+    np.testing.assert_allclose(rd["rewards"], rh["rewards"], atol=1e-2)
