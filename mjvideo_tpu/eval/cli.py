@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-path", default=None,
                    help="reward checkpoint dir (scorer mode)")
     p.add_argument("--judge", default=None,
-                   choices=(None, "internvl-chat", "gpt4o", "gemini"),
+                   choices=(None, "internvl-chat", "qwen2-vl", "gpt4o",
+                            "gemini"),
                    help="use a baseline judge instead of the reward scorer")
     p.add_argument("--judge-model", default=None,
                    help="chat checkpoint for internvl-chat / API model name")
@@ -78,21 +79,37 @@ def _make_judge(args):
         return OpenAIJudge(model=args.judge_model or "gpt-4o")
     if args.judge == "gemini":
         return GeminiJudge(model=args.judge_model or "gemini-1.5-flash")
-    # internvl-chat: our own backbone as the judge
+    import json
+
     import jax.numpy as jnp
 
-    from ..configs import load_config
-    from ..utils.checkpoint import import_chat_params, load_safetensors_dir
-
-    path = args.judge_model
-    cfg = load_config(f"{path}/config.json").chat
-    state = load_safetensors_dir(path)
-    params = import_chat_params(state, cfg, jnp.bfloat16, with_lm_head=True)
     from transformers import AutoTokenizer
 
+    path = args.judge_model
     tok = AutoTokenizer.from_pretrained(
         args.tokenizer or path, trust_remote_code=True, use_fast=False
     )
+    if args.judge == "qwen2-vl":
+        from ..models.qwen2vl import (
+            import_qwen2vl_params,
+            qwen2vl_config_from_hf,
+        )
+        from ..utils.checkpoint import load_safetensors_dir
+        from .judges import Qwen2VLJudge
+
+        with open(f"{path}/config.json") as f:
+            qcfg = qwen2vl_config_from_hf(json.load(f))
+        state = load_safetensors_dir(path)
+        params = import_qwen2vl_params(state, qcfg, dtype=jnp.bfloat16)
+        return Qwen2VLJudge(qcfg, params, tok,
+                            num_segments=args.num_segments)
+    # internvl-chat: our own backbone as the judge
+    from ..configs import load_config
+    from ..utils.checkpoint import import_chat_params, load_safetensors_dir
+
+    cfg = load_config(f"{path}/config.json").chat
+    state = load_safetensors_dir(path)
+    params = import_chat_params(state, cfg, jnp.bfloat16, with_lm_head=True)
     return InternVLJudge(cfg, params, tok, num_segments=args.num_segments)
 
 
