@@ -269,3 +269,55 @@ def test_qwen2vl_judge_scores_video_end_to_end(torch_model_and_cfg, tmp_path):
 
     s0, s1, _, _ = judge_pair(judge, str(video), str(video), "a test clip")
     assert 0 <= s0 <= 10 and s0 == s1  # same video -> same greedy rating
+
+
+def test_untied_lm_head_matches_transformers():
+    """Qwen2-VL-7B unties the LM head (tie_word_embeddings=False) — the
+    importer must pick up lm_head.weight and lm_logits must use it."""
+    from transformers import Qwen2VLConfig as HFConfig
+    from transformers import Qwen2VLForConditionalGeneration
+    from transformers.models.qwen2_vl.configuration_qwen2_vl import (
+        Qwen2VLVisionConfig as HFVision,
+    )
+
+    vision = HFVision(depth=1, embed_dim=32, num_heads=4, mlp_ratio=2,
+                      patch_size=4, temporal_patch_size=2,
+                      spatial_merge_size=2, in_channels=3, hidden_size=48)
+    hf_cfg = HFConfig(
+        vision_config=vision.to_dict(), vocab_size=VOCAB, hidden_size=48,
+        intermediate_size=96, num_hidden_layers=2, num_attention_heads=3,
+        num_key_value_heads=1, rope_theta=10000.0, rms_norm_eps=1e-6,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        attn_implementation="eager",
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        **IDS,
+    )
+    torch.manual_seed(1)
+    model = Qwen2VLForConditionalGeneration(hf_cfg).eval()
+
+    cfg = Qwen2VLConfig(
+        vision=Qwen2VLVisionConfig(
+            depth=1, embed_dim=32, num_heads=4, mlp_ratio=2, patch_size=4,
+            temporal_patch_size=2, spatial_merge_size=2, hidden_size=48),
+        text=LLMConfig(
+            architecture="llama", vocab_size=VOCAB, hidden_size=48,
+            intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=3, num_key_value_heads=1,
+            rope_theta=10000.0, rms_norm_eps=1e-6, pad_token_id=0,
+            max_position_embeddings=512, bias=True),
+        mrope_section=(2, 3, 3), tie_word_embeddings=False, **IDS,
+    )
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = import_qwen2vl_params(state, cfg)
+
+    ids = np.asarray([[3, 5, 7, 11, 13]], np.int64)
+    pos, _ = get_rope_index(ids, None, cfg)
+    hidden = qwen2vl_forward(
+        params, cfg, jnp.asarray(ids, jnp.int32),
+        jnp.ones((1, 5), jnp.int32), jnp.asarray(pos),
+        attn_impl="xla", remat=False,
+    )
+    got = np.asarray(lm_logits(params, cfg, hidden))
+    with torch.no_grad():
+        want = model(input_ids=torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(got, want, atol=5e-4)
