@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-path", default=None,
                    help="reward checkpoint dir (scorer mode)")
     p.add_argument("--judge", default=None,
-                   choices=(None, "internvl-chat", "qwen2-vl", "gpt4o",
+                   choices=(None, "internvl-chat", "qwen2-vl", "minicpm-v",
+                            "gpt4o",
                             "gemini"),
                    help="use a baseline judge instead of the reward scorer")
     p.add_argument("--judge-model", default=None,
@@ -103,6 +104,20 @@ def _make_judge(args):
         params = import_qwen2vl_params(state, qcfg, dtype=jnp.bfloat16)
         return Qwen2VLJudge(qcfg, params, tok,
                             num_segments=args.num_segments)
+    if args.judge == "minicpm-v":
+        from ..models.minicpmv import (
+            import_minicpmv_params,
+            minicpmv_config_from_hf,
+        )
+        from ..utils.checkpoint import load_safetensors_dir
+        from .judges import MiniCPMVJudge
+
+        with open(f"{path}/config.json") as f:
+            mcfg = minicpmv_config_from_hf(json.load(f))
+        state = load_safetensors_dir(path)
+        params = import_minicpmv_params(state, mcfg, dtype=jnp.bfloat16)
+        return MiniCPMVJudge(mcfg, params, tok,
+                             num_segments=args.num_segments)
     # internvl-chat: our own backbone as the judge
     from ..configs import load_config
     from ..utils.checkpoint import import_chat_params, load_safetensors_dir

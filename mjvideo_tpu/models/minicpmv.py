@@ -1,0 +1,460 @@
+"""MiniCPM-V-2.6 backbone, TPU-native — the third local baseline-judge family.
+
+The reference benchmarks MJ-Video against MiniCPM-V-2.6 through ms-swift
+(``eval_overall_minicpm.py:119-129``, ``ModelType.minicpm_v_v2_6_chat``).
+This is a from-scratch JAX port of the MiniCPM-V-2.6 architecture:
+
+* a SigLIP so400m vision tower (the NaViT-adapted SigLIP — architecturally
+  the same tower as our Idefics2 port, including the resolution-bucketized
+  position ids, so ``models/videoscore.vision_forward`` is reused directly);
+* a single-layer cross-attention **resampler** that compresses each frame's
+  patch grid to 64 query tokens, with 2D sin-cos positional embeddings
+  added to the keys (the published MAE-style table);
+* a Qwen2-7B text model — our llama-family decoder with QKV biases and
+  standard RoPE.
+
+Validated numerically against an independent torch oracle
+(``tests/test_minicpmv.py`` builds the published architecture out of
+``torch.nn.MultiheadAttention``/``LayerNorm`` and compares end-to-end).
+
+TPU-first notes:
+
+* Video mode (the benchmark path) feeds frames un-sliced, so every frame
+  shares one static patch grid -> the whole vision+resampler stack is a
+  single batched jit with no ragged shapes.
+* The resampler's key-padding mask never activates for un-sliced video
+  frames (all frames share the full grid), so the kernel is maskless.
+* Image embeddings enter the LLM by marker-token scatter
+  (``internvl.scatter_image_embeds``) instead of the reference's
+  ``image_bound`` index bookkeeping — same result, no host round-trip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import LLMConfig
+from ..ops.attention import multi_head_attention
+from ..ops.matmul import dot, dot_f32
+from ..ops.norms import layer_norm
+from . import decoder as dec
+from .internvl import scatter_image_embeds
+from .videoscore import SigLIPVisionConfig, vision_forward
+
+
+@dataclass(frozen=True)
+class ResamplerConfig:
+    """MiniCPM-V-2.6 resampler (resampler.py in the published repo)."""
+
+    num_queries: int = 64
+    embed_dim: int = 3584  # LLM hidden size
+    num_heads: int = 28  # embed_dim // 128
+    kv_dim: int = 1152  # vision hidden size
+    layer_norm_eps: float = 1e-5  # published resampler uses nn.LayerNorm default
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+@dataclass(frozen=True)
+class MiniCPMVConfig:
+    """MiniCPM-V-2.6 = SigLIP so400m + resampler + Qwen2-7B.
+
+    Defaults follow openbmb/MiniCPM-V-2_6 config.json; special-token ids
+    are resolved from the tokenizer at prompt-build time (the defaults
+    here are the published tokenizer's added-token ids).
+    """
+
+    vision: SigLIPVisionConfig = field(default_factory=lambda:
+                                       SigLIPVisionConfig(image_size=980))
+    resampler: ResamplerConfig = field(default_factory=ResamplerConfig)
+    text: LLMConfig = field(default_factory=lambda: LLMConfig(
+        architecture="llama", vocab_size=151666, hidden_size=3584,
+        intermediate_size=18944, num_hidden_layers=28,
+        num_attention_heads=28, num_key_value_heads=4,
+        rope_theta=1e6, rms_norm_eps=1e-6, pad_token_id=151643,
+        max_position_embeddings=32768, bias=True,
+    ))
+    scale_resolution: int = 448  # per-frame budget in video (un-sliced) mode
+    # Qwen2 chat scaffolding + MiniCPM added tokens.
+    im_start_token_id: int = 151644  # <|im_start|>
+    im_end_token_id: int = 151645  # <|im_end|>
+    image_start_token_id: int = 151646  # <image>
+    image_end_token_id: int = 151647  # </image>
+    unk_token_id: int = 151661  # <unk> (the image placeholder filler)
+
+
+def minicpmv_config_from_hf(d: Dict[str, Any]) -> MiniCPMVConfig:
+    """Build a MiniCPMVConfig from an HF MiniCPM-V-2_6 config.json dict."""
+    v = d.get("vision_config", {})
+    return MiniCPMVConfig(
+        vision=SigLIPVisionConfig(
+            hidden_size=v.get("hidden_size", 1152),
+            intermediate_size=v.get("intermediate_size", 4304),
+            num_hidden_layers=v.get("num_hidden_layers", 27),
+            num_attention_heads=v.get("num_attention_heads", 16),
+            patch_size=v.get("patch_size", 14),
+            image_size=v.get("image_size", 980),
+        ),
+        resampler=ResamplerConfig(
+            num_queries=d.get("query_num", 64),
+            embed_dim=d.get("hidden_size", 3584),
+            num_heads=d.get("hidden_size", 3584) // 128,
+            kv_dim=v.get("hidden_size", 1152),
+        ),
+        text=LLMConfig(
+            architecture="llama",
+            vocab_size=d.get("vocab_size", 151666),
+            hidden_size=d.get("hidden_size", 3584),
+            intermediate_size=d.get("intermediate_size", 18944),
+            num_hidden_layers=d.get("num_hidden_layers", 28),
+            num_attention_heads=d.get("num_attention_heads", 28),
+            num_key_value_heads=d.get("num_key_value_heads", 4),
+            rope_theta=d.get("rope_theta", 1e6),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            pad_token_id=151643,
+            max_position_embeddings=d.get("max_position_embeddings", 32768),
+            bias=True,
+        ),
+        scale_resolution=d.get("scale_resolution", 448),
+    )
+
+
+# ---------------------------------------------------------------- pos embed
+
+def get_2d_sincos_pos_embed(embed_dim: int,
+                            grid_hw: Tuple[int, int]) -> np.ndarray:
+    """(gh*gw, embed_dim) 2D sin-cos table — the published MAE-style code
+    the MiniCPM-V resampler uses (resampler.py:get_2d_sincos_pos_embed):
+    meshgrid with w first, half the channels per axis, sin then cos halves.
+    """
+    gh, gw = grid_hw
+    grid_h = np.arange(gh, dtype=np.float32)
+    grid_w = np.arange(gw, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0)  # w first, (2,gh,gw)
+
+    def one_axis(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float32) / (dim / 2.0)
+        omega = 1.0 / 10000.0**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb_h = one_axis(embed_dim // 2, grid[0])
+    emb_w = one_axis(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1)  # (gh*gw, D)
+
+
+# -------------------------------------------------------------------- params
+
+def init_minicpmv_params(key, cfg: MiniCPMVConfig, dtype=jnp.float32):
+    vc, rc = cfg.vision, cfg.resampler
+    D, Q, KV = rc.embed_dim, rc.num_queries, rc.kv_dim
+    k = jax.random.split(key, 12)
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+    L = vc.num_hidden_layers
+    C, I = vc.hidden_size, vc.intermediate_size
+    P = vc.patch_size
+    vision = {
+        "patch_embedding": {"kernel": dense(k[0], (P * P * 3, C)),
+                            "bias": jnp.zeros((C,), dtype)},
+        "position_embedding": dense(
+            k[1], ((vc.image_size // P) ** 2, C)),
+        "layers": {
+            "ln1": {"weight": jnp.ones((L, C), dtype),
+                    "bias": jnp.zeros((L, C), dtype)},
+            "ln2": {"weight": jnp.ones((L, C), dtype),
+                    "bias": jnp.zeros((L, C), dtype)},
+            "q": {"kernel": dense(k[2], (L, C, C)),
+                  "bias": jnp.zeros((L, C), dtype)},
+            "k": {"kernel": dense(k[3], (L, C, C)),
+                  "bias": jnp.zeros((L, C), dtype)},
+            "v": {"kernel": dense(k[4], (L, C, C)),
+                  "bias": jnp.zeros((L, C), dtype)},
+            "o": {"kernel": dense(k[5], (L, C, C)),
+                  "bias": jnp.zeros((L, C), dtype)},
+            "fc1": {"kernel": dense(k[6], (L, C, I)),
+                    "bias": jnp.zeros((L, I), dtype)},
+            "fc2": {"kernel": dense(k[7], (L, I, C)),
+                    "bias": jnp.zeros((L, C), dtype)},
+        },
+        "post_layernorm": {"weight": jnp.ones((C,), dtype),
+                           "bias": jnp.zeros((C,), dtype)},
+    }
+    resampler = {
+        "query": dense(k[8], (Q, D)),
+        "kv_proj": {"kernel": dense(k[9], (KV, D))},
+        "ln_q": {"weight": jnp.ones((D,), dtype),
+                 "bias": jnp.zeros((D,), dtype)},
+        "ln_kv": {"weight": jnp.ones((D,), dtype),
+                  "bias": jnp.zeros((D,), dtype)},
+        "ln_post": {"weight": jnp.ones((D,), dtype),
+                    "bias": jnp.zeros((D,), dtype)},
+        "attn": {
+            "in_proj": {"kernel": dense(k[10], (D, 3 * D)),
+                        "bias": jnp.zeros((3 * D,), dtype)},
+            "out_proj": {"kernel": dense(k[11], (D, D)),
+                         "bias": jnp.zeros((D,), dtype)},
+        },
+        "proj": dense(k[8], (D, D)),
+    }
+    text = dec.init_decoder_params(
+        jax.random.split(k[9], 1)[0], cfg.text, dtype=dtype,
+        with_lm_head=True,  # MiniCPM-V-2.6 has an untied lm_head
+    )
+    return {"vpm": vision, "resampler": resampler, "llm": text}
+
+
+def import_minicpmv_params(state: Dict[str, np.ndarray], cfg: MiniCPMVConfig,
+                           dtype=jnp.float32):
+    """Map an HF MiniCPMV (openbmb/MiniCPM-V-2_6) state_dict to our pytree.
+
+    Published layout: ``vpm.*`` (navit SigLIP), ``resampler.*``,
+    ``llm.model.*`` + ``llm.lm_head`` (Qwen2).
+    """
+    from ..utils.checkpoint import import_decoder_params, import_siglip_vision
+
+    vision = import_siglip_vision(state, cfg.vision, dtype, prefix="vpm.")
+
+    def g(name):
+        return np.asarray(state[name])
+
+    def arr(x):
+        return jnp.asarray(np.asarray(x), dtype)
+
+    r = "resampler."
+    resampler = {
+        "query": arr(g(r + "query")),
+        "kv_proj": {"kernel": arr(g(r + "kv_proj.weight").T)},
+        "ln_q": {"weight": arr(g(r + "ln_q.weight")),
+                 "bias": arr(g(r + "ln_q.bias"))},
+        "ln_kv": {"weight": arr(g(r + "ln_kv.weight")),
+                  "bias": arr(g(r + "ln_kv.bias"))},
+        "ln_post": {"weight": arr(g(r + "ln_post.weight")),
+                    "bias": arr(g(r + "ln_post.bias"))},
+        "attn": {
+            # torch MultiheadAttention packs rows [q; k; v] in in_proj_weight
+            "in_proj": {"kernel": arr(g(r + "attn.in_proj_weight").T),
+                        "bias": arr(g(r + "attn.in_proj_bias"))},
+            "out_proj": {"kernel": arr(g(r + "attn.out_proj.weight").T),
+                         "bias": arr(g(r + "attn.out_proj.bias"))},
+        },
+        "proj": arr(g(r + "proj")),
+    }
+    text = import_decoder_params(state, cfg.text, dtype, prefix="llm.",
+                                 with_lm_head=True)
+    return {"vpm": vision, "resampler": resampler, "llm": text}
+
+
+# ----------------------------------------------------------------- resampler
+
+def resampler_forward(p, cfg: ResamplerConfig, x: jnp.ndarray,
+                      grid: Tuple[int, int]) -> jnp.ndarray:
+    """Compress (B, gh*gw, kv_dim) vision states -> (B, num_queries, D).
+
+    Published semantics (resampler.py ``Resampler.forward``): project kv,
+    LayerNorm both streams, add the 2D sin-cos table to the KEYS only,
+    run one ``nn.MultiheadAttention`` (packed in_proj), LayerNorm, then a
+    final learned projection matrix.
+    """
+    eps = cfg.layer_norm_eps
+    H, Dh, D = cfg.num_heads, cfg.head_dim, cfg.embed_dim
+    B, S = x.shape[0], x.shape[1]
+
+    pos = jnp.asarray(get_2d_sincos_pos_embed(D, grid))  # (S, D) fp32
+    kv = dot(x, p["kv_proj"]["kernel"])
+    kv = layer_norm(kv, p["ln_kv"]["weight"], p["ln_kv"]["bias"], eps=eps)
+    q_in = layer_norm(p["query"], p["ln_q"]["weight"], p["ln_q"]["bias"],
+                      eps=eps)  # (Q, D)
+    k_in = kv + pos[None].astype(kv.dtype)
+
+    Wq, Wk, Wv = jnp.split(p["attn"]["in_proj"]["kernel"], 3, axis=1)
+    bq, bk, bv = jnp.split(p["attn"]["in_proj"]["bias"], 3)
+    nq = q_in.shape[0]
+    q = (dot(q_in, Wq) + bq).reshape(nq, H, Dh)
+    q = jnp.broadcast_to(q[None], (B, nq, H, Dh))
+    k = (dot(k_in, Wk) + bk).reshape(B, S, H, Dh)
+    v = (dot(kv, Wv) + bv).reshape(B, S, H, Dh)
+    attn = multi_head_attention(q, k, v, causal=False, impl="xla")
+    out = dot(attn.reshape(B, nq, D), p["attn"]["out_proj"]["kernel"]) \
+        + p["attn"]["out_proj"]["bias"]
+    out = layer_norm(out, p["ln_post"]["weight"], p["ln_post"]["bias"],
+                     eps=eps)
+    return dot(out, p["proj"])
+
+
+# -------------------------------------------------------------- full forward
+
+def get_vision_embedding(params, cfg: MiniCPMVConfig,
+                         pixel_values: jnp.ndarray,  # (F, H, W, 3) NHWC
+                         remat: bool = False) -> jnp.ndarray:
+    """Frames -> (F, num_queries, llm_hidden) image tokens."""
+    vis = vision_forward(params["vpm"], cfg.vision, pixel_values, remat=remat)
+    gh = pixel_values.shape[1] // cfg.vision.patch_size
+    gw = pixel_values.shape[2] // cfg.vision.patch_size
+    return resampler_forward(params["resampler"], cfg.resampler, vis,
+                             (gh, gw))
+
+
+def minicpmv_forward(
+    params, cfg: MiniCPMVConfig,
+    input_ids: jnp.ndarray,  # (B, T) with unk_token_id placeholder runs
+    attention_mask: Optional[jnp.ndarray] = None,
+    pixel_values: Optional[jnp.ndarray] = None,  # (F, H, W, 3) NHWC
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Multimodal forward -> final hidden states (B, T, C)."""
+    embeds = dec.embed_tokens(params["llm"], input_ids)
+    if pixel_values is not None:
+        img_tokens = get_vision_embedding(params, cfg, pixel_values,
+                                          remat=remat)
+        embeds = scatter_image_embeds(
+            embeds, input_ids, img_tokens, cfg.unk_token_id
+        )
+    return dec.decoder_forward(
+        params["llm"], cfg.text, embeds, attention_mask=attention_mask,
+        attn_impl=attn_impl, remat=remat,
+    )
+
+
+def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
+    return dot_f32(hidden, params["llm"]["output"]["kernel"])
+
+
+def greedy_generate(
+    params, cfg: MiniCPMVConfig,
+    input_ids: np.ndarray,  # (1, T) unpadded prompt
+    pixel_values=None,
+    max_new_tokens: int = 16,
+    eos_token_id: Optional[int] = None,
+    attn_impl: str = "auto",
+) -> List[int]:
+    """Greedy decode by full re-forward at a static padded length (the
+    judge emits ~6 tokens; one compile, no KV-cache bookkeeping)."""
+    eos = cfg.im_end_token_id if eos_token_id is None else eos_token_id
+    T = input_ids.shape[1]
+    total = T + max_new_tokens
+    ids0 = np.full((1, total), cfg.text.pad_token_id, np.int32)
+    ids0[:, :T] = input_ids
+    mask0 = np.zeros((1, total), np.int32)
+    mask0[:, :T] = 1
+
+    @jax.jit
+    def step(ids, mask, pix):
+        hidden = minicpmv_forward(params, cfg, ids, mask, pixel_values=pix,
+                                  attn_impl=attn_impl)
+        return lm_logits(params, hidden)
+
+    ids = jnp.asarray(ids0)
+    mask = jnp.asarray(mask0)
+    pix = None if pixel_values is None else jnp.asarray(pixel_values)
+    out: List[int] = []
+    for i in range(max_new_tokens):
+        logits = step(ids, mask, pix)
+        tok = int(jnp.argmax(logits[0, T + i - 1]))
+        out.append(tok)
+        if tok == eos:
+            break
+        ids = ids.at[0, T + i].set(tok)
+        mask = mask.at[0, T + i].set(1)
+    return out
+
+
+# ------------------------------------------------------------- preprocessing
+
+MINICPM_MEAN = (0.5, 0.5, 0.5)
+MINICPM_STD = (0.5, 0.5, 0.5)
+
+
+def find_best_resize(width: int, height: int, scale_resolution: int = 448,
+                     patch_size: int = 14,
+                     allow_upscale: bool = True) -> Tuple[int, int]:
+    """MiniCPM-V's un-sliced resize rule (image_processing_minicpmv.py
+    ``find_best_resize``): scale to ~scale_resolution^2 pixels preserving
+    aspect, then round each dim to a multiple of ``patch_size`` (min one
+    patch).  Returns (width, height)."""
+    import math
+
+    if (width * height > scale_resolution * scale_resolution) or allow_upscale:
+        r = width / height
+        height = int(scale_resolution / math.sqrt(r))
+        width = int(height * r)
+
+    def ensure_divide(length):
+        return max(round(length / patch_size) * patch_size, patch_size)
+
+    return ensure_divide(width), ensure_divide(height)
+
+
+def preprocess_video_frames(
+    frames: Sequence[np.ndarray],  # uint8 RGB (H, W, 3)
+    cfg: MiniCPMVConfig,
+) -> jnp.ndarray:
+    """Frames -> (F, H', W', 3) NHWC fp32, resized per ``find_best_resize``
+    and normalized with mean/std 0.5 (the MiniCPM convention).  Video mode
+    never slices, so all frames share one static shape."""
+    from ..data.video import _pil_resize
+
+    H0, W0 = frames[0].shape[:2]
+    W, H = find_best_resize(W0, H0, cfg.scale_resolution,
+                            cfg.vision.patch_size)
+    mean = np.asarray(MINICPM_MEAN, np.float32)
+    std = np.asarray(MINICPM_STD, np.float32)
+    out = [(_pil_resize(f, (W, H)).astype(np.float32) / 255.0 - mean) / std
+           for f in frames]
+    return np.stack(out)
+
+
+def build_video_prompt_ids(
+    tokenizer, cfg: MiniCPMVConfig, n_frames: int, prompt: str,
+) -> np.ndarray:
+    """ChatML ids for an n-frame video + text prompt.
+
+    MiniCPM-V-2.6's processor renders each frame as
+    ``<image>`` + ``<unk>``x num_queries + ``</image>`` inside the user
+    turn (image_processing/processing_minicpmv); token ids are resolved
+    from the tokenizer when possible, falling back to the config defaults.
+    """
+    def tid(tok_str, default):
+        if hasattr(tokenizer, "convert_tokens_to_ids"):
+            try:
+                t = tokenizer.convert_tokens_to_ids(tok_str)
+            except (KeyError, ValueError):
+                return default
+            unk = getattr(tokenizer, "unk_token_id", None)
+            if isinstance(t, int) and t >= 0 and (
+                    t != unk or tok_str == "<unk>"):
+                return t
+        return default
+
+    def enc(s):
+        if hasattr(tokenizer, "encode"):
+            return list(tokenizer.encode(s, add_special_tokens=False))
+        ids = tokenizer(s)
+        return ids["input_ids"] if isinstance(ids, dict) else list(ids)
+
+    im_start = tid("<|im_start|>", cfg.im_start_token_id)
+    im_end = tid("<|im_end|>", cfg.im_end_token_id)
+    img_s = tid("<image>", cfg.image_start_token_id)
+    img_e = tid("</image>", cfg.image_end_token_id)
+    unk = tid("<unk>", cfg.unk_token_id)
+
+    nl = enc("\n")
+    frame_ids: List[int] = []
+    for _ in range(n_frames):
+        frame_ids += [img_s] + [unk] * cfg.resampler.num_queries + [img_e]
+    ids = (
+        [im_start] + enc("user") + nl
+        + frame_ids + enc(prompt) + [im_end] + nl
+        + [im_start] + enc("assistant") + nl
+    )
+    return np.asarray([ids], np.int32)

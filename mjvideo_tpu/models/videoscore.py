@@ -134,50 +134,12 @@ def import_videoscore_params(
     """Map the HF Idefics2 state dict onto our pytree (stacked layers)."""
     import numpy as np
 
+    from ..utils.checkpoint import import_siglip_vision
+
     g = lambda n: state[prefix + n]  # noqa: E731
-    vc = cfg.vision
 
-    conv = np.asarray(g("vision_model.embeddings.patch_embedding.weight"))
-    P = vc.patch_size
-    conv = conv.transpose(2, 3, 1, 0).reshape(P * P * 3, -1)
-
-    def v_stack(name, transpose=False):
-        ts = [np.asarray(g(f"vision_model.encoder.layers.{i}.{name}"))
-              for i in range(vc.num_hidden_layers)]
-        arr = np.stack(ts)
-        if transpose:
-            arr = arr.transpose(0, 2, 1)
-        return _a(arr, dtype)
-
-    vision = {
-        "patch_embedding": {"kernel": _a(conv, dtype),
-                            "bias": _a(g("vision_model.embeddings."
-                                         "patch_embedding.bias"), dtype)},
-        "position_embedding": _a(
-            g("vision_model.embeddings.position_embedding.weight"), dtype),
-        "layers": {
-            "ln1": {"weight": v_stack("layer_norm1.weight"),
-                    "bias": v_stack("layer_norm1.bias")},
-            "ln2": {"weight": v_stack("layer_norm2.weight"),
-                    "bias": v_stack("layer_norm2.bias")},
-            "q": {"kernel": v_stack("self_attn.q_proj.weight", True),
-                  "bias": v_stack("self_attn.q_proj.bias")},
-            "k": {"kernel": v_stack("self_attn.k_proj.weight", True),
-                  "bias": v_stack("self_attn.k_proj.bias")},
-            "v": {"kernel": v_stack("self_attn.v_proj.weight", True),
-                  "bias": v_stack("self_attn.v_proj.bias")},
-            "o": {"kernel": v_stack("self_attn.out_proj.weight", True),
-                  "bias": v_stack("self_attn.out_proj.bias")},
-            "fc1": {"kernel": v_stack("mlp.fc1.weight", True),
-                    "bias": v_stack("mlp.fc1.bias")},
-            "fc2": {"kernel": v_stack("mlp.fc2.weight", True),
-                    "bias": v_stack("mlp.fc2.bias")},
-        },
-        "post_layernorm": {
-            "weight": _a(g("vision_model.post_layernorm.weight"), dtype),
-            "bias": _a(g("vision_model.post_layernorm.bias"), dtype),
-        },
-    }
+    vision = import_siglip_vision(state, cfg.vision, dtype,
+                                  prefix=prefix + "vision_model.")
 
     pc = cfg.perceiver
 

@@ -160,6 +160,93 @@ def unpack_wqkv(
     return {"q": q.T, "k": k.T, "v": v.T}
 
 
+def _llama_attention(g, cfg: LLMConfig, L: int, per_layer_t, dtype):
+    """Llama-family attention kernels, with optional QKV biases.
+
+    Qwen2 (MiniCPM-V-2.6's LLM) carries q/k/v biases but no o_proj bias —
+    a missing bias imports as zeros, which is exact."""
+    attn = {
+        "wq": {"kernel": per_layer_t("self_attn.q_proj")},
+        "wk": {"kernel": per_layer_t("self_attn.k_proj")},
+        "wv": {"kernel": per_layer_t("self_attn.v_proj")},
+        "wo": {"kernel": per_layer_t("self_attn.o_proj")},
+    }
+    if cfg.bias:
+        def per_layer_b(name, width):
+            rows = []
+            for i in range(L):
+                try:
+                    rows.append(g(f"model.layers.{i}.{name}.bias"))
+                except KeyError:
+                    rows.append(np.zeros((width,), np.float32))
+            return _a(_stack(rows), dtype)
+
+        Hq, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                      cfg.head_dim)
+        attn["wq"]["bias"] = per_layer_b("self_attn.q_proj", Hq * D)
+        attn["wk"]["bias"] = per_layer_b("self_attn.k_proj", Hkv * D)
+        attn["wv"]["bias"] = per_layer_b("self_attn.v_proj", Hkv * D)
+        attn["wo"]["bias"] = per_layer_b("self_attn.o_proj", cfg.hidden_size)
+    return attn
+
+
+def import_siglip_vision(
+    state: Dict[str, np.ndarray], cfg, dtype=jnp.float32,
+    prefix: str = "vision_model.",
+) -> Dict[str, Any]:
+    """Map a SigLIP vision tower state dict onto our pytree.
+
+    Shared by the Idefics2/VideoScore port (``models/videoscore.py``,
+    prefix ``vision_model.``) and MiniCPM-V-2.6 (prefix ``vpm.`` — its
+    NaViT-adapted SigLIP is the same so400m architecture).  ``cfg`` is a
+    ``videoscore.SigLIPVisionConfig``.
+    """
+    g = lambda name: state[prefix + name]  # noqa: E731
+
+    conv = np.asarray(g("embeddings.patch_embedding.weight"))
+    P = cfg.patch_size
+    conv = conv.transpose(2, 3, 1, 0).reshape(P * P * 3, -1)
+
+    def v_stack(name, transpose=False):
+        ts = [np.asarray(g(f"encoder.layers.{i}.{name}"))
+              for i in range(cfg.num_hidden_layers)]
+        arr = np.stack(ts)
+        if transpose:
+            arr = arr.transpose(0, 2, 1)
+        return _a(arr, dtype)
+
+    return {
+        "patch_embedding": {
+            "kernel": _a(conv, dtype),
+            "bias": _a(g("embeddings.patch_embedding.bias"), dtype),
+        },
+        "position_embedding": _a(
+            g("embeddings.position_embedding.weight"), dtype),
+        "layers": {
+            "ln1": {"weight": v_stack("layer_norm1.weight"),
+                    "bias": v_stack("layer_norm1.bias")},
+            "ln2": {"weight": v_stack("layer_norm2.weight"),
+                    "bias": v_stack("layer_norm2.bias")},
+            "q": {"kernel": v_stack("self_attn.q_proj.weight", True),
+                  "bias": v_stack("self_attn.q_proj.bias")},
+            "k": {"kernel": v_stack("self_attn.k_proj.weight", True),
+                  "bias": v_stack("self_attn.k_proj.bias")},
+            "v": {"kernel": v_stack("self_attn.v_proj.weight", True),
+                  "bias": v_stack("self_attn.v_proj.bias")},
+            "o": {"kernel": v_stack("self_attn.out_proj.weight", True),
+                  "bias": v_stack("self_attn.out_proj.bias")},
+            "fc1": {"kernel": v_stack("mlp.fc1.weight", True),
+                    "bias": v_stack("mlp.fc1.bias")},
+            "fc2": {"kernel": v_stack("mlp.fc2.weight", True),
+                    "bias": v_stack("mlp.fc2.bias")},
+        },
+        "post_layernorm": {
+            "weight": _a(g("post_layernorm.weight"), dtype),
+            "bias": _a(g("post_layernorm.bias"), dtype),
+        },
+    }
+
+
 def import_decoder_params(
     state: Dict[str, np.ndarray], cfg: LLMConfig, dtype=jnp.float32,
     prefix: str = "language_model.",
@@ -259,12 +346,7 @@ def import_decoder_params(
                     dtype,
                 )
             },
-            "attention": {
-                "wq": {"kernel": per_layer_t("self_attn.q_proj")},
-                "wk": {"kernel": per_layer_t("self_attn.k_proj")},
-                "wv": {"kernel": per_layer_t("self_attn.v_proj")},
-                "wo": {"kernel": per_layer_t("self_attn.o_proj")},
-            },
+            "attention": _llama_attention(g, cfg, L, per_layer_t, dtype),
             "ffn_norm": {
                 "weight": _a(
                     _stack([
