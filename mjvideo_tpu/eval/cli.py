@@ -28,8 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reward checkpoint dir (scorer mode)")
     p.add_argument("--judge", default=None,
                    choices=(None, "internvl-chat", "qwen2-vl", "minicpm-v",
-                            "gpt4o",
-                            "gemini"),
+                            "cogvlm2", "gpt4o", "gemini"),
                    help="use a baseline judge instead of the reward scorer")
     p.add_argument("--judge-model", default=None,
                    help="chat checkpoint for internvl-chat / API model name")
@@ -118,6 +117,20 @@ def _make_judge(args):
         params = import_minicpmv_params(state, mcfg, dtype=jnp.bfloat16)
         return MiniCPMVJudge(mcfg, params, tok,
                              num_segments=args.num_segments)
+    if args.judge == "cogvlm2":
+        from ..models.cogvlm2 import (
+            cogvlm2_config_from_hf,
+            import_cogvlm2_params,
+        )
+        from ..utils.checkpoint import load_safetensors_dir
+        from .judges import CogVLM2Judge
+
+        with open(f"{path}/config.json") as f:
+            ccfg = cogvlm2_config_from_hf(json.load(f))
+        state = load_safetensors_dir(path)
+        params = import_cogvlm2_params(state, ccfg, dtype=jnp.bfloat16)
+        return CogVLM2Judge(ccfg, params, tok,
+                            num_segments=args.num_segments)
     # internvl-chat: our own backbone as the judge
     from ..configs import load_config
     from ..utils.checkpoint import import_chat_params, load_safetensors_dir

@@ -338,6 +338,53 @@ class MiniCPMVJudge:
             self.tokenizer, "decode") else str(toks)
 
 
+class CogVLM2Judge:
+    """A local judge backed by the CogVLM2-Video JAX port
+    (``models/cogvlm2.py``) — fourth local backbone family, matching the
+    reference's CogVLM2 swift baseline (``eval_overall_cogvlm2.py:119-129``,
+    ``ModelType.cogvlm2_video_13b_chat``).  Frames are uniformly sampled,
+    resized to the square model resolution, and enter the LLM as one
+    shared-position vision block; the answer decodes greedily.
+    """
+
+    def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
+                 max_new_tokens: int = 64, attn_impl: Optional[str] = None):
+        self.cfg = cfg  # CogVLM2Config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.num_segments = num_segments
+        self.max_new_tokens = max_new_tokens
+        self.attn_impl = attn_impl or "auto"
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        from ..data.video import (
+            decode_frames,
+            get_frame_indices,
+            video_metadata,
+        )
+        from ..models.cogvlm2 import (
+            build_video_prompt_ids,
+            greedy_generate,
+            preprocess_video_frames,
+        )
+
+        n_frames, fps = video_metadata(video_path)
+        indices = get_frame_indices(n_frames, self.num_segments, fps=fps)
+        frames = decode_frames(video_path, indices)
+        pix = preprocess_video_frames(frames, self.cfg.vision)
+        ids, tt = build_video_prompt_ids(self.tokenizer, self.cfg,
+                                         len(frames), prompt)
+        toks = greedy_generate(
+            self.params, self.cfg, ids, tt, pixel_values=pix,
+            max_new_tokens=self.max_new_tokens,
+            attn_impl=self.attn_impl,
+        )
+        if toks and toks[-1] == self.cfg.eos_token_id:
+            toks = toks[:-1]
+        return self.tokenizer.decode(toks) if hasattr(
+            self.tokenizer, "decode") else str(toks)
+
+
 def _extract_frames_b64(video_path: str, every: int = 50,
                         max_frames: int = 8) -> List[str]:
     """cv2 frame extraction -> base64 JPEG (``eval_overall_gpt4o.py:64-74``)."""

@@ -1,0 +1,611 @@
+"""CogVLM2-Video backbone, TPU-native — the fourth local baseline-judge family.
+
+The reference benchmarks MJ-Video against CogVLM2-Video through ms-swift
+(``eval_overall_cogvlm2.py:119-129``, ``ModelType.cogvlm2_video_13b_chat``).
+This is a from-scratch JAX port of the CogVLM2-Video architecture
+(THUDM/cogvlm2-video-llama3-chat, trust_remote_code ``visual.py`` /
+``modeling_cogvlm.py``):
+
+* an **EVA2-CLIP** vision tower with the EVA block quirk — LayerNorm applied
+  to each sublayer's OUTPUT before the residual add (not pre-norm);
+* a conv-2x2 downsample + **GLU adapter** (SwiGLU-style projector) with
+  learned ``boi``/``eoi`` boundary embeddings per frame;
+* a Llama-3-8B text model where every layer carries **two experts** —
+  separate QKV/dense/MLP weights for vision vs language token positions —
+  and all interior vision tokens of a run share one RoPE position
+  (``build_position_ids``).
+
+Validated against an independent torch oracle (``tests/test_cogvlm2.py``)
+built from the same published structure.
+
+TPU-first notes:
+
+* The reference routes experts by boolean indexing
+  (``mixed_raw_layer[vision_mask] = vision_expert(...)``) — dynamic shapes.
+  Here both experts run dense and a (B, T, 1) mask selects per position:
+  static shapes, MXU-friendly, and the doubled projection FLOPs are cheap
+  relative to attention at judge sequence lengths.
+* ``build_position_ids`` is pure host-side integer work computed at
+  tokenization time, like the gating-token position (SURVEY.md §3.1).
+* Frames are encoded as a batch through one jitted vision tower (static
+  per-frame shapes; no per-image python loop).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import LLMConfig
+from ..ops.attention import multi_head_attention
+from ..ops.matmul import dot, dot_f32
+from ..ops.norms import layer_norm, rms_norm
+from ..ops.rope import apply_rope, rope_tables
+from . import decoder as dec
+from .internvl import scatter_image_embeds
+from .vit import patch_embed
+
+LANGUAGE_TOKEN_TYPE = 0
+VISION_TOKEN_TYPE = 1
+
+
+@dataclass(frozen=True)
+class CogVLM2VisionConfig:
+    """EVA2-CLIP-E tower (cogvlm2-video-llama3-chat ``vision_config``)."""
+
+    hidden_size: int = 1792
+    intermediate_size: int = 15360
+    num_hidden_layers: int = 63
+    num_heads: int = 16
+    patch_size: int = 14
+    image_size: int = 224
+    layer_norm_eps: float = 1e-6
+    scaling_factor: float = 8.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def tokens_per_frame(self) -> int:
+        # conv 2x2 stride 2 downsample + boi/eoi
+        return (self.grid // 2) ** 2 + 2
+
+
+@dataclass(frozen=True)
+class CogVLM2Config:
+    vision: CogVLM2VisionConfig = field(default_factory=CogVLM2VisionConfig)
+    # Llama-3-8B dims (cogvlm2-video-llama3-chat config.json);
+    # num_multi_query_heads=8 is the GQA kv head count.
+    text: LLMConfig = field(default_factory=lambda: LLMConfig(
+        architecture="llama", vocab_size=128256, hidden_size=4096,
+        intermediate_size=14336, num_hidden_layers=32,
+        num_attention_heads=32, num_key_value_heads=8,
+        rope_theta=500000.0, rms_norm_eps=1e-5, pad_token_id=128002,
+        max_position_embeddings=8192,
+    ))
+    bos_token_id: int = 128000
+    eos_token_id: int = 128001
+    pad_token_id: int = 128002
+
+
+def cogvlm2_config_from_hf(d: Dict[str, Any]) -> CogVLM2Config:
+    """Build a CogVLM2Config from an HF cogvlm2 config.json dict."""
+    v = d.get("vision_config", {})
+    return CogVLM2Config(
+        vision=CogVLM2VisionConfig(
+            hidden_size=v.get("hidden_size", 1792),
+            intermediate_size=v.get("intermediate_size", 15360),
+            num_hidden_layers=v.get("num_hidden_layers", 63),
+            num_heads=v.get("num_heads", 16),
+            patch_size=v.get("patch_size", 14),
+            image_size=v.get("image_size", 224),
+            layer_norm_eps=v.get("layer_norm_eps", 1e-6),
+            scaling_factor=v.get("scaling_factor", 8.0),
+        ),
+        text=LLMConfig(
+            architecture="llama",
+            vocab_size=d.get("vocab_size", 128256),
+            hidden_size=d.get("hidden_size", 4096),
+            intermediate_size=d.get("intermediate_size", 14336),
+            num_hidden_layers=d.get("num_hidden_layers", 32),
+            num_attention_heads=d.get("num_attention_heads", 32),
+            num_key_value_heads=d.get("num_multi_query_heads", 8),
+            rope_theta=d.get("rope_theta", 500000.0),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            pad_token_id=d.get("pad_token_id", 128002) or 128002,
+            max_position_embeddings=d.get("max_position_embeddings", 8192),
+        ),
+        bos_token_id=d.get("bos_token_id", 128000),
+        eos_token_id=d.get("eos_token_id", 128001),
+        pad_token_id=d.get("pad_token_id", 128002) or 128002,
+    )
+
+
+# -------------------------------------------------------------------- params
+
+def init_cogvlm2_params(key, cfg: CogVLM2Config, dtype=jnp.float32):
+    vc, tc = cfg.vision, cfg.text
+    C, I, L = vc.hidden_size, vc.intermediate_size, vc.num_hidden_layers
+    D, TI = tc.hidden_size, tc.intermediate_size
+    Lt = tc.num_hidden_layers
+    Hq, Hkv, hd = (tc.num_attention_heads, tc.num_key_value_heads,
+                   tc.head_dim)
+    qkv_size = Hq * hd + 2 * Hkv * hd
+    P = vc.patch_size
+    k = jax.random.split(key, 27)
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+    vision = {
+        "patch_embedding": {"kernel": dense(k[0], (P * P * 3, C)),
+                            "bias": jnp.zeros((C,), dtype)},
+        "cls_embedding": dense(k[1], (C,)),
+        "position_embedding": dense(k[2], (vc.grid**2 + 1, C)),
+        "layers": {
+            "ln1": {"weight": jnp.ones((L, C), dtype),
+                    "bias": jnp.zeros((L, C), dtype)},
+            "ln2": {"weight": jnp.ones((L, C), dtype),
+                    "bias": jnp.zeros((L, C), dtype)},
+            "qkv": {"kernel": dense(k[3], (L, C, 3 * C)),
+                    "bias": jnp.zeros((L, 3 * C), dtype)},
+            "dense": {"kernel": dense(k[4], (L, C, C)),
+                      "bias": jnp.zeros((L, C), dtype)},
+            "fc1": {"kernel": dense(k[5], (L, C, I)),
+                    "bias": jnp.zeros((L, I), dtype)},
+            "fc2": {"kernel": dense(k[6], (L, I, C)),
+                    "bias": jnp.zeros((L, C), dtype)},
+        },
+    }
+    adapter = {
+        "conv": {"kernel": dense(k[7], (4 * C, C)),
+                 "bias": jnp.zeros((C,), dtype)},
+        "linear_proj": {"kernel": dense(k[8], (C, D))},
+        "norm1": {"weight": jnp.ones((D,), dtype),
+                  "bias": jnp.zeros((D,), dtype)},
+        "gate_proj": {"kernel": dense(k[9], (D, TI))},
+        "dense_h_to_4h": {"kernel": dense(k[10], (D, TI))},
+        "dense_4h_to_h": {"kernel": dense(k[11], (TI, D))},
+        "boi": dense(k[12], (1, 1, D)),
+        "eoi": dense(k[13], (1, 1, D)),
+    }
+    text = {
+        "tok_embeddings": dense(k[14], (tc.vocab_size, D)),
+        "layers": {
+            "attention_norm": {"weight": jnp.ones((Lt, D), dtype)},
+            "ffn_norm": {"weight": jnp.ones((Lt, D), dtype)},
+            "attention": {
+                # vision expert QKV carries a bias; language expert doesn't
+                # (modeling_cogvlm.py VisionExpertAttention.__init__)
+                "vision_qkv": {"kernel": dense(k[15], (Lt, D, qkv_size)),
+                               "bias": jnp.zeros((Lt, qkv_size), dtype)},
+                "language_qkv": {"kernel": dense(k[16], (Lt, D, qkv_size))},
+                "vision_dense": {"kernel": dense(k[17], (Lt, Hq * hd, D))},
+                "language_dense": {"kernel": dense(k[18], (Lt, Hq * hd, D))},
+            },
+            "mlp": {
+                "vision": {
+                    "w1": {"kernel": dense(k[19], (Lt, D, TI))},
+                    "w3": {"kernel": dense(k[20], (Lt, D, TI))},
+                    "w2": {"kernel": dense(k[21], (Lt, TI, D))},
+                },
+                "language": {
+                    "w1": {"kernel": dense(k[22], (Lt, D, TI))},
+                    "w3": {"kernel": dense(k[23], (Lt, D, TI))},
+                    "w2": {"kernel": dense(k[24], (Lt, TI, D))},
+                },
+            },
+        },
+        "norm": {"weight": jnp.ones((D,), dtype)},
+        "output": {"kernel": dense(k[25], (D, tc.vocab_size))},
+    }
+    return {"vision": vision, "adapter": adapter, "language_model": text}
+
+
+def import_cogvlm2_params(state: Dict[str, np.ndarray], cfg: CogVLM2Config,
+                          dtype=jnp.float32):
+    """Map an HF CogVLM2 (THUDM layout) state_dict to our pytree.
+
+    Published names: ``model.vision.*`` (patch_embedding / transformer
+    layers / linear_proj / conv / boi / eoi), ``model.layers.{i}.*`` with
+    ``self_attn.vision_expert_query_key_value`` etc., ``model.norm``,
+    ``lm_head``, ``model.embed_tokens``.
+    """
+    vc, tc = cfg.vision, cfg.text
+    L, Lt = vc.num_hidden_layers, tc.num_hidden_layers
+
+    def g(name):
+        for p in ("", "model."):
+            if p + name in state:
+                return np.asarray(state[p + name])
+        raise KeyError(name)
+
+    def arr(x):
+        return jnp.asarray(np.asarray(x), dtype)
+
+    def stack(fmt, n, transpose=False):
+        ws = [g(fmt.format(i=i)) for i in range(n)]
+        return arr(np.stack([w.T if transpose else w for w in ws]))
+
+    P = vc.patch_size
+    conv_w = g("vision.patch_embedding.proj.weight")
+    conv_w = conv_w.transpose(2, 3, 1, 0).reshape(P * P * 3, -1)
+    vb = "vision.transformer.layers.{i}."
+    vision = {
+        "patch_embedding": {
+            "kernel": arr(conv_w),
+            "bias": arr(g("vision.patch_embedding.proj.bias")),
+        },
+        "cls_embedding": arr(
+            g("vision.patch_embedding.cls_embedding").reshape(-1)),
+        "position_embedding": arr(
+            g("vision.patch_embedding.position_embedding.weight")),
+        "layers": {
+            "ln1": {"weight": stack(vb + "input_layernorm.weight", L),
+                    "bias": stack(vb + "input_layernorm.bias", L)},
+            "ln2": {"weight": stack(vb + "post_attention_layernorm.weight", L),
+                    "bias": stack(vb + "post_attention_layernorm.bias", L)},
+            "qkv": {"kernel": stack(vb + "attention.query_key_value.weight",
+                                    L, True),
+                    "bias": stack(vb + "attention.query_key_value.bias", L)},
+            "dense": {"kernel": stack(vb + "attention.dense.weight", L, True),
+                      "bias": stack(vb + "attention.dense.bias", L)},
+            "fc1": {"kernel": stack(vb + "mlp.fc1.weight", L, True),
+                    "bias": stack(vb + "mlp.fc1.bias", L)},
+            "fc2": {"kernel": stack(vb + "mlp.fc2.weight", L, True),
+                    "bias": stack(vb + "mlp.fc2.bias", L)},
+        },
+    }
+    # conv 2x2 stride 2: torch (C_out, C_in, 2, 2) -> (kh, kw, C_in) flat
+    cw = g("vision.conv.weight")
+    adapter = {
+        "conv": {"kernel": arr(cw.transpose(2, 3, 1, 0).reshape(
+            4 * vc.hidden_size, -1)),
+            "bias": arr(g("vision.conv.bias"))},
+        "linear_proj": {"kernel": arr(
+            g("vision.linear_proj.linear_proj.weight").T)},
+        "norm1": {"weight": arr(g("vision.linear_proj.norm1.weight")),
+                  "bias": arr(g("vision.linear_proj.norm1.bias"))},
+        "gate_proj": {"kernel": arr(g("vision.linear_proj.gate_proj.weight").T)},
+        "dense_h_to_4h": {"kernel": arr(
+            g("vision.linear_proj.dense_h_to_4h.weight").T)},
+        "dense_4h_to_h": {"kernel": arr(
+            g("vision.linear_proj.dense_4h_to_h.weight").T)},
+        "boi": arr(g("vision.boi")),
+        "eoi": arr(g("vision.eoi")),
+    }
+    lb = "layers.{i}."
+    text = {
+        "tok_embeddings": arr(g("embed_tokens.weight")),
+        "layers": {
+            "attention_norm": {
+                "weight": stack(lb + "input_layernorm.weight", Lt)},
+            "ffn_norm": {
+                "weight": stack(lb + "post_attention_layernorm.weight", Lt)},
+            "attention": {
+                "vision_qkv": {
+                    "kernel": stack(
+                        lb + "self_attn.vision_expert_query_key_value.weight",
+                        Lt, True),
+                    "bias": stack(
+                        lb + "self_attn.vision_expert_query_key_value.bias",
+                        Lt)},
+                "language_qkv": {
+                    "kernel": stack(
+                        lb + "self_attn.language_expert_query_key_value.weight",
+                        Lt, True)},
+                "vision_dense": {"kernel": stack(
+                    lb + "self_attn.vision_expert_dense.weight", Lt, True)},
+                "language_dense": {"kernel": stack(
+                    lb + "self_attn.language_expert_dense.weight", Lt, True)},
+            },
+            "mlp": {
+                "vision": {
+                    "w1": {"kernel": stack(
+                        lb + "mlp.vision_mlp.gate_proj.weight", Lt, True)},
+                    "w3": {"kernel": stack(
+                        lb + "mlp.vision_mlp.up_proj.weight", Lt, True)},
+                    "w2": {"kernel": stack(
+                        lb + "mlp.vision_mlp.down_proj.weight", Lt, True)},
+                },
+                "language": {
+                    "w1": {"kernel": stack(
+                        lb + "mlp.language_mlp.gate_proj.weight", Lt, True)},
+                    "w3": {"kernel": stack(
+                        lb + "mlp.language_mlp.up_proj.weight", Lt, True)},
+                    "w2": {"kernel": stack(
+                        lb + "mlp.language_mlp.down_proj.weight", Lt, True)},
+                },
+            },
+        },
+        "norm": {"weight": arr(g("norm.weight"))},
+        "output": {"kernel": arr(g("lm_head.weight").T)},
+    }
+    return {"vision": vision, "adapter": adapter, "language_model": text}
+
+
+# ------------------------------------------------------------ vision tower
+
+def vision_forward(params, cfg: CogVLM2VisionConfig,
+                   pixel_values: jnp.ndarray,  # (F, H, W, 3) NHWC
+                   attn_impl: str = "xla",
+                   remat: bool = False) -> jnp.ndarray:
+    """EVA2-CLIP tower -> per-frame features (F, 1+grid^2, C).
+
+    EVA block quirk (visual.py ``TransformerLayer.forward``): each
+    sublayer's LayerNorm is applied to the sublayer OUTPUT, then added to
+    the un-normalized residual.
+    """
+    x = patch_embed(params["patch_embedding"], pixel_values, cfg.patch_size)
+    B = x.shape[0]
+    cls = jnp.broadcast_to(
+        params["cls_embedding"][None, None], (B, 1, cfg.hidden_size)
+    ).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["position_embedding"][None].astype(x.dtype)
+
+    H, D = cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+
+    def block(carry, lp):
+        x = carry
+        B, S, C = x.shape
+        qkv = dot(x, lp["qkv"]["kernel"]) + lp["qkv"]["bias"]
+        q, k, v = jnp.split(qkv.reshape(B, S, 3, H, D), 3, axis=2)
+        attn = multi_head_attention(q[:, :, 0], k[:, :, 0], v[:, :, 0],
+                                    causal=False, impl=attn_impl)
+        attn = dot(attn.reshape(B, S, C), lp["dense"]["kernel"]) \
+            + lp["dense"]["bias"]
+        x = x + layer_norm(attn, lp["ln1"]["weight"], lp["ln1"]["bias"],
+                           eps=eps)
+        h = dot(x, lp["fc1"]["kernel"]) + lp["fc1"]["bias"]
+        h = jax.nn.gelu(h, approximate=False)
+        h = dot(h, lp["fc2"]["kernel"]) + lp["fc2"]["bias"]
+        x = x + layer_norm(h, lp["ln2"]["weight"], lp["ln2"]["bias"], eps=eps)
+        return x, None
+
+    blk = jax.checkpoint(block) if remat else block
+    x, _ = jax.lax.scan(blk, x, params["layers"])
+    return x
+
+
+def adapter_forward(params, cfg: CogVLM2Config,
+                    vision_out: jnp.ndarray) -> jnp.ndarray:
+    """Drop cls, conv-2x2 downsample, GLU projection, boi/eoi framing,
+    scaling — visual.py ``EVA2CLIPModel.forward`` after the transformer.
+
+    Returns (F, tokens_per_frame, llm_hidden).
+    """
+    vc = cfg.vision
+    x = vision_out[:, 1:]  # drop cls
+    F = x.shape[0]
+    g = vc.grid
+    C = vc.hidden_size
+    # conv k2 s2 == non-overlapping 2x2 patch matmul (channels-last)
+    x = x.reshape(F, g // 2, 2, g // 2, 2, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(F, (g // 2) ** 2,
+                                                     4 * C)
+    x = dot(x, params["conv"]["kernel"]) + params["conv"]["bias"]
+
+    x = dot(x, params["linear_proj"]["kernel"])
+    x = layer_norm(x, params["norm1"]["weight"], params["norm1"]["bias"])
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.nn.silu(dot(x, params["gate_proj"]["kernel"])) \
+        * dot(x, params["dense_h_to_4h"]["kernel"])
+    x = dot(x, params["dense_4h_to_h"]["kernel"])
+
+    boi = jnp.broadcast_to(params["boi"], (F, 1, x.shape[-1])).astype(x.dtype)
+    eoi = jnp.broadcast_to(params["eoi"], (F, 1, x.shape[-1])).astype(x.dtype)
+    x = jnp.concatenate([boi, x, eoi], axis=1)
+    return x / vc.scaling_factor
+
+
+# ----------------------------------------------------------- position ids
+
+def build_position_ids(token_type_ids: np.ndarray) -> np.ndarray:
+    """CogVLM's shared-vision-position scheme, host-side numpy.
+
+    Reimplements ``modeling_cogvlm.build_position_ids``: the first/last
+    vision token of each run counts as language for increments; interior
+    vision tokens share a single position.
+    """
+    x = np.asarray(token_type_ids)
+    tmp = x.copy()
+    is_boi_eoi = np.zeros_like(x, dtype=bool)
+    is_boi_eoi[:, 1:] |= (tmp[:, 1:] == VISION_TOKEN_TYPE) & (
+        tmp[:, :-1] == LANGUAGE_TOKEN_TYPE)
+    is_boi_eoi[:, 0] |= tmp[:, 0] == VISION_TOKEN_TYPE
+    is_boi_eoi[:, :-1] |= (tmp[:, :-1] == VISION_TOKEN_TYPE) & (
+        tmp[:, 1:] == LANGUAGE_TOKEN_TYPE)
+    is_boi_eoi[:, -1] |= tmp[:, -1] == VISION_TOKEN_TYPE
+    tmp[is_boi_eoi] = LANGUAGE_TOKEN_TYPE
+    y = np.zeros_like(x)
+    y[:, 1:] = (tmp[:, 1:] == LANGUAGE_TOKEN_TYPE) | (
+        (tmp[:, 1:] == VISION_TOKEN_TYPE)
+        & (tmp[:, :-1] == LANGUAGE_TOKEN_TYPE))
+    return np.cumsum(y, axis=-1)
+
+
+# ------------------------------------------------------------ text decoder
+
+def _expert_layer(cfg: LLMConfig, lp, x, vis_mask, attention_mask, cos, sin,
+                  position_ids, attn_impl):
+    """One dual-expert decoder layer (``VisionExpertAttention`` +
+    ``VisionExpertMLP``); ``vis_mask``: (B, T, 1) float selector."""
+    B, S, D = x.shape
+    Hq, Hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+
+    h = rms_norm(x, lp["attention_norm"]["weight"], eps=cfg.rms_norm_eps)
+    a = lp["attention"]
+    qkv_v = dot(h, a["vision_qkv"]["kernel"]) + a["vision_qkv"]["bias"]
+    qkv_l = dot(h, a["language_qkv"]["kernel"])
+    qkv = jnp.where(vis_mask.astype(bool), qkv_v, qkv_l)
+    q = qkv[..., : Hq * hd].reshape(B, S, Hq, hd)
+    k = qkv[..., Hq * hd: Hq * hd + Hkv * hd].reshape(B, S, Hkv, hd)
+    v = qkv[..., Hq * hd + Hkv * hd:].reshape(B, S, Hkv, hd)
+    q, k = apply_rope(q, k, cos, sin, position_ids)
+    attn = multi_head_attention(q, k, v, attention_mask=attention_mask,
+                                causal=True, impl=attn_impl)
+    attn = attn.reshape(B, S, Hq * hd)
+    out = jnp.where(vis_mask.astype(bool),
+                    dot(attn, a["vision_dense"]["kernel"]),
+                    dot(attn, a["language_dense"]["kernel"]))
+    x = x + out
+
+    h = rms_norm(x, lp["ffn_norm"]["weight"], eps=cfg.rms_norm_eps)
+
+    def swiglu(mp):
+        return dot(jax.nn.silu(dot(h, mp["w1"]["kernel"]))
+                   * dot(h, mp["w3"]["kernel"]), mp["w2"]["kernel"])
+
+    mlp_out = jnp.where(vis_mask.astype(bool), swiglu(lp["mlp"]["vision"]),
+                        swiglu(lp["mlp"]["language"]))
+    return x + mlp_out
+
+
+def cogvlm2_forward(
+    params, cfg: CogVLM2Config,
+    input_ids: jnp.ndarray,  # (B, T) with pad_token_id vision placeholders
+    token_type_ids: jnp.ndarray,  # (B, T) 0=language 1=vision
+    attention_mask: Optional[jnp.ndarray],
+    position_ids: jnp.ndarray,  # (B, T) from build_position_ids
+    pixel_values: Optional[jnp.ndarray] = None,  # (F, H, W, 3) NHWC
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Full multimodal forward -> final hidden states (B, T, C)."""
+    lm = params["language_model"]
+    tc = cfg.text
+    embeds = dec.embed_tokens(lm, input_ids)
+    if pixel_values is not None:
+        vis = vision_forward(params["vision"], cfg.vision, pixel_values,
+                             attn_impl="xla" if attn_impl == "auto"
+                             else attn_impl,
+                             remat=remat)
+        img = adapter_forward(params["adapter"], cfg, vis)
+        # vision positions are exactly the token_type==VISION slots
+        marker = (token_type_ids == VISION_TOKEN_TYPE).astype(jnp.int32)
+        embeds = scatter_image_embeds(embeds, marker, img, 1)
+
+    S = input_ids.shape[1]
+    max_pos = int(tc.max_position_embeddings)
+    cos, sin = rope_tables(max(S, 1), tc.head_dim, base=tc.rope_theta,
+                           max_position_embeddings=max_pos)
+    vis_mask = (token_type_ids == VISION_TOKEN_TYPE).astype(
+        embeds.dtype)[..., None]
+
+    def block(carry, lp):
+        return _expert_layer(tc, lp, carry, vis_mask, attention_mask, cos,
+                             sin, position_ids, attn_impl), None
+
+    blk = jax.checkpoint(block) if remat else block
+    x, _ = jax.lax.scan(blk, embeds, lm["layers"])
+    return rms_norm(x, lm["norm"]["weight"], eps=tc.rms_norm_eps)
+
+
+def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
+    return dot_f32(hidden, params["language_model"]["output"]["kernel"])
+
+
+def greedy_generate(
+    params, cfg: CogVLM2Config,
+    input_ids: np.ndarray,  # (1, T) unpadded prompt
+    token_type_ids: np.ndarray,  # (1, T)
+    pixel_values=None,
+    max_new_tokens: int = 16,
+    eos_token_id: Optional[int] = None,
+    attn_impl: str = "auto",
+) -> List[int]:
+    """Greedy decode by full re-forward at a static padded length."""
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    T = input_ids.shape[1]
+    total = T + max_new_tokens
+    ids0 = np.full((1, total), cfg.pad_token_id, np.int32)
+    ids0[:, :T] = input_ids
+    tt0 = np.zeros((1, total), np.int32)
+    tt0[:, :T] = token_type_ids
+    mask0 = np.zeros((1, total), np.int32)
+    mask0[:, :T] = 1
+    pos_prompt = build_position_ids(tt0[:, :T])
+    pos0 = np.zeros((1, total), np.int64)
+    pos0[:, :T] = pos_prompt
+    pos0[:, T:] = pos_prompt.max() + 1 + np.arange(max_new_tokens)
+
+    @jax.jit
+    def step(ids, mask, pix):
+        hidden = cogvlm2_forward(
+            params, cfg, ids, jnp.asarray(tt0), mask, jnp.asarray(pos0),
+            pixel_values=pix, attn_impl=attn_impl,
+        )
+        return lm_logits(params, hidden)
+
+    ids = jnp.asarray(ids0)
+    mask = jnp.asarray(mask0)
+    pix = None if pixel_values is None else jnp.asarray(pixel_values)
+    out: List[int] = []
+    for i in range(max_new_tokens):
+        logits = step(ids, mask, pix)
+        tok = int(jnp.argmax(logits[0, T + i - 1]))
+        out.append(tok)
+        if tok == eos:
+            break
+        ids = ids.at[0, T + i].set(tok)
+        mask = mask.at[0, T + i].set(1)
+    return out
+
+
+# ------------------------------------------------------------- preprocessing
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_video_frames(
+    frames: Sequence[np.ndarray],  # uint8 RGB (H, W, 3)
+    cfg: CogVLM2VisionConfig,
+) -> np.ndarray:
+    """Frames -> (F, image_size, image_size, 3) fp32, CLIP-normalized
+    (the cogvlm2-video processor resizes each frame to the square model
+    resolution)."""
+    from ..data.video import _pil_resize
+
+    size = cfg.image_size
+    mean = np.asarray(CLIP_MEAN, np.float32)
+    std = np.asarray(CLIP_STD, np.float32)
+    out = [(_pil_resize(f, (size, size)).astype(np.float32) / 255.0 - mean)
+           / std for f in frames]
+    return np.stack(out)
+
+
+def build_video_prompt_ids(
+    tokenizer, cfg: CogVLM2Config, n_frames: int, prompt: str,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(input_ids, token_type_ids) for an n-frame video + question.
+
+    Layout follows the published ``build_conversation_input_ids``: [bos],
+    then one vision block (boi + per-frame features + eoi slots, all
+    VISION type), then the templated question.  The vision slots hold
+    ``pad_token_id`` placeholders; the scatter fills them in-graph.
+    """
+    def enc(s):
+        if hasattr(tokenizer, "encode"):
+            return list(tokenizer.encode(s, add_special_tokens=False))
+        ids = tokenizer(s)
+        return ids["input_ids"] if isinstance(ids, dict) else list(ids)
+
+    n_vis = n_frames * cfg.vision.tokens_per_frame
+    text_ids = enc(f"Question: {prompt} Answer:")
+    ids = [cfg.bos_token_id] + [cfg.pad_token_id] * n_vis + text_ids
+    tt = [LANGUAGE_TOKEN_TYPE] + [VISION_TOKEN_TYPE] * n_vis \
+        + [LANGUAGE_TOKEN_TYPE] * len(text_ids)
+    return (np.asarray([ids], np.int32), np.asarray([tt], np.int32))
