@@ -152,15 +152,25 @@ def main(argv=None) -> None:
         from datasets import load_dataset  # HF datasets
 
         from ..data.video import fetch_remote_video
-        from .preference import evaluate_genai_bench
 
-        scorer = _make_scorer(args)
         ds = load_dataset("TIGER-Lab/GenAI-Bench", "video_generation",
                           split="test_v1")
-        res = evaluate_genai_bench(
-            scorer, ds, num_segments=args.num_segments,
-            results_path=args.results, fetch=fetch_remote_video,
-        )
+        if args.judge:
+            # baseline judge path: tie-aware rating comparison
+            # (eval_genai_internvl2_2b.py:160-212)
+            from .judges import run_genai_benchmark
+
+            res = run_genai_benchmark(
+                _make_judge(args), ds, results_path=args.results,
+                fetch=fetch_remote_video,
+            )
+        else:
+            from .preference import evaluate_genai_bench
+
+            res = evaluate_genai_bench(
+                _make_scorer(args), ds, num_segments=args.num_segments,
+                results_path=args.results, fetch=fetch_remote_video,
+            )
     else:
         records = _load_records(args.data_json)
         if args.benchmark == "safesora":

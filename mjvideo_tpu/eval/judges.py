@@ -642,6 +642,53 @@ class VideoScoreJudge:
         return self.aggregate(self.score_frames(pix, ids, mask))
 
 
+def run_genai_benchmark(
+    judge: Judge,
+    examples: Iterable[Dict],
+    results_path: Optional[str] = None,
+    fetch: Optional[Callable[[str], str]] = None,
+) -> Dict[str, float]:
+    """GenAI-Bench eval for a RATING-scale baseline judge
+    (``eval_genai_internvl2_2b.py:160-212``): rate both videos with the
+    overall prompt, then score votes tie-aware (good = rating > 5, +0.5
+    prefer_same credit for equal ratings).
+
+    ``examples`` yield {left_video, right_video, prompt, vote_type};
+    ``fetch`` maps remote paths to local files.
+    """
+    from .metrics import genai_judge_metrics
+    from .preference import IncrementalWriter
+
+    writer = IncrementalWriter(results_path)
+    lefts: List[float] = []
+    rights: List[float] = []
+    votes: List[str] = []
+    for i, ex in enumerate(examples):
+        if writer.seen(i):
+            continue
+        left = fetch(ex["left_video"]) if fetch else ex["left_video"]
+        right = fetch(ex["right_video"]) if fetch else ex["right_video"]
+        s0, s1, r0, r1 = judge_pair(judge, left, right, ex["prompt"])
+        writer.write({
+            "id": i, "score_left": s0, "score_right": s1,
+            "vote_type": ex["vote_type"],
+            "response_0": r0, "response_1": r1,
+        })
+        lefts.append(s0)
+        rights.append(s1)
+        votes.append(ex["vote_type"])
+    if results_path and os.path.exists(results_path):
+        lefts, rights, votes = [], [], []
+        with open(results_path) as f:
+            for line in f:
+                r = json.loads(line)
+                lefts.append(r["score_left"])
+                rights.append(r["score_right"])
+                votes.append(r["vote_type"])
+    return genai_judge_metrics(np.asarray(lefts, np.float64),
+                               np.asarray(rights, np.float64), votes)
+
+
 def run_overall_benchmark(
     judge: Judge,
     records: Iterable[Dict],

@@ -119,6 +119,47 @@ def genai_bench_metrics(
     }
 
 
+def genai_judge_metrics(
+    score_left: np.ndarray,
+    score_right: np.ndarray,
+    vote_types: Sequence[str],
+    good_threshold: float = 5,
+) -> Dict[str, float]:
+    """GenAI-Bench accuracy for RATING-scale baseline judges
+    (``eval_genai_internvl2_2b.py:176-212``): good = rating > 5; left/right
+    votes compare ratings, with +0.5 prefer_same credit when the judge
+    rates both videos equally; tie needs both good, bothbad both bad."""
+    prefer_truth = prefer_same = prefer_total = truth = total = 0.0
+    for sl, sr, vote in zip(score_left, score_right, vote_types):
+        lg, rg = sl > good_threshold, sr > good_threshold
+        if vote in ("rightvote", "leftvote"):
+            prefer_total += 1
+            total += 1
+            win = sr > sl if vote == "rightvote" else sr < sl
+            if win:
+                prefer_truth += 1
+                prefer_same += 1
+                truth += 1
+            elif sr == sl:
+                prefer_same += 0.5
+        elif vote == "bothbad_vote":
+            total += 1
+            if not lg and not rg:
+                truth += 1
+        elif vote == "tievote":
+            total += 1
+            if lg and rg:
+                truth += 1
+    return {
+        "prefer_accuracy": prefer_truth / prefer_total if prefer_total else 0.0,
+        "prefer_same_accuracy": (
+            prefer_same / prefer_total if prefer_total else 0.0),
+        "accuracy": truth / total if total else 0.0,
+        "prefer_total": int(prefer_total),
+        "total": int(total),
+    }
+
+
 def tie_aware_pair_score(
     pred: str, gt: str, tie_value: float = 0.5
 ) -> float:

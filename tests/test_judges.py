@@ -231,3 +231,50 @@ def test_videoscore_aggregate():
 
     assert VideoScoreJudge.aggregate([1.0, 2.0, 0.5, 1.5, 1.0]) == 6.0
     assert len(VideoScoreJudge.DIMS) == 5
+
+
+def test_genai_judge_metrics_reference_semantics():
+    """eval_genai_internvl2_2b.py:176-212: good = rating > 5; prefer_same
+    gives 0.5 credit for equal ratings on left/right votes."""
+    import numpy as np
+
+    from mjvideo_tpu.eval.metrics import genai_judge_metrics
+
+    sl = np.asarray([3.0, 9.0, 7.0, 7.0, 3.0, 6.0], np.float64)
+    sr = np.asarray([9.0, 3.0, 7.0, 9.0, 2.0, 9.0], np.float64)
+    votes = ["rightvote", "leftvote", "rightvote", "tievote",
+             "bothbad_vote", "tievote"]
+    m = genai_judge_metrics(sl, sr, votes)
+    # rightvote 9>3 correct; leftvote 3<9 correct; rightvote 7==7 -> 0.5
+    assert m["prefer_total"] == 3 and m["total"] == 6
+    assert m["prefer_accuracy"] == 2 / 3
+    assert m["prefer_same_accuracy"] == 2.5 / 3
+    # ties: (7,9) both good -> correct; (6,9) both good -> correct;
+    # bothbad (3,2) both bad -> correct; so 2 + 3 others / 6
+    assert m["accuracy"] == 5 / 6
+
+
+def test_run_genai_benchmark_with_judge(tmp_path):
+    from mjvideo_tpu.eval.judges import run_genai_benchmark
+
+    examples = [
+        {"left_video": "bad_l.mp4", "right_video": "good_r.mp4",
+         "prompt": "p", "vote_type": "rightvote"},
+        {"left_video": "good_l.mp4", "right_video": "bad_r.mp4",
+         "prompt": "p", "vote_type": "leftvote"},
+        {"left_video": "good_l.mp4", "right_video": "good_r.mp4",
+         "prompt": "p", "vote_type": "tievote"},
+    ]
+    res = run_genai_benchmark(_FakeJudge(), examples,
+                              results_path=str(tmp_path / "g.jsonl"))
+    assert res["prefer_total"] == 2 and res["total"] == 3
+    assert res["prefer_accuracy"] == 1.0 and res["accuracy"] == 1.0
+
+    # regression: results_path=None must still aggregate in memory
+    res2 = run_genai_benchmark(_FakeJudge(), examples, results_path=None)
+    assert res2 == res
+
+    # resume: a second run over the same path skips seen ids and re-reads
+    res3 = run_genai_benchmark(_FakeJudge(), examples,
+                               results_path=str(tmp_path / "g.jsonl"))
+    assert res3 == res
