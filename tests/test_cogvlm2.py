@@ -303,8 +303,11 @@ def test_full_forward_logits_match_oracle(tiny):
     np.testing.assert_allclose(got, want, atol=3e-4)
 
 
-def test_greedy_generate_runs_and_is_deterministic(tiny):
-    _, cfg, params = tiny
+def test_greedy_generate_matches_oracle_loop(tiny):
+    """Greedy decode vs a torch-oracle argmax loop — proves the decode-time
+    position ids (language continuation after the shared vision block) and
+    token-type handling match the published semantics."""
+    oracle, cfg, params = tiny
     rng = np.random.default_rng(2)
     pix = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
     ids, tt = build_video_prompt_ids(
@@ -315,7 +318,22 @@ def test_greedy_generate_runs_and_is_deterministic(tiny):
     b = greedy_generate(params, cfg, ids, tt, pixel_values=pix,
                         max_new_tokens=4, eos_token_id=-1, attn_impl="xla")
     assert a == b and len(a) == 4
-    assert all(0 <= t < cfg.text.vocab_size for t in a)
+
+    with torch.no_grad():
+        cur_ids = torch.from_numpy(ids.astype(np.int64))
+        cur_tt = torch.from_numpy(tt.astype(np.int64))
+        pix_t = torch.from_numpy(pix.transpose(0, 3, 1, 2))
+        want = []
+        for _ in range(4):
+            logits = oracle(cur_ids, cur_tt, pix_t)
+            tok = int(logits[0, -1].argmax())
+            want.append(tok)
+            cur_ids = torch.cat(
+                [cur_ids, torch.tensor([[tok]], dtype=torch.long)], dim=1)
+            cur_tt = torch.cat(
+                [cur_tt, torch.tensor([[LANGUAGE_TOKEN_TYPE]],
+                                      dtype=torch.long)], dim=1)
+    assert a == want
 
 
 class _ShimTokenizer:
