@@ -657,36 +657,17 @@ def run_genai_benchmark(
     ``fetch`` maps remote paths to local files.
     """
     from .metrics import genai_judge_metrics
-    from .preference import IncrementalWriter
+    from .preference import genai_driver
 
-    writer = IncrementalWriter(results_path)
-    lefts: List[float] = []
-    rights: List[float] = []
-    votes: List[str] = []
-    for i, ex in enumerate(examples):
-        if writer.seen(i):
-            continue
-        left = fetch(ex["left_video"]) if fetch else ex["left_video"]
-        right = fetch(ex["right_video"]) if fetch else ex["right_video"]
-        s0, s1, r0, r1 = judge_pair(judge, left, right, ex["prompt"])
-        writer.write({
-            "id": i, "score_left": s0, "score_right": s1,
-            "vote_type": ex["vote_type"],
-            "response_0": r0, "response_1": r1,
-        })
-        lefts.append(s0)
-        rights.append(s1)
-        votes.append(ex["vote_type"])
-    if results_path and os.path.exists(results_path):
-        lefts, rights, votes = [], [], []
-        with open(results_path) as f:
-            for line in f:
-                r = json.loads(line)
-                lefts.append(r["score_left"])
-                rights.append(r["score_right"])
-                votes.append(r["vote_type"])
-    return genai_judge_metrics(np.asarray(lefts, np.float64),
-                               np.asarray(rights, np.float64), votes)
+    def pair_scorer(left, right, prompt):
+        s0, s1, r0, r1 = judge_pair(judge, left, right, prompt)
+        return {"score_left": s0, "score_right": s1,
+                "response_0": r0, "response_1": r1}
+
+    lefts, rights, votes = genai_driver(pair_scorer, examples,
+                                        results_path=results_path,
+                                        fetch=fetch)
+    return genai_judge_metrics(lefts, rights, votes)
 
 
 def run_overall_benchmark(

@@ -80,55 +80,17 @@ def preference_accuracy(
     }
 
 
-def genai_bench_metrics(
+def _genai_vote_metrics(
     score_left: np.ndarray,
     score_right: np.ndarray,
     vote_types: Sequence[str],
+    good_threshold: float,
+    tie_credit: Optional[float],
 ) -> Dict[str, float]:
-    """GenAI-Bench accuracy, reference semantics
-    (``eval_genai_mjvideo.py:140-165``): left/right votes compare scores;
-    tie votes need both 'good' (score > 0); bothbad needs both 'bad'."""
-    prefer_truth = prefer_total = truth = total = 0
-    for sl, sr, vote in zip(score_left, score_right, vote_types):
-        lg, rg = sl > 0, sr > 0
-        if vote == "rightvote":
-            prefer_total += 1
-            total += 1
-            if sr > sl:
-                prefer_truth += 1
-                truth += 1
-        elif vote == "leftvote":
-            prefer_total += 1
-            total += 1
-            if sr < sl:
-                prefer_truth += 1
-                truth += 1
-        elif vote == "bothbad_vote":
-            total += 1
-            if not lg and not rg:
-                truth += 1
-        elif vote == "tievote":
-            total += 1
-            if lg and rg:
-                truth += 1
-    return {
-        "prefer_accuracy": prefer_truth / prefer_total if prefer_total else 0.0,
-        "accuracy": truth / total if total else 0.0,
-        "prefer_total": prefer_total,
-        "total": total,
-    }
-
-
-def genai_judge_metrics(
-    score_left: np.ndarray,
-    score_right: np.ndarray,
-    vote_types: Sequence[str],
-    good_threshold: float = 5,
-) -> Dict[str, float]:
-    """GenAI-Bench accuracy for RATING-scale baseline judges
-    (``eval_genai_internvl2_2b.py:176-212``): good = rating > 5; left/right
-    votes compare ratings, with +0.5 prefer_same credit when the judge
-    rates both videos equally; tie needs both good, bothbad both bad."""
+    """Shared GenAI-Bench vote scoring: left/right votes compare scores,
+    tie votes need both 'good' (score > ``good_threshold``), bothbad both
+    'bad'.  ``tie_credit`` (judge path) adds a prefer_same accuracy that
+    credits equal scores on decided votes."""
     prefer_truth = prefer_same = prefer_total = truth = total = 0.0
     for sl, sr, vote in zip(score_left, score_right, vote_types):
         lg, rg = sl > good_threshold, sr > good_threshold
@@ -140,8 +102,8 @@ def genai_judge_metrics(
                 prefer_truth += 1
                 prefer_same += 1
                 truth += 1
-            elif sr == sl:
-                prefer_same += 0.5
+            elif sr == sl and tie_credit:
+                prefer_same += tie_credit
         elif vote == "bothbad_vote":
             total += 1
             if not lg and not rg:
@@ -150,14 +112,40 @@ def genai_judge_metrics(
             total += 1
             if lg and rg:
                 truth += 1
-    return {
+    out = {
         "prefer_accuracy": prefer_truth / prefer_total if prefer_total else 0.0,
-        "prefer_same_accuracy": (
-            prefer_same / prefer_total if prefer_total else 0.0),
         "accuracy": truth / total if total else 0.0,
         "prefer_total": int(prefer_total),
         "total": int(total),
     }
+    if tie_credit is not None:
+        out["prefer_same_accuracy"] = (
+            prefer_same / prefer_total if prefer_total else 0.0)
+    return out
+
+
+def genai_bench_metrics(
+    score_left: np.ndarray,
+    score_right: np.ndarray,
+    vote_types: Sequence[str],
+) -> Dict[str, float]:
+    """GenAI-Bench accuracy for the reward model, reference semantics
+    (``eval_genai_mjvideo.py:140-165``): good = reward score > 0."""
+    return _genai_vote_metrics(score_left, score_right, vote_types,
+                               good_threshold=0, tie_credit=None)
+
+
+def genai_judge_metrics(
+    score_left: np.ndarray,
+    score_right: np.ndarray,
+    vote_types: Sequence[str],
+    good_threshold: float = 5,
+) -> Dict[str, float]:
+    """GenAI-Bench accuracy for RATING-scale baseline judges
+    (``eval_genai_internvl2_2b.py:176-212``): good = rating > 5; +0.5
+    prefer_same credit when the judge rates both videos equally."""
+    return _genai_vote_metrics(score_left, score_right, vote_types,
+                               good_threshold=good_threshold, tie_credit=0.5)
 
 
 def tie_aware_pair_score(

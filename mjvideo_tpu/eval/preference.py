@@ -172,17 +172,19 @@ def evaluate_aspects(
     }
 
 
-def evaluate_genai_bench(
-    scorer: RewardScorer,
+def genai_driver(
+    pair_scorer: Callable[[str, str, str], Dict],
     examples: Iterable[Dict],
-    num_segments: int = 8,
     results_path: Optional[str] = None,
     fetch: Optional[Callable[[str], str]] = None,
-) -> Dict[str, float]:
-    """GenAI-Bench video_generation eval (``eval_genai_mjvideo.py:119-165``).
+):
+    """Shared GenAI-Bench driver loop (reward scorer AND baseline judges):
+    enumerate examples, skip already-persisted ids, fetch videos, score the
+    pair via ``pair_scorer(left, right, prompt) -> record`` (must contain
+    ``score_left``/``score_right``), persist incrementally, and on resume
+    re-read the file so the returned arrays cover the union of runs.
 
-    ``examples`` yield {left_video, right_video, prompt, vote_type}; ``fetch``
-    maps remote paths to local files (e.g. ``data.video.fetch_remote_video``).
+    Returns (score_left array, score_right array, vote_types list).
     """
     writer = IncrementalWriter(results_path)
     lefts, rights, votes = [], [], []
@@ -191,14 +193,9 @@ def evaluate_genai_bench(
             continue
         left = fetch(ex["left_video"]) if fetch else ex["left_video"]
         right = fetch(ex["right_video"]) if fetch else ex["right_video"]
-        rl, rr = scorer.score_pair(left, right, ex["prompt"],
-                                   num_segments=num_segments)
-        rec = {
-            "id": i,
-            "score_left": float(rl["score"]),
-            "score_right": float(rr["score"]),
-            "vote_type": ex["vote_type"],
-        }
+        rec = dict(pair_scorer(left, right, ex["prompt"]))
+        rec["id"] = i
+        rec["vote_type"] = ex["vote_type"]
         writer.write(rec)
         lefts.append(rec["score_left"])
         rights.append(rec["score_right"])
@@ -214,7 +211,32 @@ def evaluate_genai_bench(
                 lefts.append(r["score_left"])
                 rights.append(r["score_right"])
                 votes.append(r["vote_type"])
-    return genai_bench_metrics(np.asarray(lefts), np.asarray(rights), votes)
+    return (np.asarray(lefts, np.float64), np.asarray(rights, np.float64),
+            votes)
+
+
+def evaluate_genai_bench(
+    scorer: RewardScorer,
+    examples: Iterable[Dict],
+    num_segments: int = 8,
+    results_path: Optional[str] = None,
+    fetch: Optional[Callable[[str], str]] = None,
+) -> Dict[str, float]:
+    """GenAI-Bench video_generation eval (``eval_genai_mjvideo.py:119-165``).
+
+    ``examples`` yield {left_video, right_video, prompt, vote_type}; ``fetch``
+    maps remote paths to local files (e.g. ``data.video.fetch_remote_video``).
+    """
+    def pair_scorer(left, right, prompt):
+        rl, rr = scorer.score_pair(left, right, prompt,
+                                   num_segments=num_segments)
+        return {"score_left": float(rl["score"]),
+                "score_right": float(rr["score"])}
+
+    lefts, rights, votes = genai_driver(pair_scorer, examples,
+                                        results_path=results_path,
+                                        fetch=fetch)
+    return genai_bench_metrics(lefts, rights, votes)
 
 
 def filter_safesora_pairs(records: Iterable[Dict]) -> List[Dict]:

@@ -397,7 +397,9 @@ def adapter_forward(params, cfg: CogVLM2Config,
     x = dot(x, params["conv"]["kernel"]) + params["conv"]["bias"]
 
     x = dot(x, params["linear_proj"]["kernel"])
-    x = layer_norm(x, params["norm1"]["weight"], params["norm1"]["bias"])
+    # published GLU uses nn.LayerNorm's default eps=1e-5 (visual.py GLU)
+    x = layer_norm(x, params["norm1"]["weight"], params["norm1"]["bias"],
+                   eps=1e-5)
     x = jax.nn.gelu(x, approximate=False)
     x = jax.nn.silu(dot(x, params["gate_proj"]["kernel"])) \
         * dot(x, params["dense_h_to_4h"]["kernel"])
@@ -482,20 +484,26 @@ def cogvlm2_forward(
     pixel_values: Optional[jnp.ndarray] = None,  # (F, H, W, 3) NHWC
     attn_impl: str = "auto",
     remat: bool = False,
+    vision_embeds: Optional[jnp.ndarray] = None,  # (F, n_tok, C) precomputed
 ) -> jnp.ndarray:
-    """Full multimodal forward -> final hidden states (B, T, C)."""
+    """Full multimodal forward -> final hidden states (B, T, C).
+
+    ``vision_embeds`` short-circuits the EVA tower + adapter with
+    precomputed per-frame tokens — the decode loop encodes frames ONCE.
+    """
     lm = params["language_model"]
     tc = cfg.text
     embeds = dec.embed_tokens(lm, input_ids)
-    if pixel_values is not None:
+    if vision_embeds is None and pixel_values is not None:
         vis = vision_forward(params["vision"], cfg.vision, pixel_values,
                              attn_impl="xla" if attn_impl == "auto"
                              else attn_impl,
                              remat=remat)
-        img = adapter_forward(params["adapter"], cfg, vis)
+        vision_embeds = adapter_forward(params["adapter"], cfg, vis)
+    if vision_embeds is not None:
         # vision positions are exactly the token_type==VISION slots
         marker = (token_type_ids == VISION_TOKEN_TYPE).astype(jnp.int32)
-        embeds = scatter_image_embeds(embeds, marker, img, 1)
+        embeds = scatter_image_embeds(embeds, marker, vision_embeds, 1)
 
     S = input_ids.shape[1]
     max_pos = int(tc.max_position_embeddings)
@@ -541,20 +549,30 @@ def greedy_generate(
     pos0[:, :T] = pos_prompt
     pos0[:, T:] = pos_prompt.max() + 1 + np.arange(max_new_tokens)
 
+    # Encode frames ONCE; the per-token step re-runs only the text stack.
+    vis = None
+    if pixel_values is not None:
+        vis = jax.jit(
+            lambda p: adapter_forward(
+                params["adapter"], cfg,
+                vision_forward(params["vision"], cfg.vision, p,
+                               attn_impl="xla" if attn_impl == "auto"
+                               else attn_impl))
+        )(jnp.asarray(pixel_values))
+
     @jax.jit
-    def step(ids, mask, pix):
+    def step(ids, mask, vis):
         hidden = cogvlm2_forward(
             params, cfg, ids, jnp.asarray(tt0), mask, jnp.asarray(pos0),
-            pixel_values=pix, attn_impl=attn_impl,
+            vision_embeds=vis, attn_impl=attn_impl,
         )
         return lm_logits(params, hidden)
 
     ids = jnp.asarray(ids0)
     mask = jnp.asarray(mask0)
-    pix = None if pixel_values is None else jnp.asarray(pixel_values)
     out: List[int] = []
     for i in range(max_new_tokens):
-        logits = step(ids, mask, pix)
+        logits = step(ids, mask, vis)
         tok = int(jnp.argmax(logits[0, T + i - 1]))
         out.append(tok)
         if tok == eos:

@@ -311,14 +311,20 @@ def minicpmv_forward(
     pixel_values: Optional[jnp.ndarray] = None,  # (F, H, W, 3) NHWC
     attn_impl: str = "auto",
     remat: bool = False,
+    vision_embeds: Optional[jnp.ndarray] = None,  # (F, Q, C) precomputed
 ) -> jnp.ndarray:
-    """Multimodal forward -> final hidden states (B, T, C)."""
+    """Multimodal forward -> final hidden states (B, T, C).
+
+    ``vision_embeds`` short-circuits the vision tower + resampler with
+    precomputed image tokens — the decode loop encodes frames ONCE.
+    """
     embeds = dec.embed_tokens(params["llm"], input_ids)
-    if pixel_values is not None:
-        img_tokens = get_vision_embedding(params, cfg, pixel_values,
-                                          remat=remat)
+    if vision_embeds is None and pixel_values is not None:
+        vision_embeds = get_vision_embedding(params, cfg, pixel_values,
+                                             remat=remat)
+    if vision_embeds is not None:
         embeds = scatter_image_embeds(
-            embeds, input_ids, img_tokens, cfg.unk_token_id
+            embeds, input_ids, vision_embeds, cfg.unk_token_id
         )
     return dec.decoder_forward(
         params["llm"], cfg.text, embeds, attention_mask=attention_mask,
@@ -348,18 +354,24 @@ def greedy_generate(
     mask0 = np.zeros((1, total), np.int32)
     mask0[:, :T] = 1
 
+    # Encode frames ONCE; the per-token step re-runs only the text stack.
+    vis = None
+    if pixel_values is not None:
+        vis = jax.jit(
+            lambda p: get_vision_embedding(params, cfg, p)
+        )(jnp.asarray(pixel_values))
+
     @jax.jit
-    def step(ids, mask, pix):
-        hidden = minicpmv_forward(params, cfg, ids, mask, pixel_values=pix,
-                                  attn_impl=attn_impl)
+    def step(ids, mask, vis):
+        hidden = minicpmv_forward(params, cfg, ids, mask,
+                                  vision_embeds=vis, attn_impl=attn_impl)
         return lm_logits(params, hidden)
 
     ids = jnp.asarray(ids0)
     mask = jnp.asarray(mask0)
-    pix = None if pixel_values is None else jnp.asarray(pixel_values)
     out: List[int] = []
     for i in range(max_new_tokens):
-        logits = step(ids, mask, pix)
+        logits = step(ids, mask, vis)
         tok = int(jnp.argmax(logits[0, T + i - 1]))
         out.append(tok)
         if tok == eos:

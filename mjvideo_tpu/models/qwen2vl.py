@@ -487,19 +487,27 @@ def qwen2vl_forward(
     grid: Optional[Tuple[int, int, int]] = None,
     attn_impl: str = "auto",
     remat: bool = True,
+    vision_embeds: Optional[jnp.ndarray] = None,  # (N_tok, C) precomputed
 ) -> jnp.ndarray:
-    """Multimodal forward -> final hidden states (B, T, C)."""
+    """Multimodal forward -> final hidden states (B, T, C).
+
+    ``vision_embeds`` short-circuits the vision tower with precomputed
+    merged embeddings — the decode loop encodes frames ONCE and re-runs
+    only the text stack per generated token.
+    """
     lm = params["language_model"]
     embeds = dec.embed_tokens(lm, input_ids)
-    if pixel_patches is not None:
-        vis = vision_forward(params["visual"], cfg.vision, pixel_patches,
-                             grid, attn_impl=attn_impl, remat=remat)
+    if vision_embeds is None and pixel_patches is not None:
+        vision_embeds = vision_forward(params["visual"], cfg.vision,
+                                       pixel_patches, grid,
+                                       attn_impl=attn_impl, remat=remat)
+    if vision_embeds is not None:
         # both <|image_pad|> and <|video_pad|> slots receive vision embeds
         marker = jnp.logical_or(input_ids == cfg.image_token_id,
                                 input_ids == cfg.video_token_id)
         ids_for_scatter = jnp.where(marker, cfg.video_token_id, 0)
         embeds = scatter_image_embeds(
-            embeds, ids_for_scatter, vis[None], cfg.video_token_id
+            embeds, ids_for_scatter, vision_embeds[None], cfg.video_token_id
         )
     cos, sin = mrope_cos_sin(position_ids, cfg)
     return dec.decoder_forward(
@@ -541,21 +549,27 @@ def greedy_generate(
     nxt = position_ids.max() + 1 + np.arange(max_new_tokens)
     pos0[:, :, T:] = nxt[None, None, :]
 
+    # Encode frames ONCE; the per-token step re-runs only the text stack.
+    vis = None
+    if pixel_patches is not None:
+        vis = jax.jit(
+            lambda p: vision_forward(params["visual"], cfg.vision, p, grid,
+                                     attn_impl=attn_impl, remat=False)
+        )(jnp.asarray(pixel_patches))
+
     @jax.jit
-    def step(ids, mask, patches):
+    def step(ids, mask, vis):
         hidden = qwen2vl_forward(
             params, cfg, ids, mask, jnp.asarray(pos0),
-            pixel_patches=patches, grid=grid, attn_impl=attn_impl,
-            remat=False,
+            vision_embeds=vis, attn_impl=attn_impl, remat=False,
         )
         return lm_logits(params, cfg, hidden)
 
     ids = jnp.asarray(ids0)
     mask = jnp.asarray(mask0)
-    patches = None if pixel_patches is None else jnp.asarray(pixel_patches)
     out: List[int] = []
     for i in range(max_new_tokens):
-        logits = step(ids, mask, patches)
+        logits = step(ids, mask, vis)
         tok = int(jnp.argmax(logits[0, T + i - 1]))
         out.append(tok)
         if tok == eos_token_id:

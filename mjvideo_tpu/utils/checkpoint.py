@@ -172,12 +172,17 @@ def _llama_attention(g, cfg: LLMConfig, L: int, per_layer_t, dtype):
         "wo": {"kernel": per_layer_t("self_attn.o_proj")},
     }
     if cfg.bias:
-        def per_layer_b(name, width):
+        def per_layer_b(name, width, allow_missing=False):
+            # Zero-fill is only exact for o_proj (the one bias the Qwen2
+            # layout legitimately lacks); missing q/k/v biases mean a
+            # truncated/mis-prefixed checkpoint and must fail loudly.
             rows = []
             for i in range(L):
                 try:
                     rows.append(g(f"model.layers.{i}.{name}.bias"))
                 except KeyError:
+                    if not allow_missing:
+                        raise
                     rows.append(np.zeros((width,), np.float32))
             return _a(_stack(rows), dtype)
 
@@ -186,7 +191,8 @@ def _llama_attention(g, cfg: LLMConfig, L: int, per_layer_t, dtype):
         attn["wq"]["bias"] = per_layer_b("self_attn.q_proj", Hq * D)
         attn["wk"]["bias"] = per_layer_b("self_attn.k_proj", Hkv * D)
         attn["wv"]["bias"] = per_layer_b("self_attn.v_proj", Hkv * D)
-        attn["wo"]["bias"] = per_layer_b("self_attn.o_proj", cfg.hidden_size)
+        attn["wo"]["bias"] = per_layer_b("self_attn.o_proj", cfg.hidden_size,
+                                         allow_missing=True)
     return attn
 
 
