@@ -41,13 +41,8 @@ def main():
         ),
     )
     c = cfg.chat
-    tc = TrainConfig(stage=1, attn_impl="auto", learning_rate=1e-5,
-                     total_steps=16, remat=True, adam_mu_dtype="bfloat16")
     params = init_reward_params(jax.random.PRNGKey(0), cfg,
                                 dtype=jnp.bfloat16)
-    optimizer = make_optimizer(tc, params)
-    opt_state = optimizer.init(params)
-    step = make_train_step(cfg, tc, optimizer)
 
     rng = np.random.default_rng(0)
     B, F = 1, 2
@@ -68,19 +63,28 @@ def main():
         batch[f"video_{v}_criteria_related"] = np.ones((B, 28), np.float32)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    params, opt_state, m = step(params, opt_state, jb)  # compile
-    first = float(m["loss"])
-    print(f"step 1: loss {first:.4f}", flush=True)
-    n = 12
-    t0 = time.perf_counter()
-    for _ in range(n):
-        params, opt_state, m = step(params, opt_state, jb)
-    last = float(np.asarray(m["loss"]))
-    dt = (time.perf_counter() - t0) / n
-    print(f"{dt*1e3:.1f} ms/step (8+8 layers, full widths, remat, "
-          f"bf16 mu, stop_gradient freeze)")
-    print(f"loss {first:.4f} -> {last:.4f} "
-          f"({'decreasing' if last < first else 'NOT decreasing'})")
+    for remat in (True, "dots", False):
+        tc = TrainConfig(stage=1, attn_impl="auto", learning_rate=1e-5,
+                         total_steps=16, remat=remat,
+                         adam_mu_dtype="bfloat16")
+        # the train step donates its params buffer; give each variant a copy
+        p = jax.tree.map(jnp.copy, params)
+        optimizer = make_optimizer(tc, p)
+        opt_state = optimizer.init(p)
+        step = make_train_step(cfg, tc, optimizer)
+        p, opt_state, m = step(p, opt_state, jb)  # compile
+        first = float(np.asarray(m["loss"]))
+        n = 12
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p, opt_state, m = step(p, opt_state, jb)
+        last = float(np.asarray(m["loss"]))
+        dt = (time.perf_counter() - t0) / n
+        print(f"remat={str(remat):5s}: {dt*1e3:7.1f} ms/step "
+              f"(8+8 layers, full widths, bf16 mu, stop_gradient freeze)  "
+              f"loss {first:.4f} -> {last:.4f} "
+              f"({'decreasing' if last < first else 'NOT decreasing'})",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -168,7 +168,9 @@ def decoder_forward(
             None,
         )
 
-    blk = jax.checkpoint(block) if remat else block
+    from ..ops.remat import remat_wrap
+
+    blk = remat_wrap(block, remat)
     x, _ = jax.lax.scan(blk, inputs_embeds, params["layers"])
     return rms_norm(x, params["norm"]["weight"], eps=cfg.rms_norm_eps)
 

@@ -241,7 +241,8 @@ def vit_forward(
     else:
         block = lambda carry, lp: (_block(cfg, lp, carry, attn_impl), None)
         xs = layers
-    if remat:
-        block = jax.checkpoint(block)
+    from ..ops.remat import remat_wrap
+
+    block = remat_wrap(block, remat)
     x, _ = jax.lax.scan(block, x, xs)
     return x

@@ -20,6 +20,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stage", type=int, choices=(1, 2, 3), required=True,
                    help="1=criteria, 2=aspect, 3=overall")
     p.add_argument("--train-json", required=True)
+    p.add_argument("--remat-policy", default="full",
+                   choices=("none", "full", "dots"),
+                   help="gradient checkpointing: full block (max memory "
+                        "saving), dots (save matmul outputs, faster step), "
+                        "or none")
     p.add_argument("--eval-json", default=None)
     p.add_argument("--video-root", default="./datas/videos")
     p.add_argument("--model-path", default=None,
@@ -134,6 +139,8 @@ def main(argv=None) -> None:
         mesh_model_axis=args.tp,
         mesh_data_axis=args.dp,
         adam_mu_dtype="bfloat16" if args.bf16_adam_mu else None,
+        remat={"none": False, "full": True,
+               "dots": "dots"}[args.remat_policy],
     )
     trainer = Trainer(cfg, params, tc)
 

@@ -53,7 +53,9 @@ class TrainConfig:
     mse: Optional[bool] = None  # None = the stage's script default
     beta: float = 1.0
     attn_impl: str = "auto"
-    remat: bool = True
+    # False | True/'full' (whole-block checkpoint) | 'dots' (save matmul
+    # outputs, recompute only norm/attention glue) — ops/remat.py
+    remat: object = True
     log_every: int = 10
     checkpoint_every: int = 500
     checkpoint_dir: str = "./checkpoints"

@@ -370,3 +370,40 @@ def test_bf16_adam_mu_state(cfg, params, tmp_path):
         state, is_leaf=lambda x: hasattr(x, "dtype") and hasattr(x, "shape"))
     dtypes = {str(l.dtype) for l in leaves if hasattr(l, "dtype")}
     assert "bfloat16" in dtypes  # mu stored in bf16
+
+
+def test_remat_policies_give_identical_gradients(cfg, params):
+    """'dots' and 'full' remat (and no remat) are pure recompute-scheduling
+    choices — the training gradients must be numerically identical."""
+    from mjvideo_tpu.models.reward import reward_forward
+    from mjvideo_tpu.train import losses as L
+
+    batch = _tiny_batch(cfg, B=1, frames=1)
+
+    def loss_with(remat):
+        def f(p):
+            outs = []
+            for v in (0, 1):
+                outs.append(reward_forward(
+                    p, cfg, batch[f"video_{v}_pixel_values"].reshape(
+                        (-1,) + batch[f"video_{v}_pixel_values"].shape[2:]),
+                    batch[f"video_{v}_input_ids"],
+                    batch[f"video_{v}_attention_mask"],
+                    batch[f"video_{v}_gating_pos"],
+                    attn_impl="xla", remat=remat))
+            return L.stage1_loss(outs[0], outs[1], batch, mse=False)
+        return jax.jit(lambda p: jax.grad(f)(p))
+
+    g_full = loss_with(True)(params)
+    g_dots = loss_with("dots")(params)
+    g_none = loss_with(False)(params)
+    for a, b in ((g_full, g_dots), (g_full, g_none)):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(la, np.float32),
+                                       np.asarray(lb, np.float32),
+                                       atol=1e-5, rtol=1e-4)
+
+    with pytest.raises(ValueError):
+        from mjvideo_tpu.ops.remat import remat_wrap
+
+        remat_wrap(lambda c, x: (c, None), "bogus")
