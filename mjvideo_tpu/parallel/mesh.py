@@ -58,6 +58,24 @@ TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r"mlp/fc1/kernel", P(None, None, "model")),
     (r"mlp/fc1/bias", P(None, "model")),
     (r"mlp/fc2/kernel", P(None, "model", None)),
+    # SigLIP-style towers (videoscore / MiniCPM-V vpm) and the CogVLM2 EVA
+    # tower keep separate per-layer q/k/v/o (or packed qkv + dense) directly
+    # under 'layers/': same megatron pattern.
+    (r"layers/[qkv]/kernel", P(None, None, "model")),
+    (r"layers/[qkv]/bias", P(None, "model")),
+    (r"layers/o/kernel", P(None, "model", None)),
+    (r"layers/qkv/kernel", P(None, None, "model")),
+    (r"layers/qkv/bias", P(None, "model")),
+    (r"layers/dense/kernel", P(None, "model", None)),
+    (r"layers/fc1/kernel", P(None, None, "model")),
+    (r"layers/fc1/bias", P(None, "model")),
+    (r"layers/fc2/kernel", P(None, "model", None)),
+    # CogVLM2 dual-expert decoder: shard both experts' MLPs and output
+    # projections; the packed vision/language qkv stays replicated (its
+    # [q;k;v] layout doesn't column-split cleanly across heads).
+    (r"mlp/(vision|language)/w[13]/kernel", P(None, None, "model")),
+    (r"mlp/(vision|language)/w2/kernel", P(None, "model", None)),
+    (r"(vision|language)_dense/kernel", P(None, "model", None)),
     # Embedding + LM head sharded over vocab.
     (r"tok_embeddings$", P("model", None)),
     (r"output/kernel", P(None, "model")),

@@ -246,3 +246,104 @@ def test_sequence_parallel_decoder_matches_single_device(cfg, params):
         gm = np.asarray(got) * np.asarray(mask)[:, :, None]
         rm = np.asarray(ref) * np.asarray(mask)[:, :, None]
         np.testing.assert_allclose(gm, rm, atol=5e-5, err_msg=kind)
+
+
+def test_tp_sharded_minicpmv_forward_matches_single_device():
+    """The judge backbones shard with the same path rules: MiniCPM-V
+    (SigLIP tower + Qwen2 text) under tp=2 must match unsharded math —
+    the multi-chip path for the 8B published checkpoint."""
+    from mjvideo_tpu.configs import LLMConfig
+    from mjvideo_tpu.models.minicpmv import (
+        MiniCPMVConfig,
+        ResamplerConfig,
+        init_minicpmv_params,
+        lm_logits,
+        minicpmv_forward,
+    )
+    from mjvideo_tpu.models.videoscore import SigLIPVisionConfig
+
+    cfg = MiniCPMVConfig(
+        vision=SigLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, patch_size=14, image_size=56),
+        resampler=ResamplerConfig(num_queries=6, embed_dim=32, num_heads=4,
+                                  kv_dim=32),
+        text=LLMConfig(architecture="llama", vocab_size=128, hidden_size=32,
+                       intermediate_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=2,
+                       rope_theta=1e4, rms_norm_eps=1e-6, pad_token_id=0,
+                       max_position_embeddings=256, bias=True),
+        unk_token_id=120)
+    params = init_minicpmv_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    pix = jnp.asarray(rng.normal(size=(2, 28, 42, 3)).astype(np.float32))
+    ids = np.full((1, 40), 7, np.int64)
+    ids[0, 2:14] = 120  # two 6-query image slots
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    def fwd(p):
+        return lm_logits(p, minicpmv_forward(p, cfg, ids, mask,
+                                             pixel_values=pix,
+                                             attn_impl="xla"))
+
+    single = np.asarray(fwd(params))
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shard_params(params, mesh, tp=True)
+    specs = jax.tree.map(lambda a: a.sharding.spec, p_sh)
+    # the SigLIP tower and the Qwen2 text model must both actually shard
+    assert "model" in str(specs["vpm"]["layers"]["q"]["kernel"])
+    assert "model" in str(
+        specs["llm"]["layers"]["attention"]["wq"]["kernel"])
+    out = np.asarray(jax.jit(fwd)(p_sh))
+    np.testing.assert_allclose(out, single, atol=2e-4)
+
+
+def test_tp_sharded_cogvlm2_forward_matches_single_device():
+    """CogVLM2 under tp=2: EVA tower + both experts' MLPs shard; the
+    packed expert qkv stays replicated by design."""
+    from mjvideo_tpu.configs import LLMConfig
+    from mjvideo_tpu.models.cogvlm2 import (
+        CogVLM2Config,
+        CogVLM2VisionConfig,
+        build_position_ids,
+        build_video_prompt_ids,
+        cogvlm2_forward,
+        init_cogvlm2_params,
+        lm_logits,
+    )
+
+    cfg = CogVLM2Config(
+        vision=CogVLM2VisionConfig(
+            hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+            num_heads=2, patch_size=7, image_size=28, scaling_factor=8.0),
+        text=LLMConfig(architecture="llama", vocab_size=128, hidden_size=32,
+                       intermediate_size=48, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=2,
+                       rope_theta=1e4, rms_norm_eps=1e-5, pad_token_id=0,
+                       max_position_embeddings=256),
+        bos_token_id=1, eos_token_id=2, pad_token_id=0)
+    params = init_cogvlm2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    pix = jnp.asarray(rng.normal(size=(2, 28, 28, 3)).astype(np.float32))
+    ids, tt = build_video_prompt_ids(
+        lambda s: {"input_ids": [5] * len(s)}, cfg, 2, "ok")
+    pos = build_position_ids(tt)
+    mask = np.ones_like(ids)
+
+    def fwd(p):
+        return lm_logits(p, cogvlm2_forward(
+            p, cfg, jnp.asarray(ids), jnp.asarray(tt), jnp.asarray(mask),
+            jnp.asarray(pos), pixel_values=pix, attn_impl="xla"))
+
+    single = np.asarray(fwd(params))
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shard_params(params, mesh, tp=True)
+    specs = jax.tree.map(lambda a: a.sharding.spec, p_sh)
+    assert "model" in str(specs["vision"]["layers"]["qkv"]["kernel"])
+    assert "model" in str(specs["language_model"]["layers"]["mlp"][
+        "vision"]["w1"]["kernel"])
+    out = np.asarray(jax.jit(fwd)(p_sh))
+    np.testing.assert_allclose(out, single, atol=2e-4)
