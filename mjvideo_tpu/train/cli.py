@@ -20,6 +20,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stage", type=int, choices=(1, 2, 3), required=True,
                    help="1=criteria, 2=aspect, 3=overall")
     p.add_argument("--train-json", required=True)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=("adamw", "adafactor"),
+                   help="adamw matches the reference; adafactor's factored "
+                        "second moment enables full-depth 2B finetuning on "
+                        "one 16GB chip")
     p.add_argument("--remat-policy", default="full",
                    choices=("none", "full", "dots"),
                    help="gradient checkpointing: full block (max memory "
@@ -141,6 +146,7 @@ def main(argv=None) -> None:
         adam_mu_dtype="bfloat16" if args.bf16_adam_mu else None,
         remat={"none": False, "full": True,
                "dots": "dots"}[args.remat_policy],
+        optimizer=args.optimizer,
     )
     trainer = Trainer(cfg, params, tc)
 

@@ -56,6 +56,7 @@ class TrainConfig:
     # False | True/'full' (whole-block checkpoint) | 'dots' (save matmul
     # outputs, recompute only norm/attention glue) — ops/remat.py
     remat: object = True
+    optimizer: str = "adamw"  # 'adamw' (reference) | 'adafactor' (low-mem)
     log_every: int = 10
     checkpoint_every: int = 500
     checkpoint_dir: str = "./checkpoints"
@@ -104,13 +105,25 @@ def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
             [optax.linear_schedule(0.0, tc.learning_rate, tc.warmup_steps), lr],
             [tc.warmup_steps],
         )
-    opt = optax.chain(
-        optax.clip_by_global_norm(tc.max_grad_norm),
-        optax.adamw(
+    if tc.optimizer == "adafactor":
+        # Memory-efficient option: factored second moment (O(rows+cols)
+        # instead of O(params)) — AdamW's fp32 nu alone is ~7GB for the
+        # trainable LLM at 2B scale, the difference between full-depth
+        # finetuning fitting one v5e chip or not.  The reference has no
+        # equivalent (AdamW via HF Trainer only).
+        inner = optax.adafactor(
+            lr, multiply_by_parameter_scale=False, clipping_threshold=None,
+            weight_decay_rate=tc.weight_decay or None,
+        )
+    else:
+        inner = optax.adamw(
             lr, b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps,
             weight_decay=tc.weight_decay,
             mu_dtype=jnp.bfloat16 if tc.adam_mu_dtype == "bfloat16" else None,
-        ),
+        )
+    opt = optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        inner,
     )
     mask = trainable_mask(params, tc.stage)
     return optax.multi_transform(

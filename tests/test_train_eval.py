@@ -407,3 +407,41 @@ def test_remat_policies_give_identical_gradients(cfg, params):
         from mjvideo_tpu.ops.remat import remat_wrap
 
         remat_wrap(lambda c, x: (c, None), "bogus")
+
+
+def test_adafactor_optimizer_option(cfg, params):
+    """'adafactor' trains (loss finite, frozen subtrees untouched) with a
+    FACTORED second moment — no O(params) fp32 state for matrices."""
+    import jax.tree_util as jtu
+
+    tc = TrainConfig(stage=1, attn_impl="xla", total_steps=4, remat=False,
+                     optimizer="adafactor")
+    p0 = jax.tree.map(lambda a: a.copy(), params)  # step donates its args
+    optimizer = make_optimizer(tc, p0)
+    opt_state = optimizer.init(p0)
+    step = make_train_step(cfg, tc, optimizer)
+    batch = _tiny_batch(cfg)
+    p1, opt_state, m = step(p0, opt_state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+    # frozen: vision tower unchanged; trainable: regression layer moved
+    same = jax.tree.map(
+        lambda a, b: bool(jnp.all(a == b)),
+        params["model"]["vision_model"], p1["model"]["vision_model"])
+    assert all(jax.tree.leaves(same))
+    assert not bool(jnp.all(
+        params["regression_layer"]["kernel"]
+        == p1["regression_layer"]["kernel"]))
+
+    # memory claim: adafactor's state is materially smaller than adamw's
+    # (mu + fp32 nu). (Tiny dims below min_dim_size_to_factor=128 stay
+    # unfactored, so compare total footprint, not per-leaf shapes.)
+    def state_bytes(state):
+        return sum(leaf.size * leaf.dtype.itemsize
+                   for leaf in jtu.tree_leaves(state)
+                   if hasattr(leaf, "size"))
+
+    adamw_state = make_optimizer(
+        TrainConfig(stage=1, attn_impl="xla", total_steps=4, remat=False),
+        p0).init(p0)
+    assert state_bytes(opt_state) < 0.7 * state_bytes(adamw_state)
