@@ -525,6 +525,79 @@ def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
     return dot_f32(hidden, params["language_model"]["output"]["kernel"])
 
 
+def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
+                         slots, rope_pos, cache_mask, vis_mask):
+    """Cached dual-expert layer: like ``generate._layer_with_cache`` but
+    with per-position expert selection, and the RoPE rotation position
+    (``rope_pos``, CogVLM's shared-vision scheme) decoupled from the cache
+    slot (``slots``) used for writes and causality."""
+    from ..ops.attention import attention_xla
+
+    B, S, D = x.shape
+    Hq, Hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+
+    h = rms_norm(x, lp["attention_norm"]["weight"], eps=cfg.rms_norm_eps)
+    a = lp["attention"]
+    qkv = jnp.where(vis_mask.astype(bool),
+                    dot(h, a["vision_qkv"]["kernel"]) + a["vision_qkv"]["bias"],
+                    dot(h, a["language_qkv"]["kernel"]))
+    q = qkv[..., : Hq * hd].reshape(B, S, Hq, hd)
+    k = qkv[..., Hq * hd: Hq * hd + Hkv * hd].reshape(B, S, Hkv, hd)
+    v = qkv[..., Hq * hd + Hkv * hd:].reshape(B, S, Hkv, hd)
+    q, k = apply_rope(q, k, cos, sin, rope_pos)
+
+    write_ok = jnp.take_along_axis(cache_mask, slots, axis=1)  # (B, S)
+    oh = jax.nn.one_hot(slots, k_cache.shape[1], dtype=k.dtype)
+    oh = oh * write_ok[:, :, None].astype(k.dtype)
+    k_cache = k_cache + jnp.einsum("bsm,bshd->bmhd", oh,
+                                   k.astype(k_cache.dtype))
+    v_cache = v_cache + jnp.einsum("bsm,bshd->bmhd", oh,
+                                   v.astype(v_cache.dtype))
+
+    k_pos = jnp.arange(k_cache.shape[1])[None, :]
+    valid = (slots[:, :, None] >= k_pos[:, None, :]) \
+        & (cache_mask[:, None, :] != 0)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None]
+    attn = attention_xla(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                         bias=bias).reshape(B, S, Hq * hd)
+    out = jnp.where(vis_mask.astype(bool),
+                    dot(attn, a["vision_dense"]["kernel"]),
+                    dot(attn, a["language_dense"]["kernel"]))
+    x = x + out
+
+    h = rms_norm(x, lp["ffn_norm"]["weight"], eps=cfg.rms_norm_eps)
+
+    def swiglu(mp):
+        return dot(jax.nn.silu(dot(h, mp["w1"]["kernel"]))
+                   * dot(h, mp["w3"]["kernel"]), mp["w2"]["kernel"])
+
+    mlp_out = jnp.where(vis_mask.astype(bool), swiglu(lp["mlp"]["vision"]),
+                        swiglu(lp["mlp"]["language"]))
+    return x + mlp_out, k_cache, v_cache
+
+
+def _cogvlm2_forward_cached(params, cfg: CogVLM2Config, embeds, cache,
+                            slots, rope_pos, cache_mask, vis_mask):
+    lm = params["language_model"]
+    tc = cfg.text
+    max_len = cache[0].shape[2]
+    cos, sin = rope_tables(max_len, tc.head_dim, base=tc.rope_theta,
+                           max_position_embeddings=tc.max_position_embeddings)
+
+    def block(x, scanned):
+        lp, kc, vc = scanned
+        x, kc, vc = _expert_layer_cached(
+            tc, lp, x, kc, vc, cos, sin, slots, rope_pos, cache_mask,
+            vis_mask)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        block, embeds, (lm["layers"], cache[0], cache[1]))
+    x = rms_norm(x, lm["norm"]["weight"], eps=tc.rms_norm_eps)
+    return x, (k_new, v_new)
+
+
 def greedy_generate(
     params, cfg: CogVLM2Config,
     input_ids: np.ndarray,  # (1, T) unpadded prompt
@@ -534,22 +607,21 @@ def greedy_generate(
     eos_token_id: Optional[int] = None,
     attn_impl: str = "auto",
 ) -> List[int]:
-    """Greedy decode by full re-forward at a static padded length."""
+    """Greedy decode with a static KV cache: frames encode once, the
+    prompt prefills once, each generated token is a single-token cached
+    step through the language expert (new tokens are always language
+    type); RoPE keeps the shared-vision-position scheme via rope_pos."""
     eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
     T = input_ids.shape[1]
-    total = T + max_new_tokens
-    ids0 = np.full((1, total), cfg.pad_token_id, np.int32)
-    ids0[:, :T] = input_ids
-    tt0 = np.zeros((1, total), np.int32)
-    tt0[:, :T] = token_type_ids
-    mask0 = np.zeros((1, total), np.int32)
-    mask0[:, :T] = 1
-    pos_prompt = build_position_ids(tt0[:, :T])
-    pos0 = np.zeros((1, total), np.int64)
-    pos0[:, :T] = pos_prompt
-    pos0[:, T:] = pos_prompt.max() + 1 + np.arange(max_new_tokens)
+    max_len = T + max_new_tokens
+    ids = jnp.asarray(input_ids, jnp.int32)
+    tt = jnp.asarray(token_type_ids, jnp.int32)
+    pos_prompt = build_position_ids(np.asarray(token_type_ids))
+    pos_all = np.zeros((1, max_len), np.int64)
+    pos_all[:, :T] = pos_prompt
+    pos_all[:, T:] = pos_prompt.max() + 1 + np.arange(max_new_tokens)
+    pos_all = jnp.asarray(pos_all, jnp.int32)
 
-    # Encode frames ONCE; the per-token step re-runs only the text stack.
     vis = None
     if pixel_values is not None:
         vis = jax.jit(
@@ -560,25 +632,46 @@ def greedy_generate(
                                else attn_impl))
         )(jnp.asarray(pixel_values))
 
-    @jax.jit
-    def step(ids, mask, vis):
-        hidden = cogvlm2_forward(
-            params, cfg, ids, jnp.asarray(tt0), mask, jnp.asarray(pos0),
-            vision_embeds=vis, attn_impl=attn_impl,
-        )
-        return lm_logits(params, hidden)
+    lm = params["language_model"]
 
-    ids = jnp.asarray(ids0)
-    mask = jnp.asarray(mask0)
+    @jax.jit
+    def prefill(vis, cache):
+        embeds = dec.embed_tokens(lm, ids)
+        if vis is not None:
+            marker = (tt == VISION_TOKEN_TYPE).astype(jnp.int32)
+            embeds = scatter_image_embeds(embeds, marker, vis, 1)
+        slots = jnp.arange(T)[None]
+        mask = (jnp.arange(max_len) < T)[None].astype(jnp.int32)
+        vm = (tt == VISION_TOKEN_TYPE).astype(embeds.dtype)[..., None]
+        hidden, cache = _cogvlm2_forward_cached(
+            params, cfg, embeds, cache, slots, pos_all[:, :T], mask, vm)
+        return lm_logits(params, hidden[:, -1:])[:, 0], cache
+
+    @jax.jit
+    def step(tok, i, cache):
+        embeds = dec.embed_tokens(lm, tok.reshape(1, 1))
+        slots = jnp.full((1, 1), T + i, jnp.int32)
+        mask = (jnp.arange(max_len) < T + i + 1)[None].astype(jnp.int32)
+        rope_pos = jax.lax.dynamic_slice_in_dim(pos_all, T + i, 1, axis=1)
+        vm = jnp.zeros((1, 1, 1), embeds.dtype)  # generated = language
+        hidden, cache = _cogvlm2_forward_cached(
+            params, cfg, embeds, cache, slots, rope_pos, mask, vm)
+        return lm_logits(params, hidden)[:, 0], cache
+
+    from .generate import init_kv_cache
+
+    cache_t = init_kv_cache(cfg.text, 1, max_len,
+                            dtype=lm["tok_embeddings"].dtype)
+    cache = (cache_t.k, cache_t.v)
+    logits, cache = prefill(vis, cache)
     out: List[int] = []
     for i in range(max_new_tokens):
-        logits = step(ids, mask, vis)
-        tok = int(jnp.argmax(logits[0, T + i - 1]))
+        tok = int(jnp.argmax(logits[0]))
         out.append(tok)
-        if tok == eos:
+        if tok == eos or i == max_new_tokens - 1:
             break
-        ids = ids.at[0, T + i].set(tok)
-        mask = mask.at[0, T + i].set(1)
+        logits, cache = step(jnp.asarray(tok, jnp.int32),
+                             jnp.asarray(i, jnp.int32), cache)
     return out
 
 

@@ -46,7 +46,7 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
 
 
 def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
-                      position_ids, cache_mask):
+                      position_ids, cache_mask, rope_position_ids=None):
     """One decoder layer writing its fresh K/V into the cache slice.
 
     ``x``: (B, S, C) new tokens; ``k_cache``/``v_cache``: (B, max_len, Hkv, D)
@@ -60,7 +60,11 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
     q = dec._dense(lp["attention"]["wq"], h).reshape(B, S, Hq, D)
     k = dec._dense(lp["attention"]["wk"], h).reshape(B, S, Hkv, D)
     v = dec._dense(lp["attention"]["wv"], h).reshape(B, S, Hkv, D)
-    q, k = apply_rope(q, k, cos, sin, position_ids)
+    # rope_position_ids decouple the ROTATION angle from the cache SLOT
+    # (M-RoPE / shared-vision-position schemes); pre-gathered (B, S, D)
+    # cos/sin pass through apply_rope's 3D path directly.
+    rp = position_ids if rope_position_ids is None else rope_position_ids
+    q, k = apply_rope(q, k, cos, sin, rp if cos.ndim == 2 else None)
 
     # Scatter new K/V into their cache slots (position_ids are the slots).
     # Writes are masked by the slot's validity so pad tokens never land in
@@ -96,20 +100,32 @@ def decoder_forward_cached(
     cache: KVCache,
     position_ids: jnp.ndarray,  # (B, S) slot indices of the new tokens
     cache_mask: jnp.ndarray,  # (B, max_len) valid-slot mask incl. new tokens
+    rope_override=None,  # (cos, sin) pre-gathered (B, S, D) for new tokens
+    rope_position_ids=None,  # (B, S) rotation positions != cache slots
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Run all layers over new tokens, reading+writing the cache."""
+    """Run all layers over new tokens, reading+writing the cache.
+
+    ``rope_override`` serves M-RoPE-style models (Qwen2-VL) that
+    precompute per-token cos/sin; ``rope_position_ids`` serves models
+    whose rotation position differs from the cache slot (CogVLM2's shared
+    vision positions).
+    """
     max_len = cache.k.shape[2]
-    cos, sin = rope_tables(
-        max_len, cfg.head_dim, base=cfg.rope_theta,
-        scaling_type=cfg.rope_scaling_type,
-        scaling_factor=cfg.rope_scaling_factor,
-        max_position_embeddings=cfg.max_position_embeddings,
-    )
+    if rope_override is not None:
+        cos, sin = rope_override
+    else:
+        cos, sin = rope_tables(
+            max_len, cfg.head_dim, base=cfg.rope_theta,
+            scaling_type=cfg.rope_scaling_type,
+            scaling_factor=cfg.rope_scaling_factor,
+            max_position_embeddings=cfg.max_position_embeddings,
+        )
 
     def block(x, scanned):
         lp, kc, vc = scanned
         x, kc, vc = _layer_with_cache(
-            cfg, lp, x, kc, vc, cos, sin, position_ids, cache_mask
+            cfg, lp, x, kc, vc, cos, sin, position_ids, cache_mask,
+            rope_position_ids=rope_position_ids,
         )
         return x, (kc, vc)
 

@@ -344,17 +344,17 @@ def greedy_generate(
     eos_token_id: Optional[int] = None,
     attn_impl: str = "auto",
 ) -> List[int]:
-    """Greedy decode by full re-forward at a static padded length (the
-    judge emits ~6 tokens; one compile, no KV-cache bookkeeping)."""
+    """Greedy decode with a static KV cache: frames encode once, the
+    prompt prefills once, and each generated token is a single-token
+    cached step (reusing ``generate.decoder_forward_cached``)."""
+    from .generate import decoder_forward_cached, init_kv_cache
+
     eos = cfg.im_end_token_id if eos_token_id is None else eos_token_id
     T = input_ids.shape[1]
-    total = T + max_new_tokens
-    ids0 = np.full((1, total), cfg.text.pad_token_id, np.int32)
-    ids0[:, :T] = input_ids
-    mask0 = np.zeros((1, total), np.int32)
-    mask0[:, :T] = 1
+    max_len = T + max_new_tokens
+    ids = jnp.asarray(input_ids, jnp.int32)
+    llm = params["llm"]
 
-    # Encode frames ONCE; the per-token step re-runs only the text stack.
     vis = None
     if pixel_values is not None:
         vis = jax.jit(
@@ -362,22 +362,37 @@ def greedy_generate(
         )(jnp.asarray(pixel_values))
 
     @jax.jit
-    def step(ids, mask, vis):
-        hidden = minicpmv_forward(params, cfg, ids, mask,
-                                  vision_embeds=vis, attn_impl=attn_impl)
-        return lm_logits(params, hidden)
+    def prefill(vis, cache):
+        embeds = dec.embed_tokens(llm, ids)
+        if vis is not None:
+            embeds = scatter_image_embeds(embeds, ids, vis,
+                                          cfg.unk_token_id)
+        slots = jnp.arange(T)[None]
+        mask = (jnp.arange(max_len) < T)[None].astype(jnp.int32)
+        hidden, cache = decoder_forward_cached(
+            llm, cfg.text, embeds, cache, slots, mask)
+        return lm_logits(params, hidden[:, -1:])[:, 0], cache
 
-    ids = jnp.asarray(ids0)
-    mask = jnp.asarray(mask0)
+    @jax.jit
+    def step(tok, i, cache):
+        embeds = dec.embed_tokens(llm, tok.reshape(1, 1))
+        slots = jnp.full((1, 1), T + i, jnp.int32)
+        mask = (jnp.arange(max_len) < T + i + 1)[None].astype(jnp.int32)
+        hidden, cache = decoder_forward_cached(
+            llm, cfg.text, embeds, cache, slots, mask)
+        return lm_logits(params, hidden)[:, 0], cache
+
+    cache = init_kv_cache(cfg.text, 1, max_len,
+                          dtype=llm["tok_embeddings"].dtype)
+    logits, cache = prefill(vis, cache)
     out: List[int] = []
     for i in range(max_new_tokens):
-        logits = step(ids, mask, vis)
-        tok = int(jnp.argmax(logits[0, T + i - 1]))
+        tok = int(jnp.argmax(logits[0]))
         out.append(tok)
-        if tok == eos:
+        if tok == eos or i == max_new_tokens - 1:
             break
-        ids = ids.at[0, T + i].set(tok)
-        mask = mask.at[0, T + i].set(1)
+        logits, cache = step(jnp.asarray(tok, jnp.int32),
+                             jnp.asarray(i, jnp.int32), cache)
     return out
 
 

@@ -532,24 +532,26 @@ def greedy_generate(
     eos_token_id: int = 151645,  # <|im_end|>
     attn_impl: str = "auto",
 ) -> List[int]:
-    """Greedy decode by full re-forward at a static padded length.
-
-    One compile for the whole generation: ids live in a (1, T+N) buffer,
-    the mask grows per step, and M-RoPE positions for generated tokens
-    continue at max(prompt positions) + 1 + step on all three channels.
+    """Greedy decode with a static KV cache: the vision tower runs once,
+    the prompt prefills once, and each generated token is a single-token
+    cached step.  M-RoPE cos/sin are precomputed for every slot from the
+    3-channel positions (generated tokens continue at max(prompt) + 1 + i
+    on all three channels) and passed per step via ``rope_override``.
     """
+    from .generate import decoder_forward_cached, init_kv_cache
+
     T = input_ids.shape[1]
-    total = T + max_new_tokens
-    ids0 = np.full((1, total), cfg.text.pad_token_id, np.int32)
-    ids0[:, :T] = input_ids
-    mask0 = np.zeros((1, total), np.int32)
-    mask0[:, :T] = 1
-    pos0 = np.zeros((3, 1, total), np.int64)
+    max_len = T + max_new_tokens
+    ids = jnp.asarray(input_ids, jnp.int32)
+    pos0 = np.zeros((3, 1, max_len), np.int64)
     pos0[:, :, :T] = position_ids
     nxt = position_ids.max() + 1 + np.arange(max_new_tokens)
     pos0[:, :, T:] = nxt[None, None, :]
+    cos_all, sin_all = mrope_cos_sin(jnp.asarray(pos0), cfg)  # (1, max_len, D)
 
-    # Encode frames ONCE; the per-token step re-runs only the text stack.
+    lm = params["language_model"]
+
+    # Encode frames ONCE.
     vis = None
     if pixel_patches is not None:
         vis = jax.jit(
@@ -558,24 +560,43 @@ def greedy_generate(
         )(jnp.asarray(pixel_patches))
 
     @jax.jit
-    def step(ids, mask, vis):
-        hidden = qwen2vl_forward(
-            params, cfg, ids, mask, jnp.asarray(pos0),
-            vision_embeds=vis, attn_impl=attn_impl, remat=False,
-        )
-        return lm_logits(params, cfg, hidden)
+    def prefill(vis, cache):
+        embeds = dec.embed_tokens(lm, ids)
+        if vis is not None:
+            marker = jnp.logical_or(ids == cfg.image_token_id,
+                                    ids == cfg.video_token_id)
+            embeds = scatter_image_embeds(
+                embeds, jnp.where(marker, cfg.video_token_id, 0), vis[None],
+                cfg.video_token_id)
+        slots = jnp.arange(T)[None]
+        mask = (jnp.arange(max_len) < T)[None].astype(jnp.int32)
+        hidden, cache = decoder_forward_cached(
+            lm, cfg.text, embeds, cache, slots, mask,
+            rope_override=(cos_all[:, :T], sin_all[:, :T]))
+        return lm_logits(params, cfg, hidden[:, -1:])[:, 0], cache
 
-    ids = jnp.asarray(ids0)
-    mask = jnp.asarray(mask0)
+    @jax.jit
+    def step(tok, i, cache):
+        embeds = dec.embed_tokens(lm, tok.reshape(1, 1))
+        slots = jnp.full((1, 1), T + i, jnp.int32)
+        mask = (jnp.arange(max_len) < T + i + 1)[None].astype(jnp.int32)
+        c = jax.lax.dynamic_slice_in_dim(cos_all, T + i, 1, axis=1)
+        s = jax.lax.dynamic_slice_in_dim(sin_all, T + i, 1, axis=1)
+        hidden, cache = decoder_forward_cached(
+            lm, cfg.text, embeds, cache, slots, mask, rope_override=(c, s))
+        return lm_logits(params, cfg, hidden)[:, 0], cache
+
+    cache = init_kv_cache(cfg.text, 1, max_len,
+                          dtype=lm["tok_embeddings"].dtype)
+    logits, cache = prefill(vis, cache)
     out: List[int] = []
     for i in range(max_new_tokens):
-        logits = step(ids, mask, vis)
-        tok = int(jnp.argmax(logits[0, T + i - 1]))
+        tok = int(jnp.argmax(logits[0]))
         out.append(tok)
-        if tok == eos_token_id:
+        if tok == eos_token_id or i == max_new_tokens - 1:
             break
-        ids = ids.at[0, T + i].set(tok)
-        mask = mask.at[0, T + i].set(1)
+        logits, cache = step(jnp.asarray(tok, jnp.int32),
+                             jnp.asarray(i, jnp.int32), cache)
     return out
 
 
