@@ -622,21 +622,22 @@ def greedy_generate(
     pos_all[:, T:] = pos_prompt.max() + 1 + np.arange(max_new_tokens)
     pos_all = jnp.asarray(pos_all, jnp.int32)
 
+    # params go through jit ARGUMENTS — a closure would inline the full
+    # weight tree as HLO constants (at 19B dims that exceeds remote
+    # compilers' request limits and bloats the executable).
     vis = None
     if pixel_values is not None:
         vis = jax.jit(
-            lambda p: adapter_forward(
-                params["adapter"], cfg,
-                vision_forward(params["vision"], cfg.vision, p,
+            lambda p, pix: adapter_forward(
+                p["adapter"], cfg,
+                vision_forward(p["vision"], cfg.vision, pix,
                                attn_impl="xla" if attn_impl == "auto"
                                else attn_impl))
-        )(jnp.asarray(pixel_values))
-
-    lm = params["language_model"]
+        )(params, jnp.asarray(pixel_values))
 
     @jax.jit
-    def prefill(vis, cache):
-        embeds = dec.embed_tokens(lm, ids)
+    def prefill(params, vis, cache):
+        embeds = dec.embed_tokens(params["language_model"], ids)
         if vis is not None:
             marker = (tt == VISION_TOKEN_TYPE).astype(jnp.int32)
             embeds = scatter_image_embeds(embeds, marker, vis, 1)
@@ -648,8 +649,9 @@ def greedy_generate(
         return lm_logits(params, hidden[:, -1:])[:, 0], cache
 
     @jax.jit
-    def step(tok, i, cache):
-        embeds = dec.embed_tokens(lm, tok.reshape(1, 1))
+    def step(params, tok, i, cache):
+        embeds = dec.embed_tokens(params["language_model"],
+                                  tok.reshape(1, 1))
         slots = jnp.full((1, 1), T + i, jnp.int32)
         mask = (jnp.arange(max_len) < T + i + 1)[None].astype(jnp.int32)
         rope_pos = jax.lax.dynamic_slice_in_dim(pos_all, T + i, 1, axis=1)
@@ -660,17 +662,18 @@ def greedy_generate(
 
     from .generate import init_kv_cache
 
-    cache_t = init_kv_cache(cfg.text, 1, max_len,
-                            dtype=lm["tok_embeddings"].dtype)
+    cache_t = init_kv_cache(
+        cfg.text, 1, max_len,
+        dtype=params["language_model"]["tok_embeddings"].dtype)
     cache = (cache_t.k, cache_t.v)
-    logits, cache = prefill(vis, cache)
+    logits, cache = prefill(params, vis, cache)
     out: List[int] = []
     for i in range(max_new_tokens):
         tok = int(jnp.argmax(logits[0]))
         out.append(tok)
         if tok == eos or i == max_new_tokens - 1:
             break
-        logits, cache = step(jnp.asarray(tok, jnp.int32),
+        logits, cache = step(params, jnp.asarray(tok, jnp.int32),
                              jnp.asarray(i, jnp.int32), cache)
     return out
 

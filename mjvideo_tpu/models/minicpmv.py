@@ -353,45 +353,46 @@ def greedy_generate(
     T = input_ids.shape[1]
     max_len = T + max_new_tokens
     ids = jnp.asarray(input_ids, jnp.int32)
-    llm = params["llm"]
 
+    # params go through jit ARGUMENTS — a closure would inline the full
+    # weight tree as HLO constants (bloats the executable; at 2B+ dims it
+    # exceeds remote compilers' request limits outright).
     vis = None
     if pixel_values is not None:
-        vis = jax.jit(
-            lambda p: get_vision_embedding(params, cfg, p)
-        )(jnp.asarray(pixel_values))
+        vis = jax.jit(get_vision_embedding, static_argnums=(1,))(
+            params, cfg, jnp.asarray(pixel_values))
 
     @jax.jit
-    def prefill(vis, cache):
-        embeds = dec.embed_tokens(llm, ids)
+    def prefill(params, vis, cache):
+        embeds = dec.embed_tokens(params["llm"], ids)
         if vis is not None:
             embeds = scatter_image_embeds(embeds, ids, vis,
                                           cfg.unk_token_id)
         slots = jnp.arange(T)[None]
         mask = (jnp.arange(max_len) < T)[None].astype(jnp.int32)
         hidden, cache = decoder_forward_cached(
-            llm, cfg.text, embeds, cache, slots, mask)
+            params["llm"], cfg.text, embeds, cache, slots, mask)
         return lm_logits(params, hidden[:, -1:])[:, 0], cache
 
     @jax.jit
-    def step(tok, i, cache):
-        embeds = dec.embed_tokens(llm, tok.reshape(1, 1))
+    def step(params, tok, i, cache):
+        embeds = dec.embed_tokens(params["llm"], tok.reshape(1, 1))
         slots = jnp.full((1, 1), T + i, jnp.int32)
         mask = (jnp.arange(max_len) < T + i + 1)[None].astype(jnp.int32)
         hidden, cache = decoder_forward_cached(
-            llm, cfg.text, embeds, cache, slots, mask)
+            params["llm"], cfg.text, embeds, cache, slots, mask)
         return lm_logits(params, hidden)[:, 0], cache
 
     cache = init_kv_cache(cfg.text, 1, max_len,
-                          dtype=llm["tok_embeddings"].dtype)
-    logits, cache = prefill(vis, cache)
+                          dtype=params["llm"]["tok_embeddings"].dtype)
+    logits, cache = prefill(params, vis, cache)
     out: List[int] = []
     for i in range(max_new_tokens):
         tok = int(jnp.argmax(logits[0]))
         out.append(tok)
         if tok == eos or i == max_new_tokens - 1:
             break
-        logits, cache = step(jnp.asarray(tok, jnp.int32),
+        logits, cache = step(params, jnp.asarray(tok, jnp.int32),
                              jnp.asarray(i, jnp.int32), cache)
     return out
 

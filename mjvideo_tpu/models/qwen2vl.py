@@ -549,19 +549,20 @@ def greedy_generate(
     pos0[:, :, T:] = nxt[None, None, :]
     cos_all, sin_all = mrope_cos_sin(jnp.asarray(pos0), cfg)  # (1, max_len, D)
 
-    lm = params["language_model"]
-
-    # Encode frames ONCE.
+    # params go through jit ARGUMENTS — a closure would inline the full
+    # weight tree as HLO constants (at 2B dims that exceeds remote
+    # compilers' request limits and bloats the executable).
     vis = None
     if pixel_patches is not None:
         vis = jax.jit(
-            lambda p: vision_forward(params["visual"], cfg.vision, p, grid,
-                                     attn_impl=attn_impl, remat=False)
-        )(jnp.asarray(pixel_patches))
+            lambda p, patches: vision_forward(
+                p["visual"], cfg.vision, patches, grid,
+                attn_impl=attn_impl, remat=False)
+        )(params, jnp.asarray(pixel_patches))
 
     @jax.jit
-    def prefill(vis, cache):
-        embeds = dec.embed_tokens(lm, ids)
+    def prefill(params, vis, cache):
+        embeds = dec.embed_tokens(params["language_model"], ids)
         if vis is not None:
             marker = jnp.logical_or(ids == cfg.image_token_id,
                                     ids == cfg.video_token_id)
@@ -571,31 +572,34 @@ def greedy_generate(
         slots = jnp.arange(T)[None]
         mask = (jnp.arange(max_len) < T)[None].astype(jnp.int32)
         hidden, cache = decoder_forward_cached(
-            lm, cfg.text, embeds, cache, slots, mask,
+            params["language_model"], cfg.text, embeds, cache, slots, mask,
             rope_override=(cos_all[:, :T], sin_all[:, :T]))
         return lm_logits(params, cfg, hidden[:, -1:])[:, 0], cache
 
     @jax.jit
-    def step(tok, i, cache):
-        embeds = dec.embed_tokens(lm, tok.reshape(1, 1))
+    def step(params, tok, i, cache):
+        embeds = dec.embed_tokens(params["language_model"],
+                                  tok.reshape(1, 1))
         slots = jnp.full((1, 1), T + i, jnp.int32)
         mask = (jnp.arange(max_len) < T + i + 1)[None].astype(jnp.int32)
         c = jax.lax.dynamic_slice_in_dim(cos_all, T + i, 1, axis=1)
         s = jax.lax.dynamic_slice_in_dim(sin_all, T + i, 1, axis=1)
         hidden, cache = decoder_forward_cached(
-            lm, cfg.text, embeds, cache, slots, mask, rope_override=(c, s))
+            params["language_model"], cfg.text, embeds, cache, slots, mask,
+            rope_override=(c, s))
         return lm_logits(params, cfg, hidden)[:, 0], cache
 
     cache = init_kv_cache(cfg.text, 1, max_len,
-                          dtype=lm["tok_embeddings"].dtype)
-    logits, cache = prefill(vis, cache)
+                          dtype=params["language_model"][
+                              "tok_embeddings"].dtype)
+    logits, cache = prefill(params, vis, cache)
     out: List[int] = []
     for i in range(max_new_tokens):
         tok = int(jnp.argmax(logits[0]))
         out.append(tok)
         if tok == eos_token_id or i == max_new_tokens - 1:
             break
-        logits, cache = step(jnp.asarray(tok, jnp.int32),
+        logits, cache = step(params, jnp.asarray(tok, jnp.int32),
                              jnp.asarray(i, jnp.int32), cache)
     return out
 
