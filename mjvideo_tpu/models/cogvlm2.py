@@ -36,6 +36,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -598,6 +600,54 @@ def _cogvlm2_forward_cached(params, cfg: CogVLM2Config, embeds, cache,
     return x, (k_new, v_new)
 
 
+@functools.lru_cache(maxsize=8)
+def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
+                 has_vision: bool, eos: int):
+    """ONE compiled (prefill + while-loop decode) program per
+    (config, prompt bucket, max_new); params and the per-call position
+    ids go through jit ARGUMENTS (a closure would inline the weight tree
+    as HLO constants — fatal at 19B dims)."""
+    from .generate import greedy_decode, init_kv_cache
+
+    max_len = Tb + max_new
+
+    @jax.jit
+    def gen(params, ids, tt, n_real, pos_all, vis):
+        lm = params["language_model"]
+        embeds = dec.embed_tokens(lm, ids)
+        if has_vision:
+            marker = (tt == VISION_TOKEN_TYPE).astype(jnp.int32)
+            embeds = scatter_image_embeds(embeds, marker, vis, 1)
+        cache_t = init_kv_cache(cfg.text, 1, max_len,
+                                dtype=lm["tok_embeddings"].dtype)
+        cache = (cache_t.k, cache_t.v)
+        slots = jnp.arange(Tb)[None]
+        mask = (jnp.arange(max_len) < n_real)[None].astype(jnp.int32)
+        vm = (tt == VISION_TOKEN_TYPE).astype(embeds.dtype)[..., None]
+        hidden, cache = _cogvlm2_forward_cached(
+            params, cfg, embeds, cache, slots, pos_all[:, :Tb], mask, vm)
+        last = jnp.take_along_axis(
+            hidden, jnp.reshape(n_real - 1, (1, 1, 1)), axis=1)
+        logits0 = lm_logits(params, last)[:, 0]
+
+        def step(params, tok, i, cache):
+            e = dec.embed_tokens(params["language_model"],
+                                 tok.reshape(1, 1))
+            s = jnp.full((1, 1), 0, jnp.int32) + n_real + i
+            m = (jnp.arange(max_len) < n_real + i + 1)[None].astype(
+                jnp.int32)
+            rope_pos = jax.lax.dynamic_slice_in_dim(pos_all, n_real + i, 1,
+                                                    axis=1)
+            vm = jnp.zeros((1, 1, 1), e.dtype)  # generated = language
+            h, cache = _cogvlm2_forward_cached(
+                params, cfg, e, cache, s, rope_pos, m, vm)
+            return lm_logits(params, h)[:, 0], cache
+
+        return greedy_decode(step, params, logits0, cache, max_new, eos)
+
+    return gen
+
+
 def greedy_generate(
     params, cfg: CogVLM2Config,
     input_ids: np.ndarray,  # (1, T) unpadded prompt
@@ -605,77 +655,47 @@ def greedy_generate(
     pixel_values=None,
     max_new_tokens: int = 16,
     eos_token_id: Optional[int] = None,
-    attn_impl: str = "auto",
+    attn_impl: str = "auto",  # kept for API compat
 ) -> List[int]:
     """Greedy decode with a static KV cache: frames encode once, the
-    prompt prefills once, each generated token is a single-token cached
-    step through the language expert (new tokens are always language
-    type); RoPE keeps the shared-vision-position scheme via rope_pos."""
+    prompt prefills once, and the whole token loop runs as ONE jitted
+    ``lax.while_loop``; prompts bucket to multiples of 64 so every judge
+    call shares one compiled executable.  Generated tokens go through the
+    language expert (new tokens are always language type) while RoPE
+    keeps the shared-vision-position scheme."""
+    from .generate import round_up_bucket
+
     eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
-    T = input_ids.shape[1]
-    max_len = T + max_new_tokens
-    ids = jnp.asarray(input_ids, jnp.int32)
-    tt = jnp.asarray(token_type_ids, jnp.int32)
+    n_real = input_ids.shape[1]
+    Tb = round_up_bucket(n_real)
+    max_len = Tb + max_new_tokens
+    ids = np.full((1, Tb), cfg.pad_token_id, np.int32)
+    ids[:, :n_real] = input_ids
+    tt = np.zeros((1, Tb), np.int32)  # pads = language type
+    tt[:, :n_real] = token_type_ids
     pos_prompt = build_position_ids(np.asarray(token_type_ids))
     pos_all = np.zeros((1, max_len), np.int64)
-    pos_all[:, :T] = pos_prompt
-    pos_all[:, T:] = pos_prompt.max() + 1 + np.arange(max_new_tokens)
-    pos_all = jnp.asarray(pos_all, jnp.int32)
+    pos_all[:, :n_real] = pos_prompt
+    pos_all[:, n_real:] = pos_prompt.max() + 1 + np.arange(max_len - n_real)
 
-    # params go through jit ARGUMENTS — a closure would inline the full
-    # weight tree as HLO constants (at 19B dims that exceeds remote
-    # compilers' request limits and bloats the executable).
     vis = None
     if pixel_values is not None:
-        vis = jax.jit(
-            lambda p, pix: adapter_forward(
-                p["adapter"], cfg,
-                vision_forward(p["vision"], cfg.vision, pix,
-                               attn_impl="xla" if attn_impl == "auto"
-                               else attn_impl))
-        )(params, jnp.asarray(pixel_values))
+        vis = _jit_vision(params, cfg, jnp.asarray(pixel_values))
 
-    @jax.jit
-    def prefill(params, vis, cache):
-        embeds = dec.embed_tokens(params["language_model"], ids)
-        if vis is not None:
-            marker = (tt == VISION_TOKEN_TYPE).astype(jnp.int32)
-            embeds = scatter_image_embeds(embeds, marker, vis, 1)
-        slots = jnp.arange(T)[None]
-        mask = (jnp.arange(max_len) < T)[None].astype(jnp.int32)
-        vm = (tt == VISION_TOKEN_TYPE).astype(embeds.dtype)[..., None]
-        hidden, cache = _cogvlm2_forward_cached(
-            params, cfg, embeds, cache, slots, pos_all[:, :T], mask, vm)
-        return lm_logits(params, hidden[:, -1:])[:, 0], cache
+    gen = _generate_fn(cfg, Tb, max_new_tokens, pixel_values is not None,
+                       int(eos))
+    toks, n = gen(params, jnp.asarray(ids), jnp.asarray(tt),
+                  jnp.asarray(n_real, jnp.int32),
+                  jnp.asarray(pos_all, jnp.int32), vis)
+    return [int(t) for t in np.asarray(toks)[: int(n)]]
 
-    @jax.jit
-    def step(params, tok, i, cache):
-        embeds = dec.embed_tokens(params["language_model"],
-                                  tok.reshape(1, 1))
-        slots = jnp.full((1, 1), T + i, jnp.int32)
-        mask = (jnp.arange(max_len) < T + i + 1)[None].astype(jnp.int32)
-        rope_pos = jax.lax.dynamic_slice_in_dim(pos_all, T + i, 1, axis=1)
-        vm = jnp.zeros((1, 1, 1), embeds.dtype)  # generated = language
-        hidden, cache = _cogvlm2_forward_cached(
-            params, cfg, embeds, cache, slots, rope_pos, mask, vm)
-        return lm_logits(params, hidden)[:, 0], cache
 
-    from .generate import init_kv_cache
-
-    cache_t = init_kv_cache(
-        cfg.text, 1, max_len,
-        dtype=params["language_model"]["tok_embeddings"].dtype)
-    cache = (cache_t.k, cache_t.v)
-    logits, cache = prefill(params, vis, cache)
-    out: List[int] = []
-    for i in range(max_new_tokens):
-        tok = int(jnp.argmax(logits[0]))
-        out.append(tok)
-        if tok == eos or i == max_new_tokens - 1:
-            break
-        logits, cache = step(params, jnp.asarray(tok, jnp.int32),
-                             jnp.asarray(i, jnp.int32), cache)
-    return out
+@functools.partial(jax.jit, static_argnums=(1,))
+def _jit_vision(params, cfg: CogVLM2Config, pixel_values):
+    return adapter_forward(
+        params["adapter"], cfg,
+        vision_forward(params["vision"], cfg.vision, pixel_values,
+                       attn_impl="xla"))
 
 
 # ------------------------------------------------------------- preprocessing

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..configs import ChatConfig, LLMConfig
 from ..ops.attention import attention_xla
@@ -134,6 +135,43 @@ def decoder_forward_cached(
     )
     x = rms_norm(x, params["norm"]["weight"], eps=cfg.rms_norm_eps)
     return x, KVCache(k_new, v_new)
+
+
+def greedy_decode(step_fn, params, logits0, cache, max_new_tokens: int,
+                  eos: int):
+    """Traceable greedy loop — call INSIDE an outer jit.
+
+    ``step_fn(params, tok (scalar i32), i (scalar i32), cache) ->
+    (logits (1, V), cache)`` is the caller's single-token cached step.
+    Runs the whole decode as one ``lax.while_loop`` with device-side
+    early exit on ``eos``; returns (toks (max_new_tokens,) i32, count).
+    One dispatch per generation instead of one per token.
+    """
+    toks0 = jnp.full((max_new_tokens,), eos, jnp.int32)
+
+    def cond(st):
+        i, done, *_ = st
+        return jnp.logical_and(~done, i < max_new_tokens)
+
+    def body(st):
+        i, done, logits, cache, toks = st
+        tok = jnp.argmax(logits[0]).astype(jnp.int32)
+        toks = toks.at[i].set(tok)
+        done = tok == eos
+        logits, cache = step_fn(params, tok, i, cache)
+        return (i + 1, done, logits, cache, toks)
+
+    i, done, _, _, toks = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.asarray(False), logits0, cache,
+                     toks0))
+    return toks, i
+
+
+def round_up_bucket(n: int, bucket: int = 64) -> int:
+    """Prompt-length bucketing: judges see a different caption every call;
+    rounding the prompt up to a bucket keeps ONE compiled generate
+    executable per (bucket, max_new_tokens) instead of one per caption."""
+    return (n + bucket - 1) // bucket * bucket
 
 
 class GenerationConfig(NamedTuple):

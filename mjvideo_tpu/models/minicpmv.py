@@ -336,65 +336,87 @@ def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
     return dot_f32(hidden, params["llm"]["output"]["kernel"])
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
+                 has_vision: bool, eos: int):
+    """ONE compiled (prefill + while-loop decode) program per
+    (config, prompt bucket, max_new) — judge calls with different captions
+    reuse the same executable.  Params go through jit ARGUMENTS (a closure
+    would inline the weight tree as HLO constants; at 2B+ dims that
+    exceeds remote compilers' request limits)."""
+    from .generate import decoder_forward_cached, greedy_decode, init_kv_cache
+
+    max_len = Tb + max_new
+
+    @jax.jit
+    def gen(params, ids, n_real, vis):
+        llm = params["llm"]
+        embeds = dec.embed_tokens(llm, ids)
+        if has_vision:
+            embeds = scatter_image_embeds(embeds, ids, vis,
+                                          cfg.unk_token_id)
+        cache = init_kv_cache(cfg.text, 1, max_len,
+                              dtype=llm["tok_embeddings"].dtype)
+        # right-padded prompt: real tokens at slots [0, n_real); pad-slot
+        # K/V writes are masked out by the cache mask, so their (garbage)
+        # activations never enter attention.
+        slots = jnp.arange(Tb)[None]
+        mask = (jnp.arange(max_len) < n_real)[None].astype(jnp.int32)
+        hidden, cache = decoder_forward_cached(
+            llm, cfg.text, embeds, cache, slots, mask)
+        last = jnp.take_along_axis(
+            hidden, jnp.reshape(n_real - 1, (1, 1, 1)), axis=1)
+        logits0 = lm_logits(params, last)[:, 0]
+
+        def step(params, tok, i, cache):
+            e = dec.embed_tokens(params["llm"], tok.reshape(1, 1))
+            s = jnp.full((1, 1), 0, jnp.int32) + n_real + i
+            m = (jnp.arange(max_len) < n_real + i + 1)[None].astype(
+                jnp.int32)
+            h, cache = decoder_forward_cached(
+                params["llm"], cfg.text, e, cache, s, m)
+            return lm_logits(params, h)[:, 0], cache
+
+        return greedy_decode(step, params, logits0, cache, max_new, eos)
+
+    return gen
+
+
 def greedy_generate(
     params, cfg: MiniCPMVConfig,
     input_ids: np.ndarray,  # (1, T) unpadded prompt
     pixel_values=None,
     max_new_tokens: int = 16,
     eos_token_id: Optional[int] = None,
-    attn_impl: str = "auto",
+    attn_impl: str = "auto",  # kept for API compat; cached path picks
 ) -> List[int]:
     """Greedy decode with a static KV cache: frames encode once, the
-    prompt prefills once, and each generated token is a single-token
-    cached step (reusing ``generate.decoder_forward_cached``)."""
-    from .generate import decoder_forward_cached, init_kv_cache
+    prompt prefills once, and the whole token loop runs as ONE jitted
+    ``lax.while_loop``; prompts bucket to multiples of 64 so every judge
+    call shares one compiled executable."""
+    from .generate import round_up_bucket
 
     eos = cfg.im_end_token_id if eos_token_id is None else eos_token_id
-    T = input_ids.shape[1]
-    max_len = T + max_new_tokens
-    ids = jnp.asarray(input_ids, jnp.int32)
+    n_real = input_ids.shape[1]
+    Tb = round_up_bucket(n_real)
+    ids = np.full((1, Tb), cfg.text.pad_token_id, np.int32)
+    ids[:, :n_real] = input_ids
 
-    # params go through jit ARGUMENTS — a closure would inline the full
-    # weight tree as HLO constants (bloats the executable; at 2B+ dims it
-    # exceeds remote compilers' request limits outright).
     vis = None
     if pixel_values is not None:
-        vis = jax.jit(get_vision_embedding, static_argnums=(1,))(
-            params, cfg, jnp.asarray(pixel_values))
+        vis = _jit_vision(params, cfg, jnp.asarray(pixel_values))
 
-    @jax.jit
-    def prefill(params, vis, cache):
-        embeds = dec.embed_tokens(params["llm"], ids)
-        if vis is not None:
-            embeds = scatter_image_embeds(embeds, ids, vis,
-                                          cfg.unk_token_id)
-        slots = jnp.arange(T)[None]
-        mask = (jnp.arange(max_len) < T)[None].astype(jnp.int32)
-        hidden, cache = decoder_forward_cached(
-            params["llm"], cfg.text, embeds, cache, slots, mask)
-        return lm_logits(params, hidden[:, -1:])[:, 0], cache
+    gen = _generate_fn(cfg, Tb, max_new_tokens, pixel_values is not None,
+                       int(eos))
+    toks, n = gen(params, jnp.asarray(ids),
+                  jnp.asarray(n_real, jnp.int32), vis)
+    return [int(t) for t in np.asarray(toks)[: int(n)]]
 
-    @jax.jit
-    def step(params, tok, i, cache):
-        embeds = dec.embed_tokens(params["llm"], tok.reshape(1, 1))
-        slots = jnp.full((1, 1), T + i, jnp.int32)
-        mask = (jnp.arange(max_len) < T + i + 1)[None].astype(jnp.int32)
-        hidden, cache = decoder_forward_cached(
-            params["llm"], cfg.text, embeds, cache, slots, mask)
-        return lm_logits(params, hidden)[:, 0], cache
 
-    cache = init_kv_cache(cfg.text, 1, max_len,
-                          dtype=params["llm"]["tok_embeddings"].dtype)
-    logits, cache = prefill(params, vis, cache)
-    out: List[int] = []
-    for i in range(max_new_tokens):
-        tok = int(jnp.argmax(logits[0]))
-        out.append(tok)
-        if tok == eos or i == max_new_tokens - 1:
-            break
-        logits, cache = step(params, jnp.asarray(tok, jnp.int32),
-                             jnp.asarray(i, jnp.int32), cache)
-    return out
+_jit_vision = jax.jit(get_vision_embedding, static_argnums=(1,))
 
 
 # ------------------------------------------------------------- preprocessing

@@ -27,6 +27,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -523,6 +525,56 @@ def lm_logits(params, cfg: Qwen2VLConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     return dec.lm_logits(lm, hidden)
 
 
+@functools.lru_cache(maxsize=8)
+def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
+                 has_vision: bool, eos: int):
+    """ONE compiled (prefill + while-loop decode) program per
+    (config, prompt bucket, max_new); params and the per-call M-RoPE
+    tables go through jit ARGUMENTS (a closure would inline the weight
+    tree as HLO constants — observed HTTP 413 at 2B dims)."""
+    from .generate import decoder_forward_cached, greedy_decode, init_kv_cache
+
+    max_len = Tb + max_new
+
+    @jax.jit
+    def gen(params, ids, n_real, vis, cos_all, sin_all):
+        lm = params["language_model"]
+        embeds = dec.embed_tokens(lm, ids)
+        if has_vision:
+            marker = jnp.logical_or(ids == cfg.image_token_id,
+                                    ids == cfg.video_token_id)
+            embeds = scatter_image_embeds(
+                embeds, jnp.where(marker, cfg.video_token_id, 0), vis[None],
+                cfg.video_token_id)
+        cache = init_kv_cache(cfg.text, 1, max_len,
+                              dtype=lm["tok_embeddings"].dtype)
+        slots = jnp.arange(Tb)[None]
+        mask = (jnp.arange(max_len) < n_real)[None].astype(jnp.int32)
+        hidden, cache = decoder_forward_cached(
+            lm, cfg.text, embeds, cache, slots, mask,
+            rope_override=(cos_all[:, :Tb], sin_all[:, :Tb]))
+        last = jnp.take_along_axis(
+            hidden, jnp.reshape(n_real - 1, (1, 1, 1)), axis=1)
+        logits0 = lm_logits(params, cfg, last)[:, 0]
+
+        def step(params, tok, i, cache):
+            e = dec.embed_tokens(params["language_model"],
+                                 tok.reshape(1, 1))
+            s = jnp.full((1, 1), 0, jnp.int32) + n_real + i
+            m = (jnp.arange(max_len) < n_real + i + 1)[None].astype(
+                jnp.int32)
+            c = jax.lax.dynamic_slice_in_dim(cos_all, n_real + i, 1, axis=1)
+            sn = jax.lax.dynamic_slice_in_dim(sin_all, n_real + i, 1, axis=1)
+            h, cache = decoder_forward_cached(
+                params["language_model"], cfg.text, e, cache, s, m,
+                rope_override=(c, sn))
+            return lm_logits(params, cfg, h)[:, 0], cache
+
+        return greedy_decode(step, params, logits0, cache, max_new, eos)
+
+    return gen
+
+
 def greedy_generate(
     params, cfg: Qwen2VLConfig,
     input_ids: np.ndarray,  # (1, T) unpadded prompt
@@ -530,78 +582,46 @@ def greedy_generate(
     pixel_patches=None, grid=None,
     max_new_tokens: int = 16,
     eos_token_id: int = 151645,  # <|im_end|>
-    attn_impl: str = "auto",
+    attn_impl: str = "auto",  # kept for API compat
 ) -> List[int]:
     """Greedy decode with a static KV cache: the vision tower runs once,
-    the prompt prefills once, and each generated token is a single-token
-    cached step.  M-RoPE cos/sin are precomputed for every slot from the
-    3-channel positions (generated tokens continue at max(prompt) + 1 + i
-    on all three channels) and passed per step via ``rope_override``.
+    the prompt prefills once, and the whole token loop runs as ONE jitted
+    ``lax.while_loop``; prompts bucket to multiples of 64 so every judge
+    call shares one compiled executable.  M-RoPE cos/sin are precomputed
+    for every slot (generated tokens continue at max(prompt) + 1 + i on
+    all three channels) and sliced per step via ``rope_override``.
     """
-    from .generate import decoder_forward_cached, init_kv_cache
+    from .generate import round_up_bucket
 
-    T = input_ids.shape[1]
-    max_len = T + max_new_tokens
-    ids = jnp.asarray(input_ids, jnp.int32)
+    n_real = input_ids.shape[1]
+    Tb = round_up_bucket(n_real)
+    max_len = Tb + max_new_tokens
+    ids = np.full((1, Tb), cfg.text.pad_token_id, np.int32)
+    ids[:, :n_real] = input_ids
     pos0 = np.zeros((3, 1, max_len), np.int64)
-    pos0[:, :, :T] = position_ids
-    nxt = position_ids.max() + 1 + np.arange(max_new_tokens)
-    pos0[:, :, T:] = nxt[None, None, :]
-    cos_all, sin_all = mrope_cos_sin(jnp.asarray(pos0), cfg)  # (1, max_len, D)
+    pos0[:, :, :n_real] = position_ids
+    # pad + decode slots: continue on all three channels (pad-slot values
+    # are masked out of the cache; decode slots n_real+i use entry n_real+i)
+    nxt = position_ids.max() + 1 + np.arange(max_len - n_real)
+    pos0[:, :, n_real:] = nxt[None, None, :]
+    cos_all, sin_all = mrope_cos_sin(jnp.asarray(pos0), cfg)
 
-    # params go through jit ARGUMENTS — a closure would inline the full
-    # weight tree as HLO constants (at 2B dims that exceeds remote
-    # compilers' request limits and bloats the executable).
     vis = None
     if pixel_patches is not None:
-        vis = jax.jit(
-            lambda p, patches: vision_forward(
-                p["visual"], cfg.vision, patches, grid,
-                attn_impl=attn_impl, remat=False)
-        )(params, jnp.asarray(pixel_patches))
+        vis = _jit_vision(params["visual"], cfg.vision,
+                          jnp.asarray(pixel_patches), grid)
 
-    @jax.jit
-    def prefill(params, vis, cache):
-        embeds = dec.embed_tokens(params["language_model"], ids)
-        if vis is not None:
-            marker = jnp.logical_or(ids == cfg.image_token_id,
-                                    ids == cfg.video_token_id)
-            embeds = scatter_image_embeds(
-                embeds, jnp.where(marker, cfg.video_token_id, 0), vis[None],
-                cfg.video_token_id)
-        slots = jnp.arange(T)[None]
-        mask = (jnp.arange(max_len) < T)[None].astype(jnp.int32)
-        hidden, cache = decoder_forward_cached(
-            params["language_model"], cfg.text, embeds, cache, slots, mask,
-            rope_override=(cos_all[:, :T], sin_all[:, :T]))
-        return lm_logits(params, cfg, hidden[:, -1:])[:, 0], cache
+    gen = _generate_fn(cfg, Tb, max_new_tokens, pixel_patches is not None,
+                       int(eos_token_id))
+    toks, n = gen(params, jnp.asarray(ids),
+                  jnp.asarray(n_real, jnp.int32), vis, cos_all, sin_all)
+    return [int(t) for t in np.asarray(toks)[: int(n)]]
 
-    @jax.jit
-    def step(params, tok, i, cache):
-        embeds = dec.embed_tokens(params["language_model"],
-                                  tok.reshape(1, 1))
-        slots = jnp.full((1, 1), T + i, jnp.int32)
-        mask = (jnp.arange(max_len) < T + i + 1)[None].astype(jnp.int32)
-        c = jax.lax.dynamic_slice_in_dim(cos_all, T + i, 1, axis=1)
-        s = jax.lax.dynamic_slice_in_dim(sin_all, T + i, 1, axis=1)
-        hidden, cache = decoder_forward_cached(
-            params["language_model"], cfg.text, embeds, cache, slots, mask,
-            rope_override=(c, s))
-        return lm_logits(params, cfg, hidden)[:, 0], cache
 
-    cache = init_kv_cache(cfg.text, 1, max_len,
-                          dtype=params["language_model"][
-                              "tok_embeddings"].dtype)
-    logits, cache = prefill(params, vis, cache)
-    out: List[int] = []
-    for i in range(max_new_tokens):
-        tok = int(jnp.argmax(logits[0]))
-        out.append(tok)
-        if tok == eos_token_id or i == max_new_tokens - 1:
-            break
-        logits, cache = step(params, jnp.asarray(tok, jnp.int32),
-                             jnp.asarray(i, jnp.int32), cache)
-    return out
+_jit_vision = jax.jit(
+    functools.partial(vision_forward, remat=False),
+    static_argnums=(1, 3),
+)
 
 
 # ------------------------------------------------------------ preprocessing
