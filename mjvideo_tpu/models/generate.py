@@ -289,6 +289,13 @@ def generate(
     return out
 
 
+# One executable per (cfg, generation_config, attn_impl, shapes): callers
+# that loop over prompts (judges, batch eval) should use this instead of
+# the eager `generate` — with prompt bucketing the shape set stays tiny.
+generate_jitted = jax.jit(generate, static_argnums=(1,),
+                          static_argnames=("generation_config", "attn_impl"))
+
+
 def batch_chat(
     params, cfg: ChatConfig, tokenizer, questions,
     pixel_values=None, num_patches_lists=None,
@@ -472,9 +479,18 @@ def chat(
     template = get_template(cfg.template)
     eos_id = tokenizer.convert_tokens_to_ids(template.sep.strip())
     gc = generation_config._replace(eos_token_id=eos_id)
-    out = generate(
-        params, cfg,
-        jnp.asarray(chat_in.input_ids), jnp.asarray(chat_in.attention_mask),
+    # Bucket the prompt so repeated chats (judge loops) reuse ONE compiled
+    # generate executable; generate() handles the padded tail via the mask.
+    ids = np.asarray(chat_in.input_ids)
+    mask = np.asarray(chat_in.attention_mask)
+    T = ids.shape[1]
+    Tb = round_up_bucket(T)
+    if Tb != T:
+        pad = ((0, 0), (0, Tb - T))
+        ids = np.pad(ids, pad, constant_values=gc.pad_token_id)
+        mask = np.pad(mask, pad)
+    out = generate_jitted(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
         pixel_values=None if pixel_values is None else jnp.asarray(pixel_values),
         generation_config=gc, attn_impl=attn_impl,
     )
