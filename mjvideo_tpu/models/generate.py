@@ -349,36 +349,20 @@ def batch_chat(
     return responses
 
 
-def stream_generate(
-    params, cfg: ChatConfig,
-    input_ids: jnp.ndarray,  # (1, T)
-    attention_mask: jnp.ndarray,
-    pixel_values: Optional[jnp.ndarray] = None,
-    generation_config: GenerationConfig = GenerationConfig(),
-    rng: Optional[jax.Array] = None,
-    attn_impl: str = "auto",
-):
-    """Token-by-token generation as a Python generator (B=1).
-
-    Equivalent of ``InternLM2ForCausalLM.stream_chat``'s threaded
-    TextIteratorStreamer (``modeling_internlm2.py:1270-1292``) — without the
-    thread: JAX dispatch is already asynchronous, so a host-side generator
-    stepping one jit'd single-token forward per yield is the idiomatic
-    streaming surface.  Prefill compiles once per prompt bucket; the decode
-    step compiles once total (static single-token shapes).
-    """
-    gc = generation_config
-    lm = params["language_model"]
+@functools.lru_cache(maxsize=16)
+def _stream_fns(cfg: ChatConfig, gc: GenerationConfig, T: int,
+                has_vision: bool, attn_impl: str):
+    """Cached jitted (prefill, decode_step) for the streaming surface —
+    one trace per (config, generation config, prompt bucket), not one per
+    stream (the per-call closures re-traced every conversation)."""
     llm_cfg = cfg.llm
-    B, T = input_ids.shape
-    assert B == 1, "streaming is a single-conversation surface"
     max_len = T + gc.max_new_tokens
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    B = 1
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def prefill(params, input_ids, attention_mask, pixel_values):
         embeds = dec.embed_tokens(params["language_model"], input_ids)
-        if pixel_values is not None:
+        if has_vision:
             vit = extract_feature(params, cfg, pixel_values,
                                   attn_impl=attn_impl, remat=False)
             embeds = scatter_image_embeds(
@@ -404,6 +388,37 @@ def stream_generate(
         hidden, cache = decoder_forward_cached(
             lm, llm_cfg, emb, cache, slot[:, None], cache_mask)
         return dec.lm_logits(lm, hidden[:, 0]), cache, cache_mask
+
+    return prefill, decode_step
+
+
+def stream_generate(
+    params, cfg: ChatConfig,
+    input_ids: jnp.ndarray,  # (1, T)
+    attention_mask: jnp.ndarray,
+    pixel_values: Optional[jnp.ndarray] = None,
+    generation_config: GenerationConfig = GenerationConfig(),
+    rng: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+):
+    """Token-by-token generation as a Python generator (B=1).
+
+    Equivalent of ``InternLM2ForCausalLM.stream_chat``'s threaded
+    TextIteratorStreamer (``modeling_internlm2.py:1270-1292``) — without the
+    thread: JAX dispatch is already asynchronous, so a host-side generator
+    stepping one jit'd single-token forward per yield is the idiomatic
+    streaming surface.  The jitted prefill/step pair is cached per
+    (config, generation config, prompt length) — new conversations with
+    the same shape reuse the executables.
+    """
+    gc = generation_config
+    lm = params["language_model"]
+    B, T = input_ids.shape
+    assert B == 1, "streaming is a single-conversation surface"
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    prefill, decode_step = _stream_fns(cfg, gc, T, pixel_values is not None,
+                                       attn_impl)
 
     logits, cache, cache_mask, start = prefill(
         params, input_ids, attention_mask, pixel_values)
