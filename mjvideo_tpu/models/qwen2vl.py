@@ -17,9 +17,10 @@ TPU-first notes:
 * M-RoPE position ids are data-dependent host work; like the gating-token
   position, they are computed at tokenization time (``get_rope_index``)
   and enter the graph as plain integer arrays.
-* Greedy generation recomputes the full forward per step at a static
-  padded length — the judge emits ~6 tokens ("```{RATING: X}```"), so a KV
-  cache buys nothing at these lengths and static shapes keep one compile.
+* Greedy generation = vision once + KV-cached prefill + ONE jitted
+  ``lax.while_loop`` over single-token cached steps, with prompts
+  bucketed to 64 tokens so every judge call shares one compiled
+  executable (4.1x vs per-token re-forward on chip, docs/PERF.md).
 """
 
 from __future__ import annotations

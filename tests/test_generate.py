@@ -241,3 +241,43 @@ def test_stream_chat_matches_chat(cfg, params):
     for a, b in zip(partials, partials[1:]):
         assert b.startswith(a[:len(a)])
     assert partials[-1] == want
+
+
+def test_greedy_decode_eos_and_count_semantics():
+    """greedy_decode: the EOS token is included in the output and stops
+    the loop; without EOS the loop runs to max_new_tokens."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mjvideo_tpu.models.generate import greedy_decode
+
+    # scripted 'model': logits force the token sequence 5, 7, 2(eos), 9...
+    script = jnp.asarray([7, 2, 9, 9], jnp.int32)
+
+    def step(params, tok, i, cache):
+        nxt = script[jnp.minimum(i, script.shape[0] - 1)]
+        logits = jax.nn.one_hot(nxt, 16)[None] * 100.0
+        return logits, cache
+
+    @jax.jit
+    def run(logits0):
+        return greedy_decode(step, None, logits0, jnp.zeros((1,)), 6, eos=2)
+
+    first = jax.nn.one_hot(jnp.asarray(5), 16)[None] * 100.0
+    toks, n = run(first)
+    toks = np.asarray(toks)[: int(n)].tolist()
+    assert toks == [5, 7, 2]  # eos included, loop stopped
+
+    # eos fires immediately on the first (prefill) token
+    toks, n = run(jax.nn.one_hot(jnp.asarray(2), 16)[None] * 100.0)
+    assert np.asarray(toks)[: int(n)].tolist() == [2]
+
+    # no eos in script -> runs to max_new_tokens
+    @jax.jit
+    def run_noeos(logits0):
+        return greedy_decode(step, None, logits0, jnp.zeros((1,)), 3,
+                             eos=-1)
+
+    toks, n = run_noeos(first)
+    assert int(n) == 3 and np.asarray(toks)[:3].tolist() == [5, 7, 2]
