@@ -321,7 +321,8 @@ def batch_chat(
             cfg, tokenizer, q, num_patches_list=npl,
             has_image=pixel_values is not None, require_gating=False,
         ))
-    T = max(c.input_ids.shape[1] for c in chats)
+    # Bucketed batch width -> one compiled executable per bucket.
+    T = round_up_bucket(max(c.input_ids.shape[1] for c in chats))
     pad_id = getattr(tokenizer, "pad_token_id", None) or cfg.llm.pad_token_id
     ids = np.full((len(chats), T), pad_id, np.int32)
     mask = np.zeros((len(chats), T), np.int32)
@@ -333,7 +334,7 @@ def batch_chat(
     template = get_template(cfg.template)
     eos_id = tokenizer.convert_tokens_to_ids(template.sep.strip())
     gc = generation_config._replace(eos_token_id=eos_id, pad_token_id=pad_id)
-    out = generate(
+    out = generate_jitted(
         params, cfg, jnp.asarray(ids), jnp.asarray(mask),
         pixel_values=None if pixel_values is None else jnp.asarray(pixel_values),
         generation_config=gc, attn_impl=attn_impl,
