@@ -375,7 +375,9 @@ def vision_forward(params, cfg: CogVLM2VisionConfig,
         x = x + layer_norm(h, lp["ln2"]["weight"], lp["ln2"]["bias"], eps=eps)
         return x, None
 
-    blk = jax.checkpoint(block) if remat else block
+    from ..ops.remat import remat_wrap
+
+    blk = remat_wrap(block, remat)
     x, _ = jax.lax.scan(blk, x, params["layers"])
     return x
 
@@ -518,7 +520,9 @@ def cogvlm2_forward(
         return _expert_layer(tc, lp, carry, vis_mask, attention_mask, cos,
                              sin, position_ids, attn_impl), None
 
-    blk = jax.checkpoint(block) if remat else block
+    from ..ops.remat import remat_wrap
+
+    blk = remat_wrap(block, remat)
     x, _ = jax.lax.scan(blk, embeds, lm["layers"])
     return rms_norm(x, lm["norm"]["weight"], eps=tc.rms_norm_eps)
 
@@ -680,7 +684,8 @@ def greedy_generate(
 
     vis = None
     if pixel_values is not None:
-        vis = _jit_vision(params, cfg, jnp.asarray(pixel_values))
+        vis = _jit_vision(params, cfg, jnp.asarray(pixel_values),
+                          attn_impl=attn_impl)
 
     gen = _generate_fn(cfg, Tb, max_new_tokens, pixel_values is not None,
                        int(eos))
@@ -690,12 +695,15 @@ def greedy_generate(
     return [int(t) for t in np.asarray(toks)[: int(n)]]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _jit_vision(params, cfg: CogVLM2Config, pixel_values):
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("attn_impl",))
+def _jit_vision(params, cfg: CogVLM2Config, pixel_values,
+                attn_impl: str = "auto"):
     return adapter_forward(
         params["adapter"], cfg,
         vision_forward(params["vision"], cfg.vision, pixel_values,
-                       attn_impl="xla"))
+                       attn_impl="xla" if attn_impl == "auto"
+                       else attn_impl))
 
 
 # ------------------------------------------------------------- preprocessing

@@ -47,7 +47,7 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
 
 
 def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
-                      position_ids, cache_mask, rope_position_ids=None):
+                      position_ids, cache_mask):
     """One decoder layer writing its fresh K/V into the cache slice.
 
     ``x``: (B, S, C) new tokens; ``k_cache``/``v_cache``: (B, max_len, Hkv, D)
@@ -61,11 +61,9 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
     q = dec._dense(lp["attention"]["wq"], h).reshape(B, S, Hq, D)
     k = dec._dense(lp["attention"]["wk"], h).reshape(B, S, Hkv, D)
     v = dec._dense(lp["attention"]["wv"], h).reshape(B, S, Hkv, D)
-    # rope_position_ids decouple the ROTATION angle from the cache SLOT
-    # (M-RoPE / shared-vision-position schemes); pre-gathered (B, S, D)
-    # cos/sin pass through apply_rope's 3D path directly.
-    rp = position_ids if rope_position_ids is None else rope_position_ids
-    q, k = apply_rope(q, k, cos, sin, rp if cos.ndim == 2 else None)
+    # Pre-gathered (B, S, D) cos/sin (the M-RoPE rope_override path) go
+    # through apply_rope's 3D branch; 2D tables gather by the cache slot.
+    q, k = apply_rope(q, k, cos, sin, position_ids if cos.ndim == 2 else None)
 
     # Scatter new K/V into their cache slots (position_ids are the slots).
     # Writes are masked by the slot's validity so pad tokens never land in
@@ -102,14 +100,13 @@ def decoder_forward_cached(
     position_ids: jnp.ndarray,  # (B, S) slot indices of the new tokens
     cache_mask: jnp.ndarray,  # (B, max_len) valid-slot mask incl. new tokens
     rope_override=None,  # (cos, sin) pre-gathered (B, S, D) for new tokens
-    rope_position_ids=None,  # (B, S) rotation positions != cache slots
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run all layers over new tokens, reading+writing the cache.
 
     ``rope_override`` serves M-RoPE-style models (Qwen2-VL) that
-    precompute per-token cos/sin; ``rope_position_ids`` serves models
-    whose rotation position differs from the cache slot (CogVLM2's shared
-    vision positions).
+    precompute per-token cos/sin.  (Models whose rotation position
+    differs from the cache slot — CogVLM2's shared vision positions —
+    carry their own cached expert layer in ``models/cogvlm2.py``.)
     """
     max_len = cache.k.shape[2]
     if rope_override is not None:
@@ -125,8 +122,7 @@ def decoder_forward_cached(
     def block(x, scanned):
         lp, kc, vc = scanned
         x, kc, vc = _layer_with_cache(
-            cfg, lp, x, kc, vc, cos, sin, position_ids, cache_mask,
-            rope_position_ids=rope_position_ids,
+            cfg, lp, x, kc, vc, cos, sin, position_ids, cache_mask
         )
         return x, (kc, vc)
 
@@ -158,7 +154,14 @@ def greedy_decode(step_fn, params, logits0, cache, max_new_tokens: int,
         tok = jnp.argmax(logits[0]).astype(jnp.int32)
         toks = toks.at[i].set(tok)
         done = tok == eos
-        logits, cache = step_fn(params, tok, i, cache)
+        # Skip the decode forward when this token ends the generation
+        # (EOS or the last slot) — its logits would never be consumed.
+        logits, cache = jax.lax.cond(
+            jnp.logical_or(done, i + 1 >= max_new_tokens),
+            lambda _: (logits, cache),
+            lambda _: step_fn(params, tok, i, cache),
+            None,
+        )
         return (i + 1, done, logits, cache, toks)
 
     i, done, _, _, toks = jax.lax.while_loop(
@@ -354,8 +357,9 @@ def batch_chat(
 def _stream_fns(cfg: ChatConfig, gc: GenerationConfig, T: int,
                 has_vision: bool, attn_impl: str):
     """Cached jitted (prefill, decode_step) for the streaming surface —
-    one trace per (config, generation config, prompt bucket), not one per
-    stream (the per-call closures re-traced every conversation)."""
+    one trace per (config, generation config, prompt BUCKET): callers pad
+    the prompt to ``round_up_bucket`` so conversations of different
+    lengths share executables."""
     llm_cfg = cfg.llm
     max_len = T + gc.max_new_tokens
     B = 1
@@ -418,7 +422,15 @@ def stream_generate(
     assert B == 1, "streaming is a single-conversation surface"
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-    prefill, decode_step = _stream_fns(cfg, gc, T, pixel_values is not None,
+    # Bucket the prompt so new conversations reuse the cached executables
+    # (the factory is keyed on the padded length).
+    Tb = round_up_bucket(T)
+    if Tb != T:
+        input_ids = jnp.pad(input_ids, ((0, 0), (0, Tb - T)),
+                            constant_values=gc.pad_token_id)
+        attention_mask = jnp.pad(attention_mask, ((0, 0), (0, Tb - T)))
+
+    prefill, decode_step = _stream_fns(cfg, gc, Tb, pixel_values is not None,
                                        attn_impl)
 
     logits, cache, cache_mask, start = prefill(
@@ -494,7 +506,8 @@ def chat(
     )
     template = get_template(cfg.template)
     eos_id = tokenizer.convert_tokens_to_ids(template.sep.strip())
-    gc = generation_config._replace(eos_token_id=eos_id)
+    pad_id = getattr(tokenizer, "pad_token_id", None) or cfg.llm.pad_token_id
+    gc = generation_config._replace(eos_token_id=eos_id, pad_token_id=pad_id)
     # Bucket the prompt so repeated chats (judge loops) reuse ONE compiled
     # generate executable; generate() handles the padded tail via the mask.
     ids = np.asarray(chat_in.input_ids)

@@ -34,6 +34,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -295,9 +297,11 @@ def resampler_forward(p, cfg: ResamplerConfig, x: jnp.ndarray,
 
 def get_vision_embedding(params, cfg: MiniCPMVConfig,
                          pixel_values: jnp.ndarray,  # (F, H, W, 3) NHWC
-                         remat: bool = False) -> jnp.ndarray:
+                         remat: bool = False,
+                         attn_impl: str = "auto") -> jnp.ndarray:
     """Frames -> (F, num_queries, llm_hidden) image tokens."""
-    vis = vision_forward(params["vpm"], cfg.vision, pixel_values, remat=remat)
+    vis = vision_forward(params["vpm"], cfg.vision, pixel_values, remat=remat,
+                         attn_impl=attn_impl)
     gh = pixel_values.shape[1] // cfg.vision.patch_size
     gw = pixel_values.shape[2] // cfg.vision.patch_size
     return resampler_forward(params["resampler"], cfg.resampler, vis,
@@ -335,8 +339,6 @@ def minicpmv_forward(
 def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
     return dot_f32(hidden, params["llm"]["output"]["kernel"])
 
-
-import functools
 
 
 @functools.lru_cache(maxsize=8)
@@ -407,7 +409,8 @@ def greedy_generate(
 
     vis = None
     if pixel_values is not None:
-        vis = _jit_vision(params, cfg, jnp.asarray(pixel_values))
+        vis = _jit_vision(params, cfg, jnp.asarray(pixel_values),
+                          attn_impl=attn_impl)
 
     gen = _generate_fn(cfg, Tb, max_new_tokens, pixel_values is not None,
                        int(eos))
@@ -416,7 +419,8 @@ def greedy_generate(
     return [int(t) for t in np.asarray(toks)[: int(n)]]
 
 
-_jit_vision = jax.jit(get_vision_embedding, static_argnums=(1,))
+_jit_vision = jax.jit(get_vision_embedding, static_argnums=(1,),
+                      static_argnames=("attn_impl",))
 
 
 # ------------------------------------------------------------- preprocessing

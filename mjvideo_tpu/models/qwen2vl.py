@@ -371,7 +371,9 @@ def vision_forward(
     def block(carry, lp):
         return _vision_block(cfg, lp, carry, cos, sin, attn_impl), None
 
-    blk = jax.checkpoint(block) if remat else block
+    from ..ops.remat import remat_wrap
+
+    blk = remat_wrap(block, remat)
     x, _ = jax.lax.scan(blk, x, params["blocks"])
 
     x = x.reshape(t * h * w, cfg.embed_dim)
@@ -610,7 +612,8 @@ def greedy_generate(
     vis = None
     if pixel_patches is not None:
         vis = _jit_vision(params["visual"], cfg.vision,
-                          jnp.asarray(pixel_patches), grid)
+                          jnp.asarray(pixel_patches), grid,
+                          attn_impl=attn_impl)
 
     gen = _generate_fn(cfg, Tb, max_new_tokens, pixel_patches is not None,
                        int(eos_token_id))
@@ -621,7 +624,7 @@ def greedy_generate(
 
 _jit_vision = jax.jit(
     functools.partial(vision_forward, remat=False),
-    static_argnums=(1, 3),
+    static_argnums=(1, 3), static_argnames=("attn_impl",),
 )
 
 

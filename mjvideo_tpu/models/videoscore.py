@@ -218,7 +218,7 @@ def _bucket_position_ids(gh: int, gw: int, side: int):
 
 
 def vision_forward(p, cfg: SigLIPVisionConfig, pixel_values: jnp.ndarray,
-                   remat: bool = False) -> jnp.ndarray:
+                   remat: bool = False, attn_impl: str = "auto") -> jnp.ndarray:
     """SigLIP tower: patch conv, bucketized pos embeds, pre-LN blocks with
     gelu_tanh MLP, final post_layernorm.
 
@@ -243,7 +243,8 @@ def vision_forward(p, cfg: SigLIPVisionConfig, pixel_values: jnp.ndarray,
         q = (dot(h, lp["q"]["kernel"]) + lp["q"]["bias"]).reshape(B, S, H, D)
         k = (dot(h, lp["k"]["kernel"]) + lp["k"]["bias"]).reshape(B, S, H, D)
         v = (dot(h, lp["v"]["kernel"]) + lp["v"]["bias"]).reshape(B, S, H, D)
-        attn = multi_head_attention(q, k, v, causal=False).reshape(B, S, C)
+        attn = multi_head_attention(q, k, v, causal=False,
+                                    impl=attn_impl).reshape(B, S, C)
         x = x + dot(attn, lp["o"]["kernel"]) + lp["o"]["bias"]
         h = layer_norm(x, lp["ln2"]["weight"], lp["ln2"]["bias"], eps=eps)
         h = dot(h, lp["fc1"]["kernel"]) + lp["fc1"]["bias"]
@@ -251,7 +252,9 @@ def vision_forward(p, cfg: SigLIPVisionConfig, pixel_values: jnp.ndarray,
         h = dot(h, lp["fc2"]["kernel"]) + lp["fc2"]["bias"]
         return x + h, None
 
-    blk = jax.checkpoint(block) if remat else block
+    from ..ops.remat import remat_wrap
+
+    blk = remat_wrap(block, remat)
     x, _ = jax.lax.scan(blk, x, p["layers"])
     return layer_norm(x, p["post_layernorm"]["weight"],
                       p["post_layernorm"]["bias"], eps=eps)
