@@ -205,3 +205,13 @@ class ByteTokenizer:
         if buf:
             out.append(buf.decode("utf-8", errors="replace"))
         return "".join(out)
+
+
+def encode_text(tokenizer, s: str):
+    """Encode plain text with either an HF tokenizer or a callable shim
+    (ByteTokenizer / test lambdas) — the judge prompt builders' shared
+    adapter."""
+    if hasattr(tokenizer, "encode"):
+        return list(tokenizer.encode(s, add_special_tokens=False))
+    ids = tokenizer(s)
+    return ids["input_ids"] if isinstance(ids, dict) else list(ids)

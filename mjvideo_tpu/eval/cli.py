@@ -86,9 +86,17 @@ def _make_judge(args):
     from transformers import AutoTokenizer
 
     path = args.judge_model
-    tok = AutoTokenizer.from_pretrained(
-        args.tokenizer or path, trust_remote_code=True, use_fast=False
-    )
+    # InternVL's tokenizer needs the slow class; Llama-3/Qwen2-family judge
+    # checkpoints often ship ONLY a fast tokenizer (tokenizer.json), where
+    # use_fast=False raises before the judge is constructed.
+    try:
+        tok = AutoTokenizer.from_pretrained(
+            args.tokenizer or path, trust_remote_code=True, use_fast=False
+        )
+    except (ValueError, OSError):
+        tok = AutoTokenizer.from_pretrained(
+            args.tokenizer or path, trust_remote_code=True
+        )
     if args.judge == "qwen2-vl":
         from ..models.qwen2vl import (
             import_qwen2vl_params,

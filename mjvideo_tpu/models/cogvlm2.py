@@ -611,7 +611,13 @@ def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
     (config, prompt bucket, max_new); params and the per-call position
     ids go through jit ARGUMENTS (a closure would inline the weight tree
     as HLO constants — fatal at 19B dims)."""
-    from .generate import greedy_decode, init_kv_cache
+    from .generate import (
+        greedy_decode,
+        init_kv_cache,
+        last_real_token,
+        prefill_slot_mask,
+        step_slot_mask,
+    )
 
     max_len = Tb + max_new
 
@@ -625,21 +631,16 @@ def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
         cache_t = init_kv_cache(cfg.text, 1, max_len,
                                 dtype=lm["tok_embeddings"].dtype)
         cache = (cache_t.k, cache_t.v)
-        slots = jnp.arange(Tb)[None]
-        mask = (jnp.arange(max_len) < n_real)[None].astype(jnp.int32)
+        slots, mask = prefill_slot_mask(Tb, max_len, n_real)
         vm = (tt == VISION_TOKEN_TYPE).astype(embeds.dtype)[..., None]
         hidden, cache = _cogvlm2_forward_cached(
             params, cfg, embeds, cache, slots, pos_all[:, :Tb], mask, vm)
-        last = jnp.take_along_axis(
-            hidden, jnp.reshape(n_real - 1, (1, 1, 1)), axis=1)
-        logits0 = lm_logits(params, last)[:, 0]
+        logits0 = lm_logits(params, last_real_token(hidden, n_real))[:, 0]
 
         def step(params, tok, i, cache):
             e = dec.embed_tokens(params["language_model"],
                                  tok.reshape(1, 1))
-            s = jnp.full((1, 1), 0, jnp.int32) + n_real + i
-            m = (jnp.arange(max_len) < n_real + i + 1)[None].astype(
-                jnp.int32)
+            s, m = step_slot_mask(max_len, n_real, i)
             rope_pos = jax.lax.dynamic_slice_in_dim(pos_all, n_real + i, 1,
                                                     axis=1)
             vm = jnp.zeros((1, 1, 1), e.dtype)  # generated = language
@@ -667,14 +668,11 @@ def greedy_generate(
     call shares one compiled executable.  Generated tokens go through the
     language expert (new tokens are always language type) while RoPE
     keeps the shared-vision-position scheme."""
-    from .generate import round_up_bucket
+    from .generate import pad_prompt
 
     eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
-    n_real = input_ids.shape[1]
-    Tb = round_up_bucket(n_real)
+    ids, n_real, Tb = pad_prompt(input_ids, cfg.pad_token_id)
     max_len = Tb + max_new_tokens
-    ids = np.full((1, Tb), cfg.pad_token_id, np.int32)
-    ids[:, :n_real] = input_ids
     tt = np.zeros((1, Tb), np.int32)  # pads = language type
     tt[:, :n_real] = token_type_ids
     pos_prompt = build_position_ids(np.asarray(token_type_ids))
@@ -708,8 +706,7 @@ def _jit_vision(params, cfg: CogVLM2Config, pixel_values,
 
 # ------------------------------------------------------------- preprocessing
 
-CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
-CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+from ..data.video import CLIP_MEAN, CLIP_STD  # noqa: E402  (shared)
 
 
 def preprocess_video_frames(
@@ -739,11 +736,10 @@ def build_video_prompt_ids(
     VISION type), then the templated question.  The vision slots hold
     ``pad_token_id`` placeholders; the scatter fills them in-graph.
     """
+    from ..data.prompts import encode_text
+
     def enc(s):
-        if hasattr(tokenizer, "encode"):
-            return list(tokenizer.encode(s, add_special_tokens=False))
-        ids = tokenizer(s)
-        return ids["input_ids"] if isinstance(ids, dict) else list(ids)
+        return encode_text(tokenizer, s)
 
     n_vis = n_frames * cfg.vision.tokens_per_frame
     text_ids = enc(f"Question: {prompt} Answer:")

@@ -177,6 +177,40 @@ def round_up_bucket(n: int, bucket: int = 64) -> int:
     return (n + bucket - 1) // bucket * bucket
 
 
+# Shared scaffolding for the judge-backbone cached-generate factories
+# (qwen2vl / minicpmv / cogvlm2): right-padded prompt at slots [0, n_real),
+# decode token i at slot n_real + i.  Keeping the slot/mask arithmetic in
+# one place stops the three factories from drifting apart.
+
+def pad_prompt(input_ids, pad_id: int, bucket: int = 64):
+    """(1, T) prompt -> ((1, Tb) right-padded ids, n_real, Tb)."""
+    n_real = input_ids.shape[1]
+    Tb = round_up_bucket(n_real, bucket)
+    ids = np.full((1, Tb), pad_id, np.int32)
+    ids[:, :n_real] = input_ids
+    return ids, n_real, Tb
+
+
+def prefill_slot_mask(Tb: int, max_len: int, n_real):
+    """Cache slots + validity mask for the (padded) prompt prefill."""
+    slots = jnp.arange(Tb)[None]
+    mask = (jnp.arange(max_len) < n_real)[None].astype(jnp.int32)
+    return slots, mask
+
+
+def step_slot_mask(max_len: int, n_real, i):
+    """Cache slot + validity mask for the i-th generated token."""
+    slots = jnp.full((1, 1), 0, jnp.int32) + n_real + i
+    mask = (jnp.arange(max_len) < n_real + i + 1)[None].astype(jnp.int32)
+    return slots, mask
+
+
+def last_real_token(hidden, n_real):
+    """(B, T, C) -> (B, 1, C) at the last REAL prompt position."""
+    return jnp.take_along_axis(
+        hidden, jnp.reshape(n_real - 1, (1, 1, 1)), axis=1)
+
+
 class GenerationConfig(NamedTuple):
     max_new_tokens: int = 256
     eos_token_id: int = 2
@@ -232,10 +266,9 @@ def generate(
             embeds, input_ids, vit, cfg.img_context_token_id
         )
 
-    # Prompt tokens occupy slots [0, T); positions from the mask cumsum.
-    position_ids = jnp.cumsum(attention_mask, axis=-1) - 1
-    position_ids = jnp.maximum(position_ids, 0)
-    # Cache slots are laid out by sequence index (slot i = token i).
+    # Cache slots are laid out by sequence index (slot i = token i); RoPE
+    # positions ARE the slots — left-padded rows stay correct via the
+    # rotation's shift invariance, and pad slots never enter the cache.
     slot_ids = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
     cache = init_kv_cache(llm_cfg, B, max_len, dtype=embeds.dtype)
     cache_mask0 = jnp.pad(attention_mask, ((0, 0), (0, gc.max_new_tokens)))

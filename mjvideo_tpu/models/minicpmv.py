@@ -349,7 +349,14 @@ def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
     reuse the same executable.  Params go through jit ARGUMENTS (a closure
     would inline the weight tree as HLO constants; at 2B+ dims that
     exceeds remote compilers' request limits)."""
-    from .generate import decoder_forward_cached, greedy_decode, init_kv_cache
+    from .generate import (
+        decoder_forward_cached,
+        greedy_decode,
+        init_kv_cache,
+        last_real_token,
+        prefill_slot_mask,
+        step_slot_mask,
+    )
 
     max_len = Tb + max_new
 
@@ -365,19 +372,14 @@ def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
         # right-padded prompt: real tokens at slots [0, n_real); pad-slot
         # K/V writes are masked out by the cache mask, so their (garbage)
         # activations never enter attention.
-        slots = jnp.arange(Tb)[None]
-        mask = (jnp.arange(max_len) < n_real)[None].astype(jnp.int32)
+        slots, mask = prefill_slot_mask(Tb, max_len, n_real)
         hidden, cache = decoder_forward_cached(
             llm, cfg.text, embeds, cache, slots, mask)
-        last = jnp.take_along_axis(
-            hidden, jnp.reshape(n_real - 1, (1, 1, 1)), axis=1)
-        logits0 = lm_logits(params, last)[:, 0]
+        logits0 = lm_logits(params, last_real_token(hidden, n_real))[:, 0]
 
         def step(params, tok, i, cache):
             e = dec.embed_tokens(params["llm"], tok.reshape(1, 1))
-            s = jnp.full((1, 1), 0, jnp.int32) + n_real + i
-            m = (jnp.arange(max_len) < n_real + i + 1)[None].astype(
-                jnp.int32)
+            s, m = step_slot_mask(max_len, n_real, i)
             h, cache = decoder_forward_cached(
                 params["llm"], cfg.text, e, cache, s, m)
             return lm_logits(params, h)[:, 0], cache
@@ -399,13 +401,10 @@ def greedy_generate(
     prompt prefills once, and the whole token loop runs as ONE jitted
     ``lax.while_loop``; prompts bucket to multiples of 64 so every judge
     call shares one compiled executable."""
-    from .generate import round_up_bucket
+    from .generate import pad_prompt
 
     eos = cfg.im_end_token_id if eos_token_id is None else eos_token_id
-    n_real = input_ids.shape[1]
-    Tb = round_up_bucket(n_real)
-    ids = np.full((1, Tb), cfg.text.pad_token_id, np.int32)
-    ids[:, :n_real] = input_ids
+    ids, n_real, Tb = pad_prompt(input_ids, cfg.text.pad_token_id)
 
     vis = None
     if pixel_values is not None:
@@ -490,11 +489,10 @@ def build_video_prompt_ids(
                 return t
         return default
 
+    from ..data.prompts import encode_text
+
     def enc(s):
-        if hasattr(tokenizer, "encode"):
-            return list(tokenizer.encode(s, add_special_tokens=False))
-        ids = tokenizer(s)
-        return ids["input_ids"] if isinstance(ids, dict) else list(ids)
+        return encode_text(tokenizer, s)
 
     im_start = tid("<|im_start|>", cfg.im_start_token_id)
     im_end = tid("<|im_end|>", cfg.im_end_token_id)

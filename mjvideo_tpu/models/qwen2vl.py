@@ -535,7 +535,14 @@ def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
     (config, prompt bucket, max_new); params and the per-call M-RoPE
     tables go through jit ARGUMENTS (a closure would inline the weight
     tree as HLO constants — observed HTTP 413 at 2B dims)."""
-    from .generate import decoder_forward_cached, greedy_decode, init_kv_cache
+    from .generate import (
+        decoder_forward_cached,
+        greedy_decode,
+        init_kv_cache,
+        last_real_token,
+        prefill_slot_mask,
+        step_slot_mask,
+    )
 
     max_len = Tb + max_new
 
@@ -551,21 +558,17 @@ def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
                 cfg.video_token_id)
         cache = init_kv_cache(cfg.text, 1, max_len,
                               dtype=lm["tok_embeddings"].dtype)
-        slots = jnp.arange(Tb)[None]
-        mask = (jnp.arange(max_len) < n_real)[None].astype(jnp.int32)
+        slots, mask = prefill_slot_mask(Tb, max_len, n_real)
         hidden, cache = decoder_forward_cached(
             lm, cfg.text, embeds, cache, slots, mask,
             rope_override=(cos_all[:, :Tb], sin_all[:, :Tb]))
-        last = jnp.take_along_axis(
-            hidden, jnp.reshape(n_real - 1, (1, 1, 1)), axis=1)
-        logits0 = lm_logits(params, cfg, last)[:, 0]
+        logits0 = lm_logits(params, cfg,
+                            last_real_token(hidden, n_real))[:, 0]
 
         def step(params, tok, i, cache):
             e = dec.embed_tokens(params["language_model"],
                                  tok.reshape(1, 1))
-            s = jnp.full((1, 1), 0, jnp.int32) + n_real + i
-            m = (jnp.arange(max_len) < n_real + i + 1)[None].astype(
-                jnp.int32)
+            s, m = step_slot_mask(max_len, n_real, i)
             c = jax.lax.dynamic_slice_in_dim(cos_all, n_real + i, 1, axis=1)
             sn = jax.lax.dynamic_slice_in_dim(sin_all, n_real + i, 1, axis=1)
             h, cache = decoder_forward_cached(
@@ -594,13 +597,10 @@ def greedy_generate(
     for every slot (generated tokens continue at max(prompt) + 1 + i on
     all three channels) and sliced per step via ``rope_override``.
     """
-    from .generate import round_up_bucket
+    from .generate import pad_prompt
 
-    n_real = input_ids.shape[1]
-    Tb = round_up_bucket(n_real)
+    ids, n_real, Tb = pad_prompt(input_ids, cfg.text.pad_token_id)
     max_len = Tb + max_new_tokens
-    ids = np.full((1, Tb), cfg.text.pad_token_id, np.int32)
-    ids[:, :n_real] = input_ids
     pos0 = np.zeros((3, 1, max_len), np.int64)
     pos0[:, :, :n_real] = position_ids
     # pad + decode slots: continue on all three channels (pad-slot values
@@ -630,8 +630,7 @@ _jit_vision = jax.jit(
 
 # ------------------------------------------------------------ preprocessing
 
-CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
-CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+from ..data.video import CLIP_MEAN, CLIP_STD  # noqa: E402  (shared)
 
 
 def smart_resize(height: int, width: int, factor: int = 28,
@@ -700,11 +699,10 @@ def build_video_prompt_ids(
     m2 = cfg.vision.spatial_merge_size**2
     n_video = (grid[0] * grid[1] * grid[2]) // m2
 
+    from ..data.prompts import encode_text
+
     def enc(s):
-        if hasattr(tokenizer, "encode"):  # HF tokenizer
-            return list(tokenizer.encode(s, add_special_tokens=False))
-        ids = tokenizer(s)  # ByteTokenizer-style callable
-        return ids["input_ids"] if isinstance(ids, dict) else list(ids)
+        return encode_text(tokenizer, s)
 
     nl = enc("\n")
     ids = (

@@ -117,7 +117,11 @@ def _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         if kv_pad:
-            l = l - kv_pad * jnp.exp(-m)
+            # Floor the corrected denominator: if every real score in a row
+            # sits ~21+ below the (pad-forced) max, the subtraction can
+            # cancel to exactly 0 in fp32 and acc/l would be NaN; with the
+            # floor the row degrades to ~0 output instead.
+            l = jnp.maximum(l - kv_pad * jnp.exp(-m), 1e-30)
         acc = _dot(p.astype(v.dtype), v)
         o_ref[0, h] = (acc / l).astype(o_ref.dtype)
         if with_lse:
