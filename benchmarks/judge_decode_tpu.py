@@ -78,12 +78,13 @@ def main():
     mask = jnp.ones((1, T), jnp.int32)
 
     @jax.jit
-    def full_fwd(ids_j, pos_j, patches_j):
-        return qwen2vl_forward(params, cfg, ids_j, mask, pos_j,
+    def full_fwd(p, ids_j, pos_j, patches_j):
+        return qwen2vl_forward(p, cfg, ids_j, mask, pos_j,
                                pixel_patches=patches_j, grid=grid,
                                remat=False)[0, -1, 0]
 
-    a = (jnp.asarray(ids, jnp.int32), jnp.asarray(pos), jnp.asarray(patches))
+    a = (params, jnp.asarray(ids, jnp.int32), jnp.asarray(pos),
+         jnp.asarray(patches))
     np.asarray(full_fwd(*a))
     t0 = time.perf_counter()
     np.asarray(full_fwd(*a))
