@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--segments", type=int, default=8)
     ap.add_argument("--device-preprocess", action="store_true",
                     help="ship raw uint8 frames; resize+normalize on-device")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="decode-pool workers (0 = single prefetch thread)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="clips per scoring forward")
     args = ap.parse_args()
 
     from mjvideo_tpu.utils.profiling import enable_compilation_cache
@@ -78,39 +82,59 @@ def main():
         device_preprocess=args.device_preprocess,
     )
 
+    from mjvideo_tpu.data.dataset import pool_map
+
+    B = args.batch
     with tempfile.TemporaryDirectory() as d:
         paths = make_videos(d, args.clips)
 
-        def prepared():
-            for p in paths:
-                yield scorer.prepare_clip(
-                    p, "a scrolling color field", num_segments=args.segments)
+        def prep(p):
+            return scorer.prepare_clip(
+                p, "a scrolling color field", num_segments=args.segments)
 
-        # warmup compile on the first clip's shapes
-        pix, ids, gp = scorer.prepare_clip(
-            paths[0], "a scrolling color field", num_segments=args.segments)
-        np.asarray(scorer.score_batch(pix, [ids], [gp]).score)
+        def prepared():
+            if args.workers > 0:
+                yield from pool_map(prep, paths, num_workers=args.workers)
+            else:
+                yield from prefetch(map(prep, paths), 2)
+
+        # warmup compile on the first clip's shapes (incl. the batch width)
+        pix, ids, gp = prep(paths[0])
+        np.asarray(scorer.score_batch(
+            np.concatenate([pix] * B, 0), [ids] * B, [gp] * B).score)
 
         # host-only timing (decode+tile+tokenize), for the split
         t0 = time.perf_counter()
         for p in paths:
-            scorer.prepare_clip(p, "a scrolling color field",
-                                num_segments=args.segments)
+            prep(p)
         host_s = (time.perf_counter() - t0) / len(paths)
 
-        # end-to-end with the prefetch pipeline
+        # end-to-end with the pipeline
         t0 = time.perf_counter()
         n = 0
-        for pix, ids, gp in prefetch(prepared(), 2):
-            out = scorer.score_batch(pix, [ids], [gp])
-            n += 1
+        buf = []
+        for clip in prepared():
+            buf.append(clip)
+            if len(buf) == B:
+                out = scorer.score_batch(
+                    np.concatenate([c[0] for c in buf], 0),
+                    [c[1] for c in buf], [c[2] for c in buf])
+                n += len(buf)
+                buf = []
+        if buf:
+            out = scorer.score_batch(
+                np.concatenate([c[0] for c in buf], 0),
+                [c[1] for c in buf], [c[2] for c in buf])
+            n += len(buf)
         np.asarray(out.score)
         e2e = time.perf_counter() - t0
 
+    pipe = (f"{args.workers}-worker pool" if args.workers
+            else "prefetch depth 2")
     print(f"host prep:      {host_s*1e3:7.1f} ms/clip "
           f"({1/host_s:.2f} clips/s host-only)")
     print(f"end-to-end:     {e2e/n*1e3:7.1f} ms/clip -> "
-          f"{n/e2e:.2f} clips/s e2e ({n} clips, prefetch depth 2)")
+          f"{n/e2e:.2f} clips/s e2e ({n} clips, batch {B}, {pipe})")
 
 
 if __name__ == "__main__":

@@ -17,10 +17,12 @@ Replaces ``VideoDataset`` (``scripts/data_processor/dataset.py:270-405``) and
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import queue
 import threading
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+from collections import deque
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -43,6 +45,7 @@ class PreferencePairDataset:
         overall: bool = False,
         mse: bool = True,
         gating_pattern: Sequence[int] = GATING_TOKEN_PATTERN,
+        decode_workers: int = 0,
     ):
         with open(json_path, encoding="utf-8") as f:
             self.data = json.load(f)
@@ -54,6 +57,7 @@ class PreferencePairDataset:
         self.overall = overall
         self.mse = mse
         self.gating_pattern = tuple(gating_pattern)
+        self.decode_workers = decode_workers
 
     def __len__(self) -> int:
         # Overall mode counts only decided pairs (``dataset.py:311-320``).
@@ -95,6 +99,15 @@ class PreferencePairDataset:
         return ex
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.decode_workers > 0:
+            # N-worker ordered decode pool (reference: 12-thread prefetch,
+            # ``dataset.py:299-309``); both videos of a pair decode in one
+            # task, pairs decode concurrently across tasks.
+            for ex in pool_map(self.example, self.data,
+                               num_workers=self.decode_workers):
+                if ex is not None:
+                    yield ex
+            return
         for item in self.data:
             ex = self.example(item)
             if ex is not None:
@@ -168,6 +181,48 @@ def batched(
             buf = []
     if buf and not drop_remainder:
         yield collator(buf)
+
+
+def pool_map(
+    fn: Callable,
+    items: Iterable,
+    num_workers: int = 4,
+    num_prefetch: Optional[int] = None,
+) -> Iterator:
+    """Ordered N-worker map: ``map(fn, items)`` with ``num_workers`` threads
+    working ahead and at most ``num_prefetch`` tasks in flight.
+
+    The multi-worker host pipeline (the reference decodes through a
+     12-thread pool, ``dataset.py:299-309``): video decode is C-level
+    (cv2/ffmpeg release the GIL), so workers overlap each other on
+    multi-core hosts and overlap H2D transfer + device dispatch waits even
+    on one core.  Results come back in submission order so downstream
+    batching stays deterministic; a worker exception re-raises at its
+    item's position."""
+    if num_prefetch is None:
+        num_prefetch = 2 * num_workers
+    it = iter(items)
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=num_workers)
+    pending: deque = deque()
+    try:
+        exhausted = False
+        while not exhausted and len(pending) < num_prefetch:
+            try:
+                pending.append(ex.submit(fn, next(it)))
+            except StopIteration:
+                exhausted = True
+        while pending:
+            result = pending.popleft().result()
+            while not exhausted and len(pending) < num_prefetch:
+                try:
+                    pending.append(ex.submit(fn, next(it)))
+                except StopIteration:
+                    exhausted = True
+            yield result
+    finally:
+        for f in pending:
+            f.cancel()
+        ex.shutdown(wait=False)
 
 
 def prefetch(

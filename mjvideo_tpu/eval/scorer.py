@@ -52,18 +52,27 @@ class RewardScorer:
         gating_pattern: Sequence[int] = GATING_TOKEN_PATTERN,
         mesh=None,
         device_preprocess: bool = False,
+        device_max_num: int = 1,
     ):
         """``mesh``: an optional ('data','model') Mesh — params are placed
         per the TP rules and scoring batches shard over ``data`` (the
         v5e-8 serving configuration; single chip needs no mesh).
 
-        ``device_preprocess=True`` (serving fast path, max_num=1 only):
-        the host ships raw DECODED uint8 frames at their original
-        resolution; bicubic resize + ImageNet normalize run fused into the
-        scoring jit on the MXU (``ops/preprocess.py``).  Cuts the H2D
-        payload ~4-12x and removes the per-frame PIL resize from the host
-        (the two costs that dominate end-to-end serving — docs/PERF.md).
-        One extra compile per distinct source resolution."""
+        ``device_preprocess=True`` (serving fast path): the host ships raw
+        DECODED uint8 frames at their original resolution; bicubic resize
+        + ImageNet normalize run fused into the scoring jit on the MXU
+        (``ops/preprocess.py``).  Cuts the H2D payload ~4-12x and removes
+        the per-frame PIL resize from the host (the two costs that
+        dominate end-to-end serving — docs/PERF.md).  One extra compile
+        per distinct source resolution.
+
+        ``device_max_num``: dynamic-tiling ceiling for the device path
+        (the high-res serving configuration, BASELINE config #4).  The
+        host picks the ``dynamic_preprocess`` grid from each clip's
+        resolution (data-dependent control flow stays on the host,
+        ``data/video.py: select_tile_grid``); the device graph resizes,
+        crops the row-major tiles, appends the thumbnail, and normalizes
+        (``ops/preprocess.py: tile_frames_device``)."""
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
@@ -82,19 +91,39 @@ class RewardScorer:
             tokenizer, "pad_token_id", cfg.chat.llm.pad_token_id
         ) or cfg.chat.llm.pad_token_id
         self.device_preprocess = device_preprocess
+        self.device_max_num = device_max_num
+
+    def _device_grid(self, width: int, height: int):
+        """Host-side grid choice for the device-preprocess path; (1, 1)
+        means plain resize (no tiling, no thumbnail)."""
+        from ..data.video import select_tile_grid
+
+        if self.device_max_num == 1:
+            return (1, 1)
+        return select_tile_grid(width, height, 1, self.device_max_num,
+                                self.cfg.chat.image_size)
 
     @functools.lru_cache(maxsize=8)
-    def _jitted(self, T: int, n_tiles: int, B: int):
+    def _jitted(self, T: int, n_tiles: int, B: int, grid=None):
         cfg, attn_impl = self.cfg, self.attn_impl
         dev_pre, dtype = self.device_preprocess, self.dtype
 
         @jax.jit
         def fwd(params, pix, ids, mask, gating_pos):
             if dev_pre:
-                from ..ops.preprocess import preprocess_frames_device
+                from ..ops.preprocess import (
+                    preprocess_frames_device,
+                    tile_frames_device,
+                )
 
-                pix = preprocess_frames_device(
-                    pix, cfg.chat.image_size, dtype=dtype)
+                if grid is None or grid == (1, 1):
+                    pix = preprocess_frames_device(
+                        pix, cfg.chat.image_size, dtype=dtype)
+                else:
+                    cols, rows = grid
+                    pix = tile_frames_device(
+                        pix, cols, rows, cfg.chat.image_size,
+                        thumbnail=cfg.chat.use_thumbnail, dtype=dtype)
             return reward_forward(
                 params, cfg, pix, ids, mask, gating_pos,
                 attn_impl=attn_impl, remat=False,
@@ -122,7 +151,12 @@ class RewardScorer:
             self._pad(np.ones(len(i), np.int32), T, 0)
             for i in input_ids_list
         ])
-        fwd = self._jitted(T, pixel_values.shape[0], B)
+        grid = None
+        if self.device_preprocess:
+            # raw frames: grid is a pure function of the source resolution
+            h, w = pixel_values.shape[1:3]
+            grid = self._device_grid(w, h)
+        fwd = self._jitted(T, pixel_values.shape[0], B, grid)
         pix_dtype = jnp.uint8 if self.device_preprocess else self.dtype
         args = (
             jnp.asarray(pixel_values, pix_dtype),
@@ -144,10 +178,11 @@ class RewardScorer:
     ) -> Tuple[np.ndarray, np.ndarray, int]:
         """Host-side: decode (+ tile unless device_preprocess) + prompt."""
         if self.device_preprocess:
-            if max_num != 1:
+            if max_num != self.device_max_num:
                 raise ValueError(
-                    "device_preprocess supports max_num=1 (the reward "
-                    "default); dynamic tiling grids are host decisions")
+                    f"device_preprocess tiles at the scorer's device_max_num"
+                    f"={self.device_max_num}; got max_num={max_num} — "
+                    "construct the scorer with device_max_num=max_num")
             from ..data.video import (
                 decode_frames,
                 get_frame_indices,
@@ -157,7 +192,11 @@ class RewardScorer:
             n_frames, fps = video_metadata(video_path)
             idx = get_frame_indices(n_frames, num_segments, fps=fps)
             pixels = np.stack(decode_frames(video_path, idx))  # uint8
-            num_patches_list = [1] * num_segments
+            cols, rows = self._device_grid(pixels.shape[2], pixels.shape[1])
+            per_frame = cols * rows
+            if per_frame > 1 and self.cfg.chat.use_thumbnail:
+                per_frame += 1
+            num_patches_list = [per_frame] * num_segments
         else:
             pixels, num_patches_list = load_video(
                 video_path, num_segments=num_segments, max_num=max_num,

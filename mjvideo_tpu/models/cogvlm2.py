@@ -728,6 +728,7 @@ def preprocess_video_frames(
 
 def build_video_prompt_ids(
     tokenizer, cfg: CogVLM2Config, n_frames: int, prompt: str,
+    history=None, template_version: str = "chat",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(input_ids, token_type_ids) for an n-frame video + question.
 
@@ -735,14 +736,19 @@ def build_video_prompt_ids(
     then one vision block (boi + per-frame features + eoi slots, all
     VISION type), then the templated question.  The vision slots hold
     ``pad_token_id`` placeholders; the scatter fills them in-graph.
+    The text template is the exact ``_history_to_prompt`` port pinned in
+    ``data/judge_templates.py`` ('chat' — swift's ``cogvlm2_video_13b_chat``
+    default — plus the published 'vqa'/'base' variants and history turns).
     """
+    from ..data.judge_templates import cogvlm2_history_to_prompt
     from ..data.prompts import encode_text
 
     def enc(s):
         return encode_text(tokenizer, s)
 
     n_vis = n_frames * cfg.vision.tokens_per_frame
-    text_ids = enc(f"Question: {prompt} Answer:")
+    text_ids = enc(cogvlm2_history_to_prompt(prompt, history,
+                                             template_version))
     ids = [cfg.bos_token_id] + [cfg.pad_token_id] * n_vis + text_ids
     tt = [LANGUAGE_TOKEN_TYPE] + [VISION_TOKEN_TYPE] * n_vis \
         + [LANGUAGE_TOKEN_TYPE] * len(text_ids)

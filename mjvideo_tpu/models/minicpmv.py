@@ -472,11 +472,18 @@ def build_video_prompt_ids(
 ) -> np.ndarray:
     """ChatML ids for an n-frame video + text prompt.
 
-    MiniCPM-V-2.6's processor renders each frame as
-    ``<image>`` + ``<unk>``x num_queries + ``</image>`` inside the user
-    turn (image_processing/processing_minicpmv); token ids are resolved
-    from the tokenizer when possible, falling back to the config defaults.
+    Token layout pinned by ``data/judge_templates.py`` (transcribed from
+    the published MiniCPM-V-2.6 chat/processor sources, the code swift's
+    ``minicpm_v_v2_6_chat`` template delegates to): each frame renders as
+    ``<image>`` + ``<unk>`` x num_queries + ``</image>``, frames and the
+    query are ``'\n'``-joined, wrapped in a system-less ChatML turn.
+    Special-token ids resolve from the tokenizer when possible, falling
+    back to the config defaults; text runs are BPE-encoded exactly at the
+    boundaries where an HF tokenizer splits on special tokens.
     """
+    from ..data.judge_templates import minicpm_video_segments
+    from ..data.prompts import encode_text
+
     def tid(tok_str, default):
         if hasattr(tokenizer, "convert_tokens_to_ids"):
             try:
@@ -489,24 +496,18 @@ def build_video_prompt_ids(
                 return t
         return default
 
-    from ..data.prompts import encode_text
-
-    def enc(s):
-        return encode_text(tokenizer, s)
-
-    im_start = tid("<|im_start|>", cfg.im_start_token_id)
-    im_end = tid("<|im_end|>", cfg.im_end_token_id)
-    img_s = tid("<image>", cfg.image_start_token_id)
-    img_e = tid("</image>", cfg.image_end_token_id)
-    unk = tid("<unk>", cfg.unk_token_id)
-
-    nl = enc("\n")
-    frame_ids: List[int] = []
-    for _ in range(n_frames):
-        frame_ids += [img_s] + [unk] * cfg.resampler.num_queries + [img_e]
-    ids = (
-        [im_start] + enc("user") + nl
-        + frame_ids + enc(prompt) + [im_end] + nl
-        + [im_start] + enc("assistant") + nl
-    )
+    special = {
+        "<|im_start|>": tid("<|im_start|>", cfg.im_start_token_id),
+        "<|im_end|>": tid("<|im_end|>", cfg.im_end_token_id),
+        "<image>": tid("<image>", cfg.image_start_token_id),
+        "</image>": tid("</image>", cfg.image_end_token_id),
+        "<unk>": tid("<unk>", cfg.unk_token_id),
+    }
+    ids: List[int] = []
+    for kind, value in minicpm_video_segments(
+            n_frames, prompt, cfg.resampler.num_queries):
+        if kind == "special":
+            ids.append(special[value])
+        else:
+            ids += encode_text(tokenizer, value)
     return np.asarray([ids], np.int32)

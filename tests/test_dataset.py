@@ -183,3 +183,49 @@ def test_trainer_tensorboard_logging(tmp_path):
     tb_dir = tmp_path / "tb"
     if tr._tb is not None:  # flax tensorboard available in this image
         assert tb_dir.exists() and len(os.listdir(tb_dir)) > 0
+
+
+def test_pool_map_ordered_and_raises():
+    from mjvideo_tpu.data.dataset import pool_map
+
+    # order preserved regardless of completion order
+    import time as _t
+
+    def slow_sq(x):
+        _t.sleep(0.02 if x % 2 == 0 else 0.0)
+        return x * x
+
+    assert list(pool_map(slow_sq, range(17), num_workers=4)) == [
+        x * x for x in range(17)]
+
+    # a worker exception surfaces at its item's position
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("decode failed")
+        return x
+
+    out = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for v in pool_map(boom, range(6), num_workers=2):
+            out.append(v)
+    assert out == [0, 1, 2]
+
+    # early consumer exit doesn't hang
+    gen = pool_map(slow_sq, range(100), num_workers=4)
+    assert next(gen) == 0
+    gen.close()
+
+
+def test_dataset_decode_pool_matches_serial(data_dir):
+    root, jpath = data_dir
+    cfg = tiny_test_config()
+    tok = ByteTokenizer()
+    kw = dict(tokenizer=tok, cfg=cfg.chat, root=str(root), num_segments=2,
+              gating_pattern=tok.gating_pattern())
+    serial = list(PreferencePairDataset(jpath, **kw))
+    pooled = list(PreferencePairDataset(jpath, decode_workers=3, **kw))
+    assert len(serial) == len(pooled)
+    for a, b in zip(serial, pooled):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -108,3 +108,64 @@ def test_scorer_device_preprocess_matches_host_path(tmp_path):
     # ~1/255 per pixel; far inside the 1e-2 score budget.
     np.testing.assert_allclose(rd["score"], rh["score"], atol=1e-2)
     np.testing.assert_allclose(rd["rewards"], rh["rewards"], atol=1e-2)
+
+
+def test_scorer_device_tiling_matches_host_path(tmp_path):
+    """device_preprocess with device_max_num>1 (host picks the dynamic grid,
+    device tiles + normalizes — the high-res serving path, BASELINE config
+    #4) must score within the fidelity budget of the host-PIL tiling path
+    and expand the prompt with the same num_patches_list."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mjvideo_tpu.configs import tiny_test_config
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.scorer import RewardScorer
+    from mjvideo_tpu.models.reward import init_reward_params
+
+    import cv2
+
+    video = tmp_path / "wide.mp4"
+    W, H = 128, 64  # 2:1 -> grid (2, 1) at max_num=2, + thumbnail
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                        (W, H))
+    assert w.isOpened()
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        frame = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        w.write(frame)
+    w.release()
+
+    cfg = tiny_test_config()
+    params = init_reward_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    kw = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(1024,),
+              gating_pattern=tok.gating_pattern())
+    host = RewardScorer(cfg, params, tok, **kw)
+    dev = RewardScorer(cfg, params, tok, device_preprocess=True,
+                       device_max_num=2, **kw)
+
+    # identical prompts (same per-frame patch count incl. thumbnail)
+    _, ids_h, g_h = host.prepare_clip(str(video), "a wide clip",
+                                      num_segments=2, max_num=2)
+    _, ids_d, g_d = dev.prepare_clip(str(video), "a wide clip",
+                                     num_segments=2, max_num=2)
+    np.testing.assert_array_equal(ids_h, ids_d)
+    assert g_h == g_d
+
+    rh = host.score_video(str(video), "a wide clip", num_segments=2,
+                          max_num=2)
+    rd = dev.score_video(str(video), "a wide clip", num_segments=2,
+                         max_num=2)
+    np.testing.assert_allclose(rd["score"], rh["score"], atol=1e-2)
+    np.testing.assert_allclose(rd["rewards"], rh["rewards"], atol=1e-2)
+
+    # wrong max_num is refused loudly (grid is a scorer-level setting)
+    try:
+        dev.prepare_clip(str(video), "a wide clip", num_segments=2,
+                         max_num=4)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("mismatched max_num must raise")
