@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import ChatConfig
-from ..ops.matmul import dot
+from ..ops.matmul import dot, gelu
 from ..ops.norms import layer_norm
 from ..ops.pixel_shuffle import pixel_shuffle
 from . import decoder as dec
@@ -64,7 +64,7 @@ def init_chat_params(key, cfg: ChatConfig, dtype=jnp.float32,
 def apply_projector(p, x: jnp.ndarray) -> jnp.ndarray:
     h = layer_norm(x, p["norm"]["weight"], p["norm"]["bias"], eps=1e-5)
     h = dot(h, p["fc1"]["kernel"]) + p["fc1"]["bias"]
-    h = jax.nn.gelu(h, approximate=False)
+    h = gelu(h)
     h = dot(h, p["fc2"]["kernel"]) + p["fc2"]["bias"]
     return h
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..configs import VisionConfig
 from ..ops.attention import multi_head_attention
-from ..ops.matmul import dot
+from ..ops.matmul import dot, gelu
 from ..ops.norms import layer_norm, rms_norm
 
 
@@ -185,7 +185,7 @@ def _block(cfg: VisionConfig, p, x: jnp.ndarray, attn_impl: str,
 
     h = _norm(cfg, p["norm2"], x).astype(x.dtype)
     h = dot(h, p["mlp"]["fc1"]["kernel"]) + p["mlp"]["fc1"]["bias"]
-    h = jax.nn.gelu(h, approximate=False)
+    h = gelu(h)
     h = dot(h, p["mlp"]["fc2"]["kernel"]) + p["mlp"]["fc2"]["bias"]
     if rng is not None:
         return x + _drop_path(h * p["ls2"], dp_rate, k2)

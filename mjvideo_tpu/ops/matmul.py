@@ -50,3 +50,18 @@ def einsum(spec: str, *args, out_dtype=None) -> jnp.ndarray:
         preferred_element_type=jnp.float32,
     )
     return out if out_dtype is None else out.astype(out_dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU with a dtype-driven approximation policy.
+
+    fp32 uses the exact erf formulation (torch ``nn.GELU()`` default, what
+    the reference's ViT/projector compute — ``modeling_intern_vit.py``
+    ``act_layer=nn.GELU``); bf16 uses the tanh approximation: its max
+    absolute error (~3e-4) is below bf16's representation step at
+    activation scale, while the erf polynomial epilogue measurably stalls
+    the fc1 matmul fusion on v5e (102 vs 180+ TF/s; tanh is free —
+    docs/PERF.md round 3).  Numerically this keeps bf16 outputs within
+    rounding noise of the exact-erf bf16 path.
+    """
+    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)

@@ -169,3 +169,44 @@ def test_scorer_device_tiling_matches_host_path(tmp_path):
         pass
     else:
         raise AssertionError("mismatched max_num must raise")
+
+
+def test_scorer_micro_batch_split_matches_single_dispatch(tmp_path):
+    """device_batch splits big client batches into pipelined dispatches;
+    per-clip outputs must be identical to one big dispatch (row-wise
+    batch invariance, also verified bit-exact for dp=8 inference)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mjvideo_tpu.configs import tiny_test_config
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.scorer import RewardScorer
+    from mjvideo_tpu.models.reward import init_reward_params
+
+    cfg = tiny_test_config()
+    params = init_reward_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    kw = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(1024,),
+              gating_pattern=tok.gating_pattern())
+    one = RewardScorer(cfg, params, tok, **kw)
+    micro = RewardScorer(cfg, params, tok, device_batch=1, **kw)
+
+    ch = cfg.chat
+    B, F = 4, 2
+    rng = np.random.default_rng(0)
+    pix = rng.normal(size=(B * F, ch.image_size, ch.image_size, 3)
+                     ).astype(np.float32)
+    n_img = ch.num_image_token * F
+    ids_list, gpos = [], []
+    for b in range(B):
+        ids = rng.integers(10, 120, size=(20 + n_img,))
+        ids[3:3 + n_img] = ch.img_context_token_id
+        ids_list.append(ids.astype(np.int32))
+        gpos.append(len(ids) - 5)
+    a = one.score_batch(pix, ids_list, gpos)
+    b = micro.score_batch(pix, ids_list, gpos)
+    np.testing.assert_allclose(np.asarray(b.score), np.asarray(a.score),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.rewards), np.asarray(a.rewards),
+                               rtol=0, atol=1e-5)
