@@ -372,13 +372,20 @@ def mjvideo_4b_config() -> RewardConfig:
 
 
 def tiny_test_config(
-    vocab_size: int = 256,
+    vocab_size: int = 272,
     hidden_size: int = 64,
     num_layers: int = 2,
     image_size: int = 56,
     patch_size: int = 14,
 ) -> RewardConfig:
-    """A scaled-down config for fast CPU tests; same structure as 2B."""
+    """A scaled-down config for fast CPU tests; same structure as 2B.
+
+    The special-token ids follow ``data/prompts.ByteTokenizer`` (byte vocab
+    256 + specials: im_start 256, im_end 257, <img> 258, </img> 259,
+    <IMG_CONTEXT> 260) so hermetic pipelines built through the ByteTokenizer
+    scatter image embeds at the SAME id the model looks for — exactly how
+    real checkpoints assign ``img_context_token_id`` from their tokenizer.
+    """
     return RewardConfig(
         chat=ChatConfig(
             vision=VisionConfig(
@@ -398,9 +405,9 @@ def tiny_test_config(
                 num_key_value_heads=2,
                 pad_token_id=0,
             ),
-            img_context_token_id=vocab_size - 1,
-            img_start_token_id=vocab_size - 3,
-            img_end_token_id=vocab_size - 2,
+            img_context_token_id=260,
+            img_start_token_id=258,
+            img_end_token_id=259,
         ),
         gating_hidden_dim=32,
         gating_token_pattern=(7, 8, 9),

@@ -80,6 +80,21 @@ def find_gating_position(
     raise ValueError("gating token pattern not found in input_ids")
 
 
+def _tokenizer_token_id(tokenizer, token: str) -> Optional[int]:
+    """The tokenizer's id for ``token``, or None if it can't say."""
+    tid = getattr(tokenizer, "img_context_token_id", None) \
+        if token == IMG_CONTEXT_TOKEN else None
+    if tid is None and hasattr(tokenizer, "convert_tokens_to_ids"):
+        try:
+            t = tokenizer.convert_tokens_to_ids(token)
+        except (KeyError, ValueError):
+            return None
+        unk = getattr(tokenizer, "unk_token_id", None)
+        if isinstance(t, int) and t >= 0 and t != unk:
+            tid = t
+    return tid
+
+
 def prepare_chat_input(
     cfg,  # ChatConfig
     tokenizer,
@@ -115,6 +130,21 @@ def prepare_chat_input(
     enc = tokenizer(query)
     ids = list(enc["input_ids"])
     mask = list(enc.get("attention_mask", [1] * len(ids)))
+    if num_patches_list:
+        # The scatter id is the TOKENIZER's (the reference assigns
+        # ``model.img_context_token_id`` from it at load time); a config
+        # that disagrees would silently drop every image embedding, so
+        # fail loudly here instead.
+        tok_img = _tokenizer_token_id(tokenizer, IMG_CONTEXT_TOKEN)
+        if tok_img is not None and tok_img != cfg.img_context_token_id:
+            raise ValueError(
+                f"tokenizer maps {IMG_CONTEXT_TOKEN!r} to id {tok_img} but "
+                f"cfg.img_context_token_id is {cfg.img_context_token_id}; "
+                "the image-embed scatter would miss every position. Set "
+                "the config id from the tokenizer (as the reference does: "
+                "model.img_context_token_id = tokenizer."
+                "convert_tokens_to_ids(IMG_CONTEXT_TOKEN))."
+            )
     try:
         gating_pos = find_gating_position(ids, gating_pattern)
     except ValueError:

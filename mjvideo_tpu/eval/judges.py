@@ -443,12 +443,45 @@ class OpenAIJudge:
 class GeminiJudge:
     """Gemini judge with safety filters off (``eval_overall_gemini.py:38-109``).
 
+    Two input modes, matching the reference:
+
+    * ``mode="upload"`` — whole-file upload via the Files API;
+    * ``mode="frames"`` — every-50th frame, cap 10, base64 JPEG, sent as a
+      chat message alongside the prompt (``eval_overall_gemini.py:86-97``,
+      the mode the reference script actually runs).
+
     Requires GOOGLE_API_KEY + the google-generativeai package (not baked into
     this image); raises a clear error otherwise.
     """
 
-    def __init__(self, model: str = "gemini-1.5-flash"):
+    def __init__(self, model: str = "gemini-1.5-flash",
+                 mode: str = "frames", frame_stride: int = 50,
+                 max_frames: int = 10):
+        if mode not in ("frames", "upload"):
+            raise ValueError(f"unknown Gemini input mode {mode!r}")
         self.model = model
+        self.mode = mode
+        self.frame_stride = frame_stride
+        self.max_frames = max_frames
+
+    @staticmethod
+    def _encode_frames(video_path: str, stride: int, cap: int):
+        """Reference frame sampling: decode ALL, take every ``stride``-th,
+        cap at ``cap`` (``eval_overall_gemini.py:86-96``)."""
+        import base64
+
+        import cv2
+
+        video = cv2.VideoCapture(video_path)
+        frames = []
+        while video.isOpened():
+            ok, frame = video.read()
+            if not ok:
+                break
+            _, buf = cv2.imencode(".jpg", frame)
+            frames.append(base64.b64encode(buf).decode("utf-8"))
+        video.release()
+        return frames[0::stride][:cap]
 
     def ask(self, prompt: str, video_path: str) -> str:
         if not os.environ.get("GOOGLE_API_KEY"):
@@ -460,7 +493,6 @@ class GeminiJudge:
                 "GeminiJudge requires google-generativeai"
             ) from e
         genai.configure(api_key=os.environ["GOOGLE_API_KEY"])
-        video = genai.upload_file(video_path)
         model = genai.GenerativeModel(self.model)
         safety = [
             {"category": c, "threshold": "BLOCK_NONE"}
@@ -468,6 +500,15 @@ class GeminiJudge:
                       "HARM_CATEGORY_SEXUALLY_EXPLICIT",
                       "HARM_CATEGORY_DANGEROUS_CONTENT")
         ]
+        if self.mode == "frames":
+            frames = self._encode_frames(video_path, self.frame_stride,
+                                         self.max_frames)
+            parts = [prompt] + [
+                {"mime_type": "image/jpeg", "data": f} for f in frames
+            ]
+            resp = model.generate_content(parts, safety_settings=safety)
+            return resp.text
+        video = genai.upload_file(video_path)
         resp = model.generate_content([video, prompt],
                                       safety_settings=safety)
         return resp.text

@@ -102,6 +102,24 @@ class RewardScorer:
         self.device_preprocess = device_preprocess
         self.device_max_num = device_max_num
         self.device_batch = device_batch
+        # The scatter id comes from the TOKENIZER, as the reference does at
+        # load time (``model.img_context_token_id =
+        # tokenizer.convert_tokens_to_ids(IMG_CONTEXT_TOKEN)``); a silent
+        # config/tokenizer mismatch would drop the image embeds entirely.
+        self.img_context_token_id = self._tokenizer_img_id()
+
+    def _tokenizer_img_id(self) -> int:
+        tid = getattr(self.tokenizer, "img_context_token_id", None)
+        if tid is None and hasattr(self.tokenizer, "convert_tokens_to_ids"):
+            try:
+                from ..data.prompts import IMG_CONTEXT_TOKEN
+
+                t = self.tokenizer.convert_tokens_to_ids(IMG_CONTEXT_TOKEN)
+                if isinstance(t, int) and t >= 0:
+                    tid = t
+            except (KeyError, ValueError):
+                tid = None
+        return self.cfg.chat.img_context_token_id if tid is None else tid
 
     def _device_grid(self, width: int, height: int):
         """Host-side grid choice for the device-preprocess path; (1, 1)
@@ -117,6 +135,7 @@ class RewardScorer:
     def _jitted(self, T: int, n_tiles: int, B: int, grid=None):
         cfg, attn_impl = self.cfg, self.attn_impl
         dev_pre, dtype = self.device_preprocess, self.dtype
+        img_id = self.img_context_token_id
 
         @jax.jit
         def fwd(params, pix, ids, mask, gating_pos):
@@ -137,6 +156,7 @@ class RewardScorer:
             return reward_forward(
                 params, cfg, pix, ids, mask, gating_pos,
                 attn_impl=attn_impl, remat=False,
+                img_context_token_id=img_id,
             )
 
         return fwd
@@ -189,10 +209,28 @@ class RewardScorer:
             for i in input_ids_list
         ])
         grid = None
+        n_tiles = pixel_values.shape[0]
         if self.device_preprocess:
             # raw frames: grid is a pure function of the source resolution
             h, w = pixel_values.shape[1:3]
             grid = self._device_grid(w, h)
+            per_frame = grid[0] * grid[1]
+            if per_frame > 1 and self.cfg.chat.use_thumbnail:
+                per_frame += 1
+            n_tiles = pixel_values.shape[0] * per_frame
+        # Guard against a tokenizer/config scatter-id mismatch: it would
+        # silently drop the image embeds and score the text alone.
+        n_img = int(sum(
+            int((np.asarray(i) == self.img_context_token_id).sum())
+            for i in input_ids_list
+        ))
+        expected = n_tiles * self.cfg.chat.num_image_token
+        if n_img != expected:
+            raise ValueError(
+                f"input_ids contain {n_img} <IMG_CONTEXT> tokens (id "
+                f"{self.img_context_token_id}) but the pixel tiles produce "
+                f"{expected} image embeddings — tokenizer/config mismatch "
+                "or wrong num_patches_list")
         fwd = self._jitted(T, pixel_values.shape[0], B, grid)
         pix_dtype = jnp.uint8 if self.device_preprocess else self.dtype
         args = (
@@ -296,11 +334,14 @@ class RewardScorer:
         gpos = jnp.asarray([gating_pos], jnp.int32)
         cfg, params, attn_impl = self.cfg, self.params, self.attn_impl
 
+        img_id = self.img_context_token_id
+
         @jax.jit
         def f(pixel_values):
             out = reward_forward(
                 params, cfg, pixel_values.astype(self.dtype), ids, mask, gpos,
                 attn_impl=attn_impl, remat=True,
+                img_context_token_id=img_id,
             )
             return out.score[0]
 

@@ -128,6 +128,7 @@ def chat_forward(
     attn_impl: str = "auto",
     remat: bool = True,
     vit_rng=None,
+    img_context_token_id: Optional[int] = None,
 ) -> jnp.ndarray:
     """Full multimodal forward; returns final hidden states (B, T, C).
 
@@ -135,14 +136,21 @@ def chat_forward(
     146-226``) up to (and excluding) the LM head — the reward path consumes
     hidden states, so the vocab-sized logits matmul is skipped entirely
     (the reference computes 92k-dim logits it never uses).
+
+    ``img_context_token_id`` overrides the config scatter id — the
+    reference assigns it from the tokenizer at load time
+    (``model.img_context_token_id = tokenizer.convert_tokens_to_ids(
+    IMG_CONTEXT_TOKEN)``); pass the tokenizer's id when one is in hand.
     """
     input_embeds = dec.embed_tokens(params["language_model"], input_ids)
     vit_embeds = extract_feature(
         params, cfg, pixel_values, attn_impl=attn_impl, remat=remat,
         vit_rng=vit_rng,
     )
+    if img_context_token_id is None:
+        img_context_token_id = cfg.img_context_token_id
     input_embeds = scatter_image_embeds(
-        input_embeds, input_ids, vit_embeds, cfg.img_context_token_id
+        input_embeds, input_ids, vit_embeds, img_context_token_id
     )
     return dec.decoder_forward(
         params["language_model"],

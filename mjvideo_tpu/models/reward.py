@@ -196,15 +196,22 @@ def reward_forward(
     attn_impl: str = "auto",
     remat: bool = True,
     vit_rng=None,
+    img_context_token_id: Optional[int] = None,
 ) -> RewardOutput:
     """Backbone forward + fused reward head; the north-star inference path.
 
     ``vit_rng`` enables ViT DropPath/dropout (training mode) when the vision
     config carries nonzero rates; None = deterministic eval.
+
+    ``img_context_token_id``: runtime override of the scatter token id —
+    the reference sets it from the TOKENIZER at load time
+    (``eval_genai_mjvideo.py``/README quickstart:
+    ``model.img_context_token_id = tokenizer.convert_tokens_to_ids(...)``),
+    so callers holding a tokenizer should pass its id; None = config value.
     """
     hidden = chat_forward(
         params["model"], cfg.chat, pixel_values, input_ids,
         attention_mask=attention_mask, attn_impl=attn_impl, remat=remat,
-        vit_rng=vit_rng,
+        vit_rng=vit_rng, img_context_token_id=img_context_token_id,
     )
     return reward_head(params, cfg, hidden, input_ids, gating_pos)

@@ -223,4 +223,8 @@ def export_reward_checkpoint(
 def save_safetensors(state: Dict[str, np.ndarray], path: str) -> None:
     from safetensors.numpy import save_file
 
-    save_file(state, path)
+    # save_file serializes the RAW buffer: a non-contiguous view (e.g. the
+    # transposed patch-conv kernel from export_vit) would be written in its
+    # original memory order and silently corrupt that tensor on reload
+    # (caught by benchmarks/imported_weights_tpu.py's bit-exact check).
+    save_file({k: np.ascontiguousarray(v) for k, v in state.items()}, path)

@@ -221,3 +221,32 @@ def test_llama_decoder_matches_transformers():
     ))
     m = np.asarray(mask)[:, :, None]
     np.testing.assert_allclose(got * m, want * m, atol=5e-5)
+
+
+def test_reward_checkpoint_file_roundtrip_bit_exact(tmp_path):
+    """export -> SAVE TO DISK -> load -> import must be bit-exact per leaf.
+
+    Regression for a silent corruption: safetensors serializes the raw
+    numpy buffer, so the transposed (non-contiguous) patch-conv view was
+    written in its original memory order — the in-memory round-trip test
+    above could never catch it."""
+    import jax.tree_util as jtu
+
+    from mjvideo_tpu.utils.checkpoint import load_safetensors_dir
+    from mjvideo_tpu.utils.export import save_safetensors
+
+    cfg = tiny_test_config()
+    params = reward.init_reward_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(np.asarray, params)
+    state = export_reward_checkpoint(params, cfg)
+    save_safetensors(state, str(tmp_path / "model.safetensors"))
+    loaded = load_safetensors_dir(str(tmp_path))
+    params2 = jax.tree.map(
+        np.asarray, import_reward_checkpoint(loaded, cfg))
+
+    a = dict(jtu.tree_flatten_with_path(params)[0])
+    b = dict(jtu.tree_flatten_with_path(params2)[0])
+    assert set(map(jtu.keystr, a)) == set(map(jtu.keystr, b))
+    for k in a:
+        np.testing.assert_array_equal(
+            a[k], b[k], err_msg=f"leaf {jtu.keystr(k)} not bit-exact")

@@ -278,3 +278,37 @@ def test_run_genai_benchmark_with_judge(tmp_path):
     res3 = run_genai_benchmark(_FakeJudge(), examples,
                                results_path=str(tmp_path / "g.jsonl"))
     assert res3 == res
+
+
+def test_gemini_judge_frame_sampling(tmp_path):
+    """The frame-list mode samples every-50th frame capped at 10
+    (``eval_overall_gemini.py:86-96``); credential-free pieces only."""
+    import cv2
+    import numpy as np
+    import pytest
+
+    from mjvideo_tpu.eval.judges import GeminiJudge
+
+    video = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                        (32, 32))
+    rng = np.random.default_rng(0)
+    for _ in range(120):
+        w.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    w.release()
+
+    frames = GeminiJudge._encode_frames(str(video), 50, 10)
+    assert len(frames) == 3  # frames 0, 50, 100 of 120
+    assert all(isinstance(f, str) and len(f) > 0 for f in frames)
+
+    frames = GeminiJudge._encode_frames(str(video), 1, 10)
+    assert len(frames) == 10  # cap
+
+    with pytest.raises(ValueError):
+        GeminiJudge(mode="nope")
+
+    # credential gate fires before any API use
+    import os
+    os.environ.pop("GOOGLE_API_KEY", None)
+    with pytest.raises(RuntimeError, match="GOOGLE_API_KEY"):
+        GeminiJudge().ask("rate it", str(video))
