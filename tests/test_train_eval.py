@@ -445,3 +445,45 @@ def test_adafactor_optimizer_option(cfg, params):
         TrainConfig(stage=1, attn_impl="xla", total_steps=4, remat=False),
         p0).init(p0)
     assert state_bytes(opt_state) < 0.7 * state_bytes(adamw_state)
+
+
+def test_vader_loop_reward_ascends(cfg, params):
+    """The reward-feedback loop (BASELINE config #5): a learnable pixel
+    field optimized against score_fn gradients must increase the reward
+    (end-to-end differentiability through ViT + LLM + MoE head)."""
+    import optax
+
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    tok = ByteTokenizer()
+    scorer = RewardScorer(
+        cfg, params, tok, attn_impl="xla", dtype=jnp.float32,
+        length_buckets=(1024,), gating_pattern=tok.gating_pattern(),
+    )
+    from mjvideo_tpu.data.prompts import build_video_question, prepare_chat_input
+
+    frames = 2
+    q = build_video_question("a bright scene", frames)
+    chat = prepare_chat_input(cfg.chat, tok, q,
+                              num_patches_list=[1] * frames,
+                              gating_pattern=tok.gating_pattern())
+    f = scorer.score_fn(chat.input_ids[0], chat.gating_pos)
+
+    field = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1),
+        (frames, cfg.chat.image_size, cfg.chat.image_size, 3), jnp.float32)
+    opt = optax.adam(0.05)
+    state = opt.init(field)
+
+    @jax.jit
+    def step(field, state):
+        loss, g = jax.value_and_grad(lambda x: -f(jnp.tanh(x) * 2.0))(field)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(field, upd), state, -loss
+
+    first = None
+    for _ in range(6):
+        field, state, score = step(field, state)
+        if first is None:
+            first = float(score)
+    assert float(score) > first, (first, float(score))
