@@ -55,6 +55,8 @@ def main():
                     help="decode-pool workers (0 = single prefetch thread)")
     ap.add_argument("--batch", type=int, default=1,
                     help="clips per scoring forward")
+    ap.add_argument("--stage-h2d", action="store_true",
+                    help="device_put frames inside the decode workers")
     args = ap.parse_args()
 
     from mjvideo_tpu.utils.profiling import enable_compilation_cache
@@ -89,8 +91,14 @@ def main():
         paths = make_videos(d, args.clips)
 
         def prep(p):
-            return scorer.prepare_clip(
+            pix, ids, gp = scorer.prepare_clip(
                 p, "a scrolling color field", num_segments=args.segments)
+            if args.workers > 0 and args.stage_h2d:
+                # overlap H2D with other clips' decode + device compute
+                # (measured SLOWER on the single-core axon tunnel — device_put
+                # from pool threads contends; kept as a flag for real hosts)
+                pix = jax.device_put(pix)
+            return pix, ids, gp
 
         def prepared():
             if args.workers > 0:
@@ -113,18 +121,26 @@ def main():
         t0 = time.perf_counter()
         n = 0
         buf = []
+        def cat(bufs):
+            if len(bufs) == 1:
+                return bufs[0][0]  # keep device residency for batch 1
+            import jax.numpy as jnp_
+
+            arrs = [c[0] for c in bufs]
+            if any(not isinstance(a, np.ndarray) for a in arrs):
+                return jnp_.concatenate(arrs, 0)
+            return np.concatenate(arrs, 0)
+
         for clip in prepared():
             buf.append(clip)
             if len(buf) == B:
                 out = scorer.score_batch(
-                    np.concatenate([c[0] for c in buf], 0),
-                    [c[1] for c in buf], [c[2] for c in buf])
+                    cat(buf), [c[1] for c in buf], [c[2] for c in buf])
                 n += len(buf)
                 buf = []
         if buf:
             out = scorer.score_batch(
-                np.concatenate([c[0] for c in buf], 0),
-                [c[1] for c in buf], [c[2] for c in buf])
+                cat(buf), [c[1] for c in buf], [c[2] for c in buf])
             n += len(buf)
         np.asarray(out.score)
         e2e = time.perf_counter() - t0

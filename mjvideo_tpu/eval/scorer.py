@@ -106,7 +106,16 @@ class RewardScorer:
         # load time (``model.img_context_token_id =
         # tokenizer.convert_tokens_to_ids(IMG_CONTEXT_TOKEN)``); a silent
         # config/tokenizer mismatch would drop the image embeds entirely.
+        # Rebase the config on the tokenizer's id so every downstream
+        # consumer (prompt builder, scatter, guards) shares one truth.
         self.img_context_token_id = self._tokenizer_img_id()
+        if self.img_context_token_id != cfg.chat.img_context_token_id:
+            from dataclasses import replace
+
+            self.cfg = replace(
+                cfg, chat=replace(
+                    cfg.chat,
+                    img_context_token_id=self.img_context_token_id))
 
     def _tokenizer_img_id(self) -> int:
         tid = getattr(self.tokenizer, "img_context_token_id", None)
