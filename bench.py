@@ -34,12 +34,22 @@ def main():
         pass
     import jax.numpy as jnp
 
-    from mjvideo_tpu.configs import mjvideo_2b_config, tiny_test_config
+    from mjvideo_tpu.configs import (
+        mjvideo_2b_config,
+        mjvideo_4b_config,
+        tiny_test_config,
+    )
     from mjvideo_tpu.models.reward import init_reward_params, reward_forward
 
     on_tpu = jax.default_backend() == "tpu"
+    model = os.environ.get("BENCH_MODEL", "2b")  # 2b (headline) | 4b
     # CPU fallback keeps the bench runnable anywhere (tiny model, labeled).
-    cfg = mjvideo_2b_config() if on_tpu else tiny_test_config()
+    if not on_tpu:
+        cfg = tiny_test_config()
+    elif model == "4b":
+        cfg = mjvideo_4b_config()
+    else:
+        cfg = mjvideo_2b_config()
     attn_impl = os.environ.get("BENCH_ATTN", "auto")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
@@ -90,7 +100,7 @@ def main():
 
     clips_per_sec = batch * iters / dt
     result = {
-        "metric": "8-frame clips/sec/chip reward scoring (MJ-VIDEO-2B bf16)"
+        "metric": f"8-frame clips/sec/chip reward scoring (MJ-VIDEO-{model.upper()} bf16)"
                   if on_tpu else
                   "clips/sec/chip reward scoring (tiny cfg, CPU fallback)",
         "value": round(clips_per_sec, 3),

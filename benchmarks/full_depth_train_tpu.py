@@ -6,9 +6,11 @@ alone ~7GB) forces the dp/tp mesh.  Adafactor's factored second moment
 removes the O(params) state, so stage-1 finetuning of the full 24-ViT +
 24-LLM model at real widths should fit one chip with full-block remat.
 
-Usage: python benchmarks/full_depth_train_tpu.py
+Usage: python benchmarks/full_depth_train_tpu.py [--model 2b|4b]
+                [--optimizer adafactor] [--remat-policy full|dots]
 """
 
+import argparse
 import sys
 import time
 
@@ -18,6 +20,13 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=("2b", "4b"), default="2b")
+    ap.add_argument("--optimizer", default="adafactor")
+    ap.add_argument("--remat-policy", default="full")
+    ap.add_argument("--steps", type=int, default=8)
+    args = ap.parse_args()
+
     from mjvideo_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
@@ -25,7 +34,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mjvideo_tpu.configs import mjvideo_2b_config
+    from mjvideo_tpu.configs import mjvideo_2b_config, mjvideo_4b_config
     from mjvideo_tpu.models.reward import init_reward_params
     from mjvideo_tpu.train.trainer import (
         TrainConfig,
@@ -33,10 +42,12 @@ def main():
         make_train_step,
     )
 
-    cfg = mjvideo_2b_config()  # FULL depth, real widths
+    cfg = (mjvideo_4b_config() if args.model == "4b"
+           else mjvideo_2b_config())  # FULL depth, real widths
     c = cfg.chat
+    remat = True if args.remat_policy == "full" else args.remat_policy
     tc = TrainConfig(stage=1, attn_impl="auto", learning_rate=1e-5,
-                     total_steps=16, remat=True, optimizer="adafactor")
+                     total_steps=16, remat=remat, optimizer=args.optimizer)
     params = init_reward_params(jax.random.PRNGKey(0), cfg,
                                 dtype=jnp.bfloat16)
     optimizer = make_optimizer(tc, params)
@@ -65,14 +76,17 @@ def main():
     params, opt_state, m = step(params, opt_state, jb)  # compile
     first = float(np.asarray(m["loss"]))
     print(f"step 1 compiled + ran: loss {first:.4f}", flush=True)
-    n = 8
+    n = args.steps
     t0 = time.perf_counter()
     for _ in range(n):
         params, opt_state, m = step(params, opt_state, jb)
     last = float(np.asarray(m["loss"]))
     dt = (time.perf_counter() - t0) / n
-    print(f"{dt*1e3:.1f} ms/step — FULL 24+24-layer 2B stage-1 on ONE v5e "
-          f"chip (adafactor, full remat, bf16, stop_gradient freeze)")
+    depth = cfg.chat.llm.num_hidden_layers
+    print(f"{dt*1e3:.1f} ms/step — FULL 24-ViT + {depth}-LLM "
+          f"{args.model.upper()} stage-1 on ONE v5e chip "
+          f"({args.optimizer}, remat={args.remat_policy}, bf16, "
+          f"stop_gradient freeze)")
     print(f"loss {first:.4f} -> {last:.4f} "
           f"({'decreasing' if last < first else 'NOT decreasing'})")
 

@@ -347,3 +347,44 @@ def test_tp_sharded_cogvlm2_forward_matches_single_device():
         "vision"]["w1"]["kernel"])
     out = np.asarray(jax.jit(fwd)(p_sh))
     np.testing.assert_allclose(out, single, atol=2e-4)
+
+
+def test_tp_sharded_phi3_reward_matches_single_device():
+    """The 4B architecture (Phi-3 decoder: packed qkv_proj / gate_up_proj)
+    under data=4 x model=2 must equal the unsharded forward — the sharding
+    path for MJ-VIDEO-4B, whose full-depth training is a 2-chip job
+    (23.0G > 15.75G HBM on one v5e, benchmarks/full_depth_train_tpu.py)."""
+    import dataclasses
+
+    base = tiny_test_config()
+    cfg = dataclasses.replace(
+        base,
+        chat=dataclasses.replace(
+            base.chat,
+            llm=dataclasses.replace(base.chat.llm, architecture="phi3"),
+            template="phi3-chat",
+        ),
+    )
+    params = init_reward_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(3)
+    B = 4
+    pix, ids, mask, gpos = _tiny_inputs(cfg, B, rng)
+
+    single = reward_forward(params, cfg, pix, ids, mask, gpos,
+                            attn_impl="xla", remat=False)
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shard_params(params, mesh)
+    batch = shard_batch({"pix": pix, "ids": ids, "mask": mask,
+                         "gpos": gpos}, mesh)
+
+    @jax.jit
+    def fwd(p, b):
+        return reward_forward(p, cfg, b["pix"], b["ids"], b["mask"],
+                              b["gpos"], attn_impl="xla", remat=False)
+
+    out = fwd(p_sh, batch)
+    np.testing.assert_allclose(
+        np.asarray(out.score), np.asarray(single.score), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.rewards), np.asarray(single.rewards), atol=1e-4)
