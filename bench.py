@@ -91,7 +91,7 @@ def main():
     # remote platform block_until_ready can return before execution).
     np.asarray(fwd(params, pix, ids, mask, gating_pos))
 
-    iters = int(os.environ.get("BENCH_ITERS", 10 if on_tpu else 2))
+    iters = int(os.environ.get("BENCH_ITERS", 20 if on_tpu else 2))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, pix, ids, mask, gating_pos)

@@ -23,13 +23,19 @@ def main():
     ap.add_argument("--caption-file", default=None,
                     help="json {filename: caption}; default caption otherwise")
     ap.add_argument("--num-segments", type=int, default=8)
+    ap.add_argument("--max-num", type=int, default=1,
+                    help="dynamic-tiling ceiling per frame")
+    ap.add_argument("--workers", type=int, default=4,
+                    help="decode-pool workers (0 = single prefetch thread)")
+    ap.add_argument("--device-preprocess", action="store_true",
+                    help="raw uint8 frames in; resize+tile+normalize on MXU")
     ap.add_argument("--out", default="scores.jsonl")
     args = ap.parse_args()
 
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
-    from mjvideo_tpu.data.dataset import prefetch
+    from mjvideo_tpu.data.dataset import pool_map, prefetch
     from mjvideo_tpu.eval import RewardScorer
     from mjvideo_tpu.utils.checkpoint import load_reward_model
     from mjvideo_tpu.utils.profiling import Throughput, enable_compilation_cache
@@ -39,7 +45,10 @@ def main():
     tok = AutoTokenizer.from_pretrained(args.model_path,
                                         trust_remote_code=True, use_fast=False)
     scorer = RewardScorer(cfg, params, tok,
-                          gating_pattern=cfg.gating_token_pattern)
+                          gating_pattern=cfg.gating_token_pattern,
+                          device_preprocess=args.device_preprocess,
+                          device_max_num=(args.max_num
+                                          if args.device_preprocess else 1))
 
     captions = {}
     if args.caption_file:
@@ -51,17 +60,24 @@ def main():
         if f.lower().endswith((".mp4", ".webm", ".avi", ".mov"))
     )
 
+    def prep(name):
+        caption = captions.get(name, "a generated video")
+        return name, scorer.prepare_clip(
+            os.path.join(args.videos, name), caption,
+            num_segments=args.num_segments, max_num=args.max_num,
+        )
+
     def prepared():
-        for name in videos:
-            caption = captions.get(name, "a generated video")
-            yield name, scorer.prepare_clip(
-                os.path.join(args.videos, name), caption,
-                num_segments=args.num_segments,
-            )
+        # N-worker decode pool (measured 6.5 clips/s e2e vs 1.0 round 2 —
+        # docs/PERF.md); 0 falls back to the single prefetch thread.
+        if args.workers > 0:
+            yield from pool_map(prep, videos, num_workers=args.workers)
+        else:
+            yield from prefetch(map(prep, videos), 2)
 
     tp = Throughput()
     with open(args.out, "a") as out:
-        for name, (pixels, ids, gpos) in prefetch(prepared(), 2):
+        for name, (pixels, ids, gpos) in prepared():
             res = scorer.score_batch(pixels, [ids], [gpos])
             rec = {
                 "video": name,

@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh size for the scorer (batch "
                         "shards over chips; pair scoring uses batch 2, so "
                         "dp must divide 2 unless batching more clips)")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="ship raw uint8 frames; bicubic resize + tiling + "
+                        "normalize fused into the scoring jit on the MXU")
+    p.add_argument("--max-num", type=int, default=1,
+                   help="dynamic-tiling ceiling per frame "
+                        "(reference reward default 1; high-res config 12)")
+    p.add_argument("--device-batch", type=int, default=None,
+                   help="clips per device dispatch (default: measured "
+                        "optimum, 1/data-shard on TPU)")
     return p
 
 
@@ -69,7 +78,11 @@ def _make_scorer(args):
 
         mesh = make_mesh(data=args.dp, model=1)
     return RewardScorer(cfg, params, tok, dtype=dtype,
-                        gating_pattern=cfg.gating_token_pattern, mesh=mesh)
+                        gating_pattern=cfg.gating_token_pattern, mesh=mesh,
+                        device_preprocess=args.device_preprocess,
+                        device_max_num=(args.max_num
+                                        if args.device_preprocess else 1),
+                        device_batch=args.device_batch)
 
 
 def _make_judge(args):
@@ -177,7 +190,8 @@ def main(argv=None) -> None:
 
             res = evaluate_genai_bench(
                 _make_scorer(args), ds, num_segments=args.num_segments,
-                results_path=args.results, fetch=fetch_remote_video,
+                max_num=args.max_num, results_path=args.results,
+                fetch=fetch_remote_video,
             )
     else:
         records = _load_records(args.data_json)
@@ -207,14 +221,16 @@ def main(argv=None) -> None:
 
             res = evaluate_aspects(
                 _make_scorer(args), records, root=args.video_root,
-                num_segments=args.num_segments, results_path=args.results,
+                num_segments=args.num_segments, max_num=args.max_num,
+                results_path=args.results,
             )
         else:
             from .preference import evaluate_preference
 
             res = evaluate_preference(
                 _make_scorer(args), records, root=args.video_root,
-                num_segments=args.num_segments, results_path=args.results,
+                num_segments=args.num_segments, max_num=args.max_num,
+                results_path=args.results,
             )
     print(json.dumps(res, indent=2, default=float))
 

@@ -50,6 +50,7 @@ def evaluate_preference(
     records: Iterable[Dict],
     root: str = "",
     num_segments: int = 8,
+    max_num: int = 1,
     results_path: Optional[str] = None,
 ) -> Dict[str, float]:
     """Pairwise overall-preference accuracy over MJ-BENCH-VIDEO-style records
@@ -69,11 +70,11 @@ def evaluate_preference(
                                          overall=True)
             p0, i0, g0 = scorer.prepare_clip(
                 os.path.join(root, item["video_0_path"]), item["caption"],
-                num_segments=num_segments,
+                num_segments=num_segments, max_num=max_num,
             )
             p1, i1, g1 = scorer.prepare_clip(
                 os.path.join(root, item["video_1_path"]), item["caption"],
-                num_segments=num_segments,
+                num_segments=num_segments, max_num=max_num,
             )
             yield (i, pref[0], mask[0],
                    np.concatenate([p0, p1], axis=0), [i0, i1], [g0, g1])
@@ -114,6 +115,7 @@ def evaluate_aspects(
     records: Iterable[Dict],
     root: str = "",
     num_segments: int = 8,
+    max_num: int = 1,
     results_path: Optional[str] = None,
 ) -> Dict[str, List[Dict]]:
     """Per-criteria and per-aspect binary metrics over both videos of each
@@ -130,11 +132,11 @@ def evaluate_aspects(
             labels = pair_record_labels(item)
             p0, i0, g0 = scorer.prepare_clip(
                 os.path.join(root, item["video_0_path"]), item["caption"],
-                num_segments=num_segments,
+                num_segments=num_segments, max_num=max_num,
             )
             p1, i1, g1 = scorer.prepare_clip(
                 os.path.join(root, item["video_1_path"]), item["caption"],
-                num_segments=num_segments,
+                num_segments=num_segments, max_num=max_num,
             )
             yield (i, labels,
                    np.concatenate([p0, p1], axis=0), [i0, i1], [g0, g1])
@@ -219,6 +221,7 @@ def evaluate_genai_bench(
     scorer: RewardScorer,
     examples: Iterable[Dict],
     num_segments: int = 8,
+    max_num: int = 1,
     results_path: Optional[str] = None,
     fetch: Optional[Callable[[str], str]] = None,
 ) -> Dict[str, float]:
@@ -229,7 +232,7 @@ def evaluate_genai_bench(
     """
     def pair_scorer(left, right, prompt):
         rl, rr = scorer.score_pair(left, right, prompt,
-                                   num_segments=num_segments)
+                                   num_segments=num_segments, max_num=max_num)
         return {"score_left": float(rl["score"]),
                 "score_right": float(rr["score"])}
 
