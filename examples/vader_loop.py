@@ -83,7 +83,9 @@ def main():
                           gating_pattern=tok.gating_pattern())
 
     question = build_video_question(args.caption, args.frames)
-    chat = prepare_chat_input(cfg.chat, tok, question,
+    # scorer.cfg is rebased on the tokenizer's <IMG_CONTEXT> id — the
+    # original cfg would trip the scatter-id guard under the ByteTokenizer
+    chat = prepare_chat_input(scorer.cfg.chat, tok, question,
                               num_patches_list=[1] * args.frames,
                               gating_pattern=tok.gating_pattern())
     score_fn = scorer.score_fn(chat.input_ids[0], chat.gating_pos)

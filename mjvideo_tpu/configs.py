@@ -386,6 +386,11 @@ def tiny_test_config(
     scatter image embeds at the SAME id the model looks for — exactly how
     real checkpoints assign ``img_context_token_id`` from their tokenizer.
     """
+    if vocab_size < 261:
+        raise ValueError(
+            "tiny_test_config needs vocab_size >= 261 to cover the "
+            "ByteTokenizer special-token ids (<IMG_CONTEXT> = 260); "
+            f"got {vocab_size}")
     return RewardConfig(
         chat=ChatConfig(
             vision=VisionConfig(

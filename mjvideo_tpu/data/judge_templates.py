@@ -92,7 +92,7 @@ def minicpm_video_segments(
         # text (same BPE run — encode together).
         if f < n_frames - 1:
             segs.append(("text", "\n"))
-    segs.append(("text", "\n" + query))
+    segs.append(("text", ("\n" + query) if n_frames else query))
     segs.append(("special", "<|im_end|>"))
     segs.append(("text", "\n"))
     segs.append(("special", "<|im_start|>"))

@@ -466,22 +466,12 @@ class GeminiJudge:
 
     @staticmethod
     def _encode_frames(video_path: str, stride: int, cap: int):
-        """Reference frame sampling: decode ALL, take every ``stride``-th,
-        cap at ``cap`` (``eval_overall_gemini.py:86-96``)."""
-        import base64
-
-        import cv2
-
-        video = cv2.VideoCapture(video_path)
-        frames = []
-        while video.isOpened():
-            ok, frame = video.read()
-            if not ok:
-                break
-            _, buf = cv2.imencode(".jpg", frame)
-            frames.append(base64.b64encode(buf).decode("utf-8"))
-        video.release()
-        return frames[0::stride][:cap]
+        """Reference frame sampling (``eval_overall_gemini.py:86-96``):
+        every ``stride``-th frame from 0, capped — same selection as
+        ``_extract_frames_b64``, which encodes only kept frames and stops
+        early at the cap instead of encoding the whole video."""
+        return _extract_frames_b64(video_path, every=stride,
+                                   max_frames=cap)
 
     def ask(self, prompt: str, video_path: str) -> str:
         if not os.environ.get("GOOGLE_API_KEY"):

@@ -16,7 +16,6 @@ Replaces the reference inference recipe (README quickstart ``README.md:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -118,16 +117,9 @@ class RewardScorer:
                     img_context_token_id=self.img_context_token_id))
 
     def _tokenizer_img_id(self) -> int:
-        tid = getattr(self.tokenizer, "img_context_token_id", None)
-        if tid is None and hasattr(self.tokenizer, "convert_tokens_to_ids"):
-            try:
-                from ..data.prompts import IMG_CONTEXT_TOKEN
+        from ..data.prompts import IMG_CONTEXT_TOKEN, _tokenizer_token_id
 
-                t = self.tokenizer.convert_tokens_to_ids(IMG_CONTEXT_TOKEN)
-                if isinstance(t, int) and t >= 0:
-                    tid = t
-            except (KeyError, ValueError):
-                tid = None
+        tid = _tokenizer_token_id(self.tokenizer, IMG_CONTEXT_TOKEN)
         return self.cfg.chat.img_context_token_id if tid is None else tid
 
     def _device_grid(self, width: int, height: int):
@@ -140,8 +132,13 @@ class RewardScorer:
         return select_tile_grid(width, height, 1, self.device_max_num,
                                 self.cfg.chat.image_size)
 
-    @functools.lru_cache(maxsize=8)
     def _jitted(self, T: int, n_tiles: int, B: int, grid=None):
+        # Per-instance cache (a class-level lru_cache would pin dropped
+        # scorers' multi-GB param trees alive through `self`).
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        key = (T, n_tiles, B, grid)
+        if key in cache:
+            return cache[key]
         cfg, attn_impl = self.cfg, self.attn_impl
         dev_pre, dtype = self.device_preprocess, self.dtype
         img_id = self.img_context_token_id
@@ -168,6 +165,7 @@ class RewardScorer:
                 img_context_token_id=img_id,
             )
 
+        cache[key] = fwd
         return fwd
 
     def _pad(self, ids: np.ndarray, T: int, value: int) -> np.ndarray:
@@ -187,6 +185,27 @@ class RewardScorer:
             micro *= self.mesh.shape.get("data", 1)
         return min(micro, B)
 
+    def _clip_pixel_rows(self, pixel_values, input_ids_list):
+        """Per-clip leading-axis row counts of ``pixel_values``, derived
+        from each clip's <IMG_CONTEXT> token count (tiles may differ per
+        clip under host-side dynamic tiling).  None = can't attribute rows
+        to clips — caller must fall back to one dispatch."""
+        nt = self.cfg.chat.num_image_token
+        if self.device_preprocess:
+            # rows are raw frames; each expands to per_frame tiles of the
+            # (uniform, resolution-derived) grid
+            h, w = pixel_values.shape[1:3]
+            cols, rows_ = self._device_grid(w, h)
+            per_frame = cols * rows_
+            if per_frame > 1 and self.cfg.chat.use_thumbnail:
+                per_frame += 1
+            nt = nt * per_frame
+        rows = [int((np.asarray(i) == self.img_context_token_id).sum()) // nt
+                for i in input_ids_list]
+        if sum(rows) != pixel_values.shape[0] or min(rows) <= 0:
+            return None
+        return rows
+
     def score_batch(
         self,
         pixel_values: np.ndarray,  # (B*P, H, W, 3) fp32 normalized
@@ -200,16 +219,18 @@ class RewardScorer:
         measured bit-identical) and concatenate on device."""
         B = len(input_ids_list)
         micro = self._micro_batch(B)
-        if micro < B and pixel_values.shape[0] % B == 0:
-            per_clip = pixel_values.shape[0] // B
-            outs = []
-            for s in range(0, B, micro):
-                e = min(s + micro, B)
-                outs.append(self.score_batch(
-                    pixel_values[s * per_clip:e * per_clip],
-                    input_ids_list[s:e], list(gating_pos)[s:e]))
-            return RewardOutput(*(jnp.concatenate(f, axis=0)
-                                  for f in zip(*outs)))
+        if micro < B:
+            rows = self._clip_pixel_rows(pixel_values, input_ids_list)
+            if rows is not None:
+                bounds = np.concatenate([[0], np.cumsum(rows)])
+                outs = []
+                for s in range(0, B, micro):
+                    e = min(s + micro, B)
+                    outs.append(self.score_batch(
+                        pixel_values[bounds[s]:bounds[e]],
+                        input_ids_list[s:e], list(gating_pos)[s:e]))
+                return RewardOutput(*(jnp.concatenate(f, axis=0)
+                                      for f in zip(*outs)))
         T = round_to_bucket(max(len(i) for i in input_ids_list), self.buckets)
         ids = np.stack([self._pad(i, T, self.pad_token_id)
                         for i in input_ids_list])

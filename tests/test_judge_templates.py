@@ -86,7 +86,7 @@ def test_minicpm_video_prompt_matches_published_construction():
 
 
 def test_minicpm_segments_reassemble_to_the_full_prompt():
-    for n in (1, 2, 5):
+    for n in (0, 1, 2, 5):
         segs = minicpm_video_segments(n, "rate it", 4)
         assert "".join(v for _, v in segs) == minicpm_video_prompt(
             n, "rate it", 4)

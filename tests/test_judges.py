@@ -150,7 +150,7 @@ def test_genai_bench_without_results_path_still_aggregates():
     from mjvideo_tpu.eval.preference import evaluate_genai_bench
 
     class _FakeScorer:
-        def score_pair(self, v0, v1, caption, num_segments=8):
+        def score_pair(self, v0, v1, caption, num_segments=8, max_num=1):
             good = lambda p: 2.0 if "good" in p else -2.0  # noqa: E731
             return {"score": good(v0)}, {"score": good(v1)}
 

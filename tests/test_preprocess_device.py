@@ -210,3 +210,42 @@ def test_scorer_micro_batch_split_matches_single_dispatch(tmp_path):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(b.rewards), np.asarray(a.rewards),
                                rtol=0, atol=1e-5)
+
+
+def test_micro_batch_split_non_uniform_tiles():
+    """Pairs whose videos tile to DIFFERENT counts (host dynamic tiling)
+    must split at per-clip tile boundaries, not shape[0] // B."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mjvideo_tpu.configs import tiny_test_config
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.scorer import RewardScorer
+    from mjvideo_tpu.models.reward import init_reward_params
+
+    cfg = tiny_test_config()
+    params = init_reward_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    kw = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(1024,),
+              gating_pattern=tok.gating_pattern())
+    one = RewardScorer(cfg, params, tok, **kw)
+    micro = RewardScorer(cfg, params, tok, device_batch=1, **kw)
+
+    ch = cfg.chat
+    rng = np.random.default_rng(5)
+    # clip 0: 2 tiles; clip 1: 3 tiles (e.g. different aspect ratios)
+    tiles = [2, 3]
+    pix = rng.normal(size=(sum(tiles), ch.image_size, ch.image_size, 3)
+                     ).astype(np.float32)
+    ids_list, gpos = [], []
+    for t in tiles:
+        n_img = ch.num_image_token * t
+        ids = rng.integers(10, 120, size=(16 + n_img,))
+        ids[3:3 + n_img] = ch.img_context_token_id
+        ids_list.append(ids.astype(np.int32))
+        gpos.append(len(ids) - 5)
+    a = one.score_batch(pix, ids_list, gpos)
+    b = micro.score_batch(pix, ids_list, gpos)
+    np.testing.assert_allclose(np.asarray(b.score), np.asarray(a.score),
+                               rtol=0, atol=1e-5)
