@@ -134,11 +134,15 @@ class RewardScorer:
 
     def _jitted(self, T: int, n_tiles: int, B: int, grid=None):
         # Per-instance cache (a class-level lru_cache would pin dropped
-        # scorers' multi-GB param trees alive through `self`).
+        # scorers' multi-GB param trees alive through `self`).  Bounded:
+        # under device_preprocess every distinct source resolution is a new
+        # entry, and each entry holds a compiled executable.
         cache = self.__dict__.setdefault("_jit_cache", {})
         key = (T, n_tiles, B, grid)
         if key in cache:
             return cache[key]
+        if len(cache) >= 16:  # drop the oldest executable (insertion order)
+            cache.pop(next(iter(cache)))
         cfg, attn_impl = self.cfg, self.attn_impl
         dev_pre, dtype = self.device_preprocess, self.dtype
         img_id = self.img_context_token_id
