@@ -88,7 +88,9 @@ def main():
     chat = prepare_chat_input(scorer.cfg.chat, tok, question,
                               num_patches_list=[1] * args.frames,
                               gating_pattern=tok.gating_pattern())
-    score_fn = scorer.score_fn(chat.input_ids[0], chat.gating_pos)
+    # params-as-argument variant: closing over the 2B tree would embed it
+    # as 4GB of lowering constants in the step executable
+    score_fn = scorer.score_fn_with_params(chat.input_ids[0], chat.gating_pos)
 
     gen_params, render = make_generator(
         jax.random.PRNGKey(1), args.frames, args.coarse, cfg.chat.image_size)
@@ -97,16 +99,17 @@ def main():
     opt_state = opt.init(gen_params)
 
     @jax.jit
-    def step(gen_params, opt_state):
+    def step(reward_params, gen_params, opt_state):
         # ascend the reward: loss = -score(render(field))
         loss, grads = jax.value_and_grad(
-            lambda f: -score_fn(render(f)))(gen_params)
+            lambda f: -score_fn(reward_params, render(f)))(gen_params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(gen_params, updates), opt_state, -loss
 
     history = []
     for i in range(args.steps):
-        gen_params, opt_state, score = step(gen_params, opt_state)
+        gen_params, opt_state, score = step(scorer.params, gen_params,
+                                            opt_state)
         score = float(score)
         history.append(score)
         print(f"step {i:3d}  reward {score:+.5f}", flush=True)

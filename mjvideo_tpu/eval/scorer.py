@@ -353,12 +353,42 @@ class RewardScorer:
             })
         return res[0], res[1]
 
+    def score_fn_with_params(self, input_ids: np.ndarray, gating_pos: int):
+        """Differentiable ``(params, pixel_values) -> scalar score``.
+
+        Like ``score_fn`` but with the param tree as an explicit argument —
+        REQUIRED inside a caller's own jit'd train step: a closure would
+        capture the multi-GB tree as lowering constants (pathological on
+        remote-compile backends and re-shipped per executable).  See
+        ``examples/vader_loop.py``.
+        """
+        T = round_to_bucket(len(input_ids), self.buckets)
+        ids = jnp.asarray(self._pad(np.asarray(input_ids), T,
+                                    self.pad_token_id))[None]
+        mask_np = self._pad(np.ones(len(input_ids), np.int32), T, 0)
+        mask = jnp.asarray(mask_np)[None]
+        gpos = jnp.asarray([gating_pos], jnp.int32)
+        cfg, attn_impl = self.cfg, self.attn_impl
+        img_id = self.img_context_token_id
+        dtype = self.dtype
+
+        def f(params, pixel_values):
+            out = reward_forward(
+                params, cfg, pixel_values.astype(dtype), ids, mask, gpos,
+                attn_impl=attn_impl, remat=True,
+                img_context_token_id=img_id,
+            )
+            return out.score[0]
+
+        return f
+
     def score_fn(self, input_ids: np.ndarray, gating_pos: int):
         """Differentiable (pixel_values fp32 NHWC) -> scalar score closure.
 
         The VADER-style reward-feedback API (SURVEY.md §7.1 step 9): a video
         generator can backprop through the full reward stack via
-        ``jax.grad(scorer.score_fn(ids, pos))(frames)``.
+        ``jax.grad(scorer.score_fn(ids, pos))(frames)``.  For use inside
+        your own jit'd step, prefer ``score_fn_with_params``.
         """
         T = round_to_bucket(len(input_ids), self.buckets)
         ids = jnp.asarray(self._pad(np.asarray(input_ids), T,

@@ -487,3 +487,37 @@ def test_vader_loop_reward_ascends(cfg, params):
         if first is None:
             first = float(score)
     assert float(score) > first, (first, float(score))
+
+
+def test_score_fn_with_params_matches_closure_variant(cfg, params):
+    """score_fn_with_params(params, frames) == score_fn(frames) and stays
+    differentiable w.r.t. pixels inside a caller-side jit."""
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    tok = ByteTokenizer()
+    scorer = RewardScorer(
+        cfg, params, tok, attn_impl="xla", dtype=jnp.float32,
+        length_buckets=(1024,), gating_pattern=tok.gating_pattern(),
+    )
+    c = cfg.chat
+    n_img = c.num_image_token
+    ids = np.full((n_img + 10,), 5, np.int32)
+    ids[2:2 + n_img] = c.img_context_token_id
+    gp = len(ids) - 4
+    frames = jnp.asarray(
+        np.random.default_rng(1).normal(
+            size=(1, c.vision.image_size, c.vision.image_size, 3)),
+        jnp.float32)
+
+    f_closure = scorer.score_fn(ids, gp)
+    f_args = scorer.score_fn_with_params(ids, gp)
+    np.testing.assert_allclose(
+        float(f_closure(frames)), float(jax.jit(f_args)(params, frames)),
+        atol=1e-5)
+
+    @jax.jit
+    def grad_step(p, x):
+        return jax.grad(lambda x_: f_args(p, x_))(x)
+
+    g = grad_step(params, frames)
+    assert bool(jnp.any(g != 0)) and bool(jnp.all(jnp.isfinite(g)))
