@@ -95,6 +95,24 @@ def _tokenizer_token_id(tokenizer, token: str) -> Optional[int]:
     return tid
 
 
+def rebase_img_context_id(cfg, tokenizer):
+    """RewardConfig/ChatConfig with ``img_context_token_id`` taken from the
+    tokenizer — the reference's load-time assignment
+    (``model.img_context_token_id = tokenizer.convert_tokens_to_ids(
+    IMG_CONTEXT_TOKEN)``).  Returns cfg unchanged when the tokenizer can't
+    resolve the token or already agrees."""
+    from dataclasses import replace
+
+    tid = _tokenizer_token_id(tokenizer, IMG_CONTEXT_TOKEN)
+    chat = getattr(cfg, "chat", cfg)
+    if tid is None or tid == chat.img_context_token_id:
+        return cfg
+    new_chat = replace(chat, img_context_token_id=tid)
+    if chat is cfg:
+        return new_chat
+    return replace(cfg, chat=new_chat)
+
+
 def prepare_chat_input(
     cfg,  # ChatConfig
     tokenizer,

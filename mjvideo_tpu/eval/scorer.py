@@ -107,20 +107,10 @@ class RewardScorer:
         # config/tokenizer mismatch would drop the image embeds entirely.
         # Rebase the config on the tokenizer's id so every downstream
         # consumer (prompt builder, scatter, guards) shares one truth.
-        self.img_context_token_id = self._tokenizer_img_id()
-        if self.img_context_token_id != cfg.chat.img_context_token_id:
-            from dataclasses import replace
+        from ..data.prompts import rebase_img_context_id
 
-            self.cfg = replace(
-                cfg, chat=replace(
-                    cfg.chat,
-                    img_context_token_id=self.img_context_token_id))
-
-    def _tokenizer_img_id(self) -> int:
-        from ..data.prompts import IMG_CONTEXT_TOKEN, _tokenizer_token_id
-
-        tid = _tokenizer_token_id(self.tokenizer, IMG_CONTEXT_TOKEN)
-        return self.cfg.chat.img_context_token_id if tid is None else tid
+        self.cfg = rebase_img_context_id(cfg, tokenizer)
+        self.img_context_token_id = self.cfg.chat.img_context_token_id
 
     def _device_grid(self, width: int, height: int):
         """Host-side grid choice for the device-preprocess path; (1, 1)

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="./checkpoints")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--num-segments", type=int, default=2)
+    p.add_argument("--decode-workers", type=int, default=0,
+                   help="N-worker video decode pool (reference: 12-thread "
+                        "prefetch, dataset.py:299-309); 0 = in-line decode")
     p.add_argument("--max-length", type=int, default=3072)
     p.add_argument("--learning-rate", type=float, default=1e-6)
     p.add_argument("--num-epochs", type=int, default=1)
@@ -116,10 +119,16 @@ def main(argv=None) -> None:
         tokenizer = ByteTokenizer()
         gating_pattern = tokenizer.gating_pattern()
 
+    # the tokenizer owns the <IMG_CONTEXT> scatter id (reference load-time
+    # assignment); rebase so dataset prompts and the model forward agree
+    from ..data.prompts import rebase_img_context_id
+
+    cfg = rebase_img_context_id(cfg, tokenizer)
+
     dataset = PreferencePairDataset(
         args.train_json, tokenizer, cfg.chat, root=args.video_root,
         num_segments=args.num_segments, overall=(args.stage == 3),
-        gating_pattern=gating_pattern,
+        gating_pattern=gating_pattern, decode_workers=args.decode_workers,
     )
     collator = PairCollator(
         pad_token_id=getattr(tokenizer, "pad_token_id", None)
