@@ -417,3 +417,77 @@ def tiny_test_config(
         gating_hidden_dim=32,
         gating_token_pattern=(7, 8, 9),
     )
+
+
+_HF_ARCH_NAMES = {
+    "internlm2": "InternLM2ForCausalLM",
+    "llama": "LlamaForCausalLM",
+    "phi3": "Phi3ForCausalLM",
+}
+
+
+def reward_config_to_hf(cfg: RewardConfig) -> Dict[str, Any]:
+    """RewardConfig -> the HF-format config dict ``reward_config_from_hf``
+    (and the reference's ``InternVLChatRewardModelingConfig.from_pretrained``,
+    ``moe_reward.py:109-133``) reads back — so checkpoints trained here
+    export to a directory the reference can load."""
+    c, v, l = cfg.chat, cfg.chat.vision, cfg.chat.llm
+    rope_scaling = None
+    if l.rope_scaling_type is not None:
+        rope_scaling = {"type": l.rope_scaling_type,
+                        "factor": l.rope_scaling_factor}
+    return {
+        "model_type": "internvl_chat_reward",
+        "vision_config": {
+            "hidden_size": v.hidden_size,
+            "intermediate_size": v.intermediate_size,
+            "num_hidden_layers": v.num_hidden_layers,
+            "num_attention_heads": v.num_attention_heads,
+            "image_size": v.image_size,
+            "patch_size": v.patch_size,
+            "qkv_bias": v.qkv_bias,
+            "qk_normalization": v.qk_normalization,
+            "norm_type": v.norm_type,
+            "layer_norm_eps": v.layer_norm_eps,
+            "hidden_act": v.hidden_act,
+            "initializer_factor": v.initializer_factor,
+            "drop_path_rate": v.drop_path_rate,
+            "attention_dropout": v.attention_dropout,
+            "dropout": v.dropout,
+        },
+        "llm_config": {
+            "architectures": [_HF_ARCH_NAMES[l.architecture]],
+            "vocab_size": l.vocab_size,
+            "hidden_size": l.hidden_size,
+            "intermediate_size": l.intermediate_size,
+            "num_hidden_layers": l.num_hidden_layers,
+            "num_attention_heads": l.num_attention_heads,
+            "num_key_value_heads": l.num_key_value_heads,
+            "hidden_act": l.hidden_act,
+            "max_position_embeddings": l.max_position_embeddings,
+            "rms_norm_eps": l.rms_norm_eps,
+            "rope_theta": l.rope_theta,
+            "rope_scaling": rope_scaling,
+            "bias": l.bias,
+            "pad_token_id": l.pad_token_id,
+            "bos_token_id": l.bos_token_id,
+            "eos_token_id": l.eos_token_id,
+            "tie_word_embeddings": l.tie_word_embeddings,
+        },
+        "select_layer": c.select_layer,
+        "downsample_ratio": c.downsample_ratio,
+        "template": c.template,
+        "ps_version": c.ps_version,
+        "min_dynamic_patch": c.min_dynamic_patch,
+        "max_dynamic_patch": c.max_dynamic_patch,
+        "use_thumbnail": c.use_thumbnail,
+        "force_image_size": c.force_image_size,
+        "num_objectives": cfg.num_objectives,
+        "num_aspects": cfg.num_aspects,
+        "aspect2criteria": {
+            str(i): list(v) for i, v in enumerate(cfg.aspect2criteria)
+        },
+        "gating_temperature": cfg.gating_temperature,
+        "gating_hidden_dim": cfg.gating_hidden_dim,
+        "gating_n_hidden": cfg.gating_n_hidden,
+    }

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-batch", type=int, default=None,
                    help="clips per device dispatch (default: measured "
                         "optimum, 1/data-shard on TPU)")
+    p.add_argument("--byte-tokenizer", action="store_true",
+                   help="hermetic mode: use the dependency-free "
+                        "ByteTokenizer (matches train CLI --tiny runs / "
+                        "offline smoke tests) instead of an HF tokenizer")
     return p
 
 
@@ -66,19 +70,26 @@ def _make_scorer(args):
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     cfg, params = load_reward_model(args.model_path, dtype=dtype)
-    from transformers import AutoTokenizer
+    if args.byte_tokenizer:
+        from ..data.prompts import ByteTokenizer
 
-    tok = AutoTokenizer.from_pretrained(
-        args.tokenizer or args.model_path, trust_remote_code=True,
-        use_fast=False,
-    )
+        tok = ByteTokenizer()
+    else:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(
+            args.tokenizer or args.model_path, trust_remote_code=True,
+            use_fast=False,
+        )
     mesh = None
     if args.dp > 1:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.dp, model=1)
+    pattern = (tok.gating_pattern() if args.byte_tokenizer
+               else cfg.gating_token_pattern)
     return RewardScorer(cfg, params, tok, dtype=dtype,
-                        gating_pattern=cfg.gating_token_pattern, mesh=mesh,
+                        gating_pattern=pattern, mesh=mesh,
                         device_preprocess=args.device_preprocess,
                         device_max_num=(args.max_num
                                         if args.device_preprocess else 1),

@@ -228,3 +228,19 @@ def save_safetensors(state: Dict[str, np.ndarray], path: str) -> None:
     # original memory order and silently corrupt that tensor on reload
     # (caught by benchmarks/imported_weights_tpu.py's bit-exact check).
     save_file({k: np.ascontiguousarray(v) for k, v in state.items()}, path)
+
+
+def save_reward_checkpoint_dir(path: str, params, cfg: RewardConfig) -> None:
+    """Write an HF-format checkpoint directory (model.safetensors +
+    config.json) that ``utils.checkpoint.load_reward_model`` AND the
+    reference's ``from_pretrained`` flow can read back."""
+    import json
+    import os
+
+    from ..configs import reward_config_to_hf
+
+    os.makedirs(path, exist_ok=True)
+    state = export_reward_checkpoint(params, cfg)
+    save_safetensors(state, os.path.join(path, "model.safetensors"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(reward_config_to_hf(cfg), f, indent=2)

@@ -250,3 +250,46 @@ def test_reward_checkpoint_file_roundtrip_bit_exact(tmp_path):
     for k in a:
         np.testing.assert_array_equal(
             a[k], b[k], err_msg=f"leaf {jtu.keystr(k)} not bit-exact")
+
+
+def test_reward_config_hf_round_trip(tmp_path):
+    """reward_config_to_hf -> json -> reward_config_from_hf == original,
+    and save_reward_checkpoint_dir produces a directory load_reward_model
+    reads back bit-exact."""
+    import json
+
+    import jax.tree_util as jtu
+
+    from mjvideo_tpu.configs import reward_config_from_hf, reward_config_to_hf
+    from mjvideo_tpu.utils.checkpoint import load_reward_model
+    from mjvideo_tpu.utils.export import save_reward_checkpoint_dir
+
+    cfg = tiny_test_config()
+    d = json.loads(json.dumps(reward_config_to_hf(cfg)))
+    cfg2 = reward_config_from_hf(d)
+    # the HF dict intentionally omits the tokenizer-owned special ids and
+    # the gating pattern (runtime-assigned from the tokenizer); compare the
+    # rest by rebuilding cfg2's chat with cfg's special ids
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg2,
+        chat=dataclasses.replace(
+            cfg2.chat,
+            img_context_token_id=cfg.chat.img_context_token_id,
+            img_start_token_id=cfg.chat.img_start_token_id,
+            img_end_token_id=cfg.chat.img_end_token_id,
+        ),
+        gating_token_pattern=cfg.gating_token_pattern,
+    )
+    assert cfg2 == cfg
+
+    params = reward.init_reward_params(jax.random.PRNGKey(1), cfg)
+    params = jax.tree.map(np.asarray, params)
+    out = tmp_path / "ckpt"
+    save_reward_checkpoint_dir(str(out), params, cfg)
+    cfg3, params3 = load_reward_model(str(out), dtype=jnp.float32)
+    a = dict(jtu.tree_flatten_with_path(params)[0])
+    b = dict(jtu.tree_flatten_with_path(jax.tree.map(np.asarray, params3))[0])
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])

@@ -229,3 +229,46 @@ def test_dataset_decode_pool_matches_serial(data_dir):
         assert a.keys() == b.keys()
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_eval_cli_byte_tokenizer_end_to_end_hermetic(tmp_path, capsys):
+    """The eval CLI scorer path offline: export a tiny checkpoint dir
+    (save_reward_checkpoint_dir) -> `--benchmark overall --byte-tokenizer`
+    over sample data -> preference metrics JSON on stdout."""
+    import subprocess
+    import sys
+
+    import jax
+
+    from mjvideo_tpu.models.reward import init_reward_params
+    from mjvideo_tpu.utils.export import save_reward_checkpoint_dir
+
+    sample = tmp_path / "data"
+    r = subprocess.run(
+        [sys.executable, "examples/make_sample_data.py", "--out",
+         str(sample), "--pairs", "2"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+
+    cfg = tiny_test_config()
+    params = init_reward_params(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "ckpt"
+    save_reward_checkpoint_dir(str(ckpt), params, cfg)
+
+    from mjvideo_tpu.eval import cli as ecli
+
+    ecli.main([
+        "--benchmark", "overall", "--byte-tokenizer", "--fp32",
+        "--data-json", str(sample / "pairs.json"),
+        "--video-root", str(sample / "videos"),
+        "--model-path", str(ckpt),
+        "--num-segments", "2",
+        "--results", str(tmp_path / "res.jsonl"),
+    ])
+    import json as _json
+
+    out = capsys.readouterr().out
+    res = _json.loads(out[out.index("{"):])
+    assert "accuracy" in res or "count" in res, res
+    assert (tmp_path / "res.jsonl").exists()
