@@ -68,13 +68,13 @@ def main():
         else:
             def patched(q, k, v, attention_mask=None, causal=False,
                         scale=None, block_q=None, block_kv=None,
-                        q_offset=None, _b=blocks):
+                        q_offset=None, kv_valid=None, _b=blocks):
                 if causal:
                     block_q, block_kv = _b
                 return orig_flash(q, k, v, attention_mask=attention_mask,
                                   causal=causal, scale=scale,
                                   block_q=block_q, block_kv=block_kv,
-                                  q_offset=q_offset)
+                                  q_offset=q_offset, kv_valid=kv_valid)
             fa.flash_attention = patched
         fwd = jax.jit(lambda p, pv, i, m, g: reward_forward(
             p, cfg, pv, i, m, g, attn_impl="auto", remat=False).score)

@@ -150,12 +150,19 @@ def _dropout(x: jnp.ndarray, rate: float, key) -> jnp.ndarray:
 
 
 def _block(cfg: VisionConfig, p, x: jnp.ndarray, attn_impl: str,
-           dp_rate=None, rng=None) -> jnp.ndarray:
+           dp_rate=None, rng=None, seq_valid=None) -> jnp.ndarray:
     """One pre-norm ViT block with LayerScale. Ref: intern_vit.py:266-295.
 
     ``rng`` set = training mode: applies proj dropout (``cfg.dropout``,
     ``modeling_intern_vit.py:198``) and DropPath at this layer's ``dp_rate``
     on both residual branches.  ``rng`` None = deterministic (eval).
+
+    ``seq_valid`` set = the sequence was pre-padded to an aligned length
+    (``vit_forward``): rows [seq_valid, S) are dead.  k/v dead rows are
+    zeroed (a multiply that fuses into the qkv projection epilogue) and
+    declared to the attention kernel via ``kv_valid`` — this removes the
+    per-layer 1025->1032 pad + slice copies the round-2 trace measured at
+    ~29 GB/s effective (docs/PERF.md).
     """
     B, S, C = x.shape
     H, D = cfg.num_attention_heads, cfg.head_dim
@@ -169,10 +176,18 @@ def _block(cfg: VisionConfig, p, x: jnp.ndarray, attn_impl: str,
         # RMSNorm across the full hidden dim (all heads jointly), as reference.
         q = rms_norm(q, p["attn"]["q_norm"]["weight"], eps=cfg.layer_norm_eps)
         k = rms_norm(k, p["attn"]["k_norm"]["weight"], eps=cfg.layer_norm_eps)
+    if seq_valid is not None:
+        # Dead rows re-acquire nonzero values through norm biases each
+        # layer; zero them in k/v so they cannot leak into real rows (the
+        # ONLY cross-token op is attention).
+        row_ok = (jnp.arange(S) < seq_valid).astype(x.dtype)[None, :, None]
+        k = k * row_ok
+        v = v * row_ok
     q = q.reshape(B, S, H, D)
     k = k.reshape(B, S, H, D)
     v = v.reshape(B, S, H, D)
-    attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl)
+    attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl,
+                                kv_valid=seq_valid)
     attn = attn.reshape(B, S, C)
     attn = dot(attn, p["attn"]["proj"]["kernel"]) + p["attn"]["proj"]["bias"]
     if rng is not None:
@@ -216,6 +231,18 @@ def vit_forward(
     """
     x = embeddings(params["embeddings"], cfg, pixel_values)
 
+    # Pre-pad the token axis once to 8-alignment (1025 -> 1032 for 448px
+    # tiles) so every attention call sees aligned operands: the per-layer
+    # q/k/v pads and output slices disappear from the compiled graph (they
+    # cost ~3 ms/clip as strided-copy traffic — docs/PERF.md round 3).
+    # Dead-row bookkeeping lives in _block (zeroed k/v + kv_valid).
+    S = x.shape[1]
+    Sp = -(-S // 8) * 8
+    seq_valid = None
+    if Sp != S:
+        x = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
+        seq_valid = S
+
     L = cfg.num_hidden_layers
     n_run = L if select_layer == -1 else L + select_layer + 1
     layers = params["layers"]
@@ -235,14 +262,16 @@ def vit_forward(
 
         def block(carry, sc):
             lp, r, k = sc
-            return _block(cfg, lp, carry, attn_impl, dp_rate=r, rng=k), None
+            return _block(cfg, lp, carry, attn_impl, dp_rate=r, rng=k,
+                          seq_valid=seq_valid), None
 
         xs = (layers, dp_rates, keys)
     else:
-        block = lambda carry, lp: (_block(cfg, lp, carry, attn_impl), None)
+        block = lambda carry, lp: (
+            _block(cfg, lp, carry, attn_impl, seq_valid=seq_valid), None)
         xs = layers
     from ..ops.remat import remat_wrap
 
     block = remat_wrap(block, remat)
     x, _ = jax.lax.scan(block, x, xs)
-    return x
+    return x if seq_valid is None else x[:, :seq_valid]

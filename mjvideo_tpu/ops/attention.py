@@ -89,10 +89,14 @@ def multi_head_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     impl: str = "auto",
+    kv_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Unified attention entry. q/k/v: (B, S, H, D) with Hkv <= Hq.
 
     ``attention_mask``: (B, K) with 1 = real token, 0 = padding.
+    ``kv_valid``: static count of real kv rows for pre-padded aligned
+    sequences (rows beyond it must be zeroed in k/v); see
+    ``flash_attention``.
 
     ``impl='auto'`` (measured on v5e, docs/PERF.md): the Pallas flash
     kernel wins both model shapes with per-shape block defaults — LLM
@@ -109,8 +113,14 @@ def multi_head_attention(
         from .flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, attention_mask=attention_mask, causal=causal, scale=scale
+            q, k, v, attention_mask=attention_mask, causal=causal,
+            scale=scale, kv_valid=kv_valid,
         )
+    if kv_valid is not None and attention_mask is None:
+        K = k.shape[1]
+        attention_mask = jnp.broadcast_to(
+            (jnp.arange(K) < kv_valid).astype(jnp.int32)[None],
+            (k.shape[0], K))
     bias = make_attention_bias(
         attention_mask, q.shape[1], k.shape[1], causal=causal
     )

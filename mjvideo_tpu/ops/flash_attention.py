@@ -102,11 +102,12 @@ def _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     every tile token is real).  Direct softmax — no online-softmax state,
     no mask where(); ``hp`` heads per program amortize program dispatch.
 
-    Zero-padded kv columns (``kv_pad`` of them) produce s == 0 exactly and
-    contribute nothing to p@v (v rows are zero); their only effect is
-    ``kv_pad * exp(-m)`` extra mass in the denominator, subtracted
-    analytically — an O(block_q) correction instead of an O(block_q * K)
-    mask select.
+    Zero-padded kv columns (``kv_pad`` of them — the kernel's own alignment
+    pad plus any caller-declared ``kv_valid`` tail of zeroed rows) produce
+    s == 0 exactly and contribute nothing to p@v (v rows are zero); their
+    only effect is ``kv_pad * exp(-m)`` extra mass in the denominator,
+    subtracted analytically — an O(block_q) correction instead of an
+    O(block_q * K) mask select.
     """
     for h in range(hp):
         q = q_ref[0, h]
@@ -133,16 +134,24 @@ def _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "heads_per_program", "interpret",
-                     "with_lse"),
+                     "with_lse", "kv_valid"),
 )
 def _fwd_nc_impl(q, k, v, scale, block_q, heads_per_program, interpret,
-                 with_lse):
-    """Specialized forward for non-causal, maskless MHA (ViT path)."""
+                 with_lse, kv_valid=None):
+    """Specialized forward for non-causal, maskless MHA (ViT path).
+
+    ``kv_valid``: static count of real kv rows; rows [kv_valid, K) MUST be
+    exactly zero in both k and v (the caller's contract — see
+    ``models/vit.py``).  They are folded into the kernel's analytic pad
+    correction, letting callers run pre-padded 8-aligned sequences with no
+    per-layer pad/slice copies.
+    """
     B, Q, H, D = q.shape
     K = k.shape[1]
     if scale is None:
         scale = D**-0.5
     Kp = _round_up(K, 8)
+    n_real = K if kv_valid is None else kv_valid
     # v5e sweep (benchmarks/vit_attn_bench.py): hp=1 whole-row wins —
     # 4.64ms vs 5.2-6.0ms for split blocks; extra heads/program bought
     # nothing once dimension_semantics pipelines the grid.
@@ -176,11 +185,12 @@ def _fwd_nc_impl(q, k, v, scale, block_q, heads_per_program, interpret,
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
 
     kernel = functools.partial(
-        _fwd_nc_kernel, scale=scale, hp=hp, kv_pad=Kp - K, with_lse=with_lse)
+        _fwd_nc_kernel, scale=scale, hp=hp, kv_pad=Kp - n_real,
+        with_lse=with_lse)
     if not with_lse:
         def kernel(q_ref, k_ref, v_ref, o_ref):  # noqa: F811
             _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, None, scale=scale,
-                           hp=hp, kv_pad=Kp - K, with_lse=False)
+                           hp=hp, kv_pad=Kp - n_real, with_lse=False)
 
     out_shapes = [jax.ShapeDtypeStruct((B, H, Qp, D), q.dtype)]
     out_specs = [pl.BlockSpec((1, hp, block_q, D),
@@ -282,14 +292,17 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv", "interpret",
-                     "with_lse", "heads_per_program"),
+                     "with_lse", "heads_per_program", "kv_valid"),
 )
 def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
-              block_kv, interpret, with_lse, heads_per_program=None):
+              block_kv, interpret, with_lse, heads_per_program=None,
+              kv_valid=None):
     """Returns out (B, Q, Hq, D) [and lse (B, Hq, 8, Qp) if with_lse].
 
     ``q_offset``: global sequence position of q row 0 — nonzero only under
     sequence parallelism, where this shard's queries start mid-sequence.
+    ``kv_valid``: static count of real kv rows (the tail rows being exactly
+    zero) — served analytically by the nc kernel, as a mask elsewhere.
     """
     B, Q, Hq, D = q.shape
     K, Hkv = k.shape[1], k.shape[2]
@@ -303,7 +316,11 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
     if (not causal and attention_mask is None and q_offset is None
             and G == 1 and _round_up(K, 8) <= 4096):
         return _fwd_nc_impl(q, k, v, scale, block_q, heads_per_program,
-                            interpret, with_lse)
+                            interpret, with_lse, kv_valid=kv_valid)
+    if kv_valid is not None and attention_mask is None:
+        # Non-nc shapes take the declared-valid tail as an ordinary mask.
+        attention_mask = jnp.broadcast_to(
+            (jnp.arange(K) < kv_valid).astype(jnp.int32)[None], (B, K))
 
     default_bq, default_bk = _pick_blocks(Q, K, causal)
     block_q = min(block_q or default_bq, _round_up(Q, 128))
@@ -635,32 +652,45 @@ def _xla_reference(q, k, v, attention_mask, causal, scale):
     return attention_xla(q, k, v, bias=bias, scale=scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _flash_attention(q, k, v, attention_mask, q_offset, causal, scale,
-                     block_q, block_kv):
+                     block_q, block_kv, kv_valid):
     interpret = jax.default_backend() != "tpu"
     return _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale,
-                     block_q, block_kv, interpret, False)
+                     block_q, block_kv, interpret, False, kv_valid=kv_valid)
 
 
 def _vjp_fwd(q, k, v, attention_mask, q_offset, causal, scale,
-             block_q, block_kv):
+             block_q, block_kv, kv_valid):
     interpret = jax.default_backend() != "tpu"
     if interpret and q_offset is None:
         # Interpret-mode backward goes through the XLA formulation; no LSE.
         out = _fwd_impl(q, k, v, attention_mask, None, causal, scale,
-                        block_q, block_kv, True, False)
+                        block_q, block_kv, True, False, kv_valid=kv_valid)
         return out, (q, k, v, attention_mask, None, None, None)
     out, lse = _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale,
-                         block_q, block_kv, interpret, True)
+                         block_q, block_kv, interpret, True,
+                         kv_valid=kv_valid)
     return out, (q, k, v, attention_mask, q_offset, out, lse)
 
 
-def _vjp_bwd(causal, scale, block_q, block_kv, res, g):
+def _vjp_bwd(causal, scale, block_q, block_kv, kv_valid, res, g):
     q, k, v, attention_mask, q_offset, out, lse = res
+    if kv_valid is not None and attention_mask is None:
+        # The forward subtracted the declared-zero tail analytically; the
+        # recompute/backward must exclude it the same way.  (The Pallas
+        # backward needs no mask — the zeroed k rows nullify the tail's dQ
+        # contribution, and its dK/dV land on rows the caller zero-masks —
+        # but the XLA fallback recomputes the softmax and DOES need it.)
+        K = k.shape[1]
+        bwd_mask = jnp.broadcast_to(
+            (jnp.arange(K) < kv_valid).astype(jnp.int32)[None],
+            (k.shape[0], K))
+    else:
+        bwd_mask = attention_mask
     if lse is None:  # off-TPU fallback: exact gradients via XLA einsum path
         _, vjp = jax.vjp(
-            lambda q_, k_, v_: _xla_reference(q_, k_, v_, attention_mask,
+            lambda q_, k_, v_: _xla_reference(q_, k_, v_, bwd_mask,
                                               causal, scale),
             q, k, v,
         )
@@ -685,17 +715,23 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     q_offset: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Blockwise flash attention. q: (B, Q, Hq, D); k/v: (B, K, Hkv, D).
 
     ``attention_mask``: (B, K), 1 = real token, 0 = padding.
     ``q_offset``: global position of q row 0 (sequence-parallel shards).
+    ``kv_valid``: static count of real kv rows when the caller pre-pads the
+    sequence to an aligned length — rows [kv_valid, K) must be exactly zero
+    in k AND v (the nc kernel subtracts their softmax mass analytically; no
+    per-layer pad/slice copies).  Mutually exclusive with attention_mask.
     Differentiable: on TPU the backward runs the Pallas dK/dV + dQ kernels;
     elsewhere it falls back to the exact XLA recompute (Pallas interpret
     kernels when q_offset is set).
     """
     return _flash_attention(
-        q, k, v, attention_mask, q_offset, causal, scale, block_q, block_kv
+        q, k, v, attention_mask, q_offset, causal, scale, block_q, block_kv,
+        kv_valid,
     )
 
 

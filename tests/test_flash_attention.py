@@ -171,6 +171,47 @@ def test_nc_maskless_kernel_matches_xla(S, H, hp):
     )
 
 
+def test_kv_valid_matches_unpadded_reference():
+    """``kv_valid`` (caller pre-pads to an aligned length, zeroes the dead
+    k/v tail) must reproduce the unpadded forward AND gradients on the real
+    rows — the contract ``models/vit.py`` relies on to run the ViT stack at
+    a fixed 8-aligned sequence length with no per-layer pad/slice copies."""
+    rng = np.random.default_rng(3)
+    B, S, Sp, H, D = 2, 67, 72, 4, 32
+    q = _rand(rng, (B, Sp, H, D))
+    k = _rand(rng, (B, Sp, H, D))
+    v = _rand(rng, (B, Sp, H, D))
+    row_ok = (jnp.arange(Sp) < S).astype(q.dtype)[None, :, None, None]
+
+    def padded(q, k, v):
+        return flash_attention(q, k * row_ok, v * row_ok, causal=False,
+                               kv_valid=S)
+
+    ref = multi_head_attention(q[:, :S], k[:, :S], v[:, :S], causal=False,
+                               impl="xla")
+    got = padded(q, k, v)
+    np.testing.assert_allclose(np.asarray(got[:, :S]), np.asarray(ref),
+                               atol=2e-5)
+
+    # Gradients: cotangent only on the real rows (as vit_forward's final
+    # slice guarantees); real-row grads must match the unpadded VJP and
+    # dead-row grads must be exactly zero after the row_ok mask's VJP.
+    g = _rand(rng, (B, S, H, D))
+    gp = jnp.pad(g, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+    _, vjp = jax.vjp(padded, q, k, v)
+    dq, dk, dv = vjp(gp)
+    _, vjp_ref = jax.vjp(
+        lambda q_, k_, v_: multi_head_attention(q_, k_, v_, causal=False,
+                                                impl="xla"),
+        q[:, :S], k[:, :S], v[:, :S],
+    )
+    dq_ref, dk_ref, dv_ref = vjp_ref(g)
+    for a, b in ((dq, dq_ref), (dk, dk_ref), (dv, dv_ref)):
+        np.testing.assert_allclose(np.asarray(a[:, :S]), np.asarray(b),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(a[:, S:]), 0.0, atol=3e-5)
+
+
 def test_nc_maskless_backward_consumes_new_lse():
     """On-TPU backward pairs the specialized forward's lse with the general
     dK/dV + dQ kernels (ones mask); must match the XLA VJP."""
