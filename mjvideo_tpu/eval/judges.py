@@ -197,13 +197,41 @@ class Judge(Protocol):
     def ask(self, prompt: str, video_path: str) -> str: ...
 
 
+class _VideoPrepCache:
+    """Tiny per-judge LRU keyed by video path.
+
+    The fine-grained benchmark asks ~34 questions per video (5 categories
+    + their subcategories, ``run_fine_grained_benchmark``), and every pair
+    alternates between the same two videos — caching the decoded frames
+    AND the device-side vision embeds turns 34 decode+encode passes per
+    video into 1."""
+
+    def __init__(self, fn, maxsize: int = 8):
+        from collections import OrderedDict
+
+        self._fn = fn
+        self._maxsize = maxsize
+        self._d: "OrderedDict" = OrderedDict()
+
+    def __call__(self, path: str):
+        if path in self._d:
+            self._d.move_to_end(path)
+            return self._d[path]
+        val = self._fn(path)
+        self._d[path] = val
+        if len(self._d) > self._maxsize:
+            self._d.popitem(last=False)
+        return val
+
+
 class InternVLJudge:
     """A local judge backed by this framework's InternVL2 stack.
 
     The reference runs its local baselines through ms-swift
     (``eval_overall_internvl2_2b.py:119-129``); here the same backbone
-    generates through ``models.generate``.
-    """
+    generates through ``models.generate``.  Vision embeds cache per video
+    (``_VideoPrepCache``) and pairs decode as one batched generation
+    (``ask_batch``)."""
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, attn_impl: Optional[str] = None):
@@ -213,29 +241,61 @@ class InternVLJudge:
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl or "auto"
+        self._prep = _VideoPrepCache(self._encode_video)
 
-    def ask(self, prompt: str, video_path: str) -> str:
+    def _encode_video(self, video_path: str):
         import jax.numpy as jnp
 
-        from ..data.prompts import build_video_question
         from ..data.video import load_video
-        from ..models.generate import GenerationConfig, chat
+        from ..models.internvl import extract_feature_jitted
 
         pixels, num_patches_list = load_video(
             video_path, num_segments=self.num_segments, max_num=1,
             input_size=self.cfg.image_size,
         )
+        vis = extract_feature_jitted(
+            self.params, self.cfg, jnp.asarray(pixels, jnp.bfloat16),
+            attn_impl=self.attn_impl, remat=False,
+        )
+        return vis, num_patches_list
+
+    def _gc(self):
+        from ..models.generate import GenerationConfig
+
+        return GenerationConfig(max_new_tokens=self.max_new_tokens,
+                                temperature=0.0)
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        from ..data.prompts import build_video_question
+        from ..models.generate import chat
+
+        vis, num_patches_list = self._prep(video_path)
         question = build_video_question(prompt, len(num_patches_list))
         response, _ = chat(
             self.params, self.cfg, self.tokenizer, question,
-            pixel_values=jnp.asarray(pixels, jnp.bfloat16),
             num_patches_list=num_patches_list,
-            generation_config=GenerationConfig(
-                max_new_tokens=self.max_new_tokens, temperature=0.0,
-            ),
+            generation_config=self._gc(),
             attn_impl=self.attn_impl,
+            vision_embeds=vis,
         )
         return response
+
+    def ask_batch(self, prompt: str, video_paths) -> List[str]:
+        import jax.numpy as jnp
+
+        from ..data.prompts import build_video_question
+        from ..models.generate import batch_chat
+
+        preps = [self._prep(p) for p in video_paths]
+        questions = [build_video_question(prompt, len(npl))
+                     for _, npl in preps]
+        return batch_chat(
+            self.params, self.cfg, self.tokenizer, questions,
+            num_patches_lists=[npl for _, npl in preps],
+            generation_config=self._gc(),
+            attn_impl=self.attn_impl,
+            vision_embeds=jnp.concatenate([v for v, _ in preps]),
+        )
 
 
 class Qwen2VLJudge:
@@ -257,38 +317,59 @@ class Qwen2VLJudge:
         self.max_new_tokens = max_new_tokens
         self.max_pixels = max_pixels
         self.attn_impl = attn_impl or "auto"
+        self._prep = _VideoPrepCache(self._encode_video)
 
-    def ask(self, prompt: str, video_path: str) -> str:
+    def _encode_video(self, video_path: str):
+        import jax.numpy as jnp
+
         from ..data.video import (
             decode_frames,
             get_frame_indices,
             video_metadata,
         )
-        from ..models.qwen2vl import (
-            build_video_prompt_ids,
-            get_rope_index,
-            greedy_generate,
-            preprocess_video_frames,
-        )
+        from ..models.qwen2vl import _jit_vision, preprocess_video_frames
 
         n_frames, fps = video_metadata(video_path)
         indices = get_frame_indices(n_frames, self.num_segments, fps=fps)
         frames = decode_frames(video_path, indices)
         patches, grid = preprocess_video_frames(
             frames, self.cfg.vision, max_pixels=self.max_pixels)
-        ids = build_video_prompt_ids(self.tokenizer, self.cfg, grid, prompt)
-        pos, _ = get_rope_index(ids, [grid], self.cfg)
-        toks = greedy_generate(
-            self.params, self.cfg, ids, pos,
-            pixel_patches=patches, grid=grid,
-            max_new_tokens=self.max_new_tokens,
-            eos_token_id=self.cfg.im_end_token_id,
-            attn_impl=self.attn_impl,
-        )
+        vis = _jit_vision(self.params["visual"], self.cfg.vision,
+                          jnp.asarray(patches), grid,
+                          attn_impl=self.attn_impl)
+        return vis, grid
+
+    def _decode(self, toks) -> str:
         if toks and toks[-1] == self.cfg.im_end_token_id:
             toks = toks[:-1]
         return self.tokenizer.decode(toks) if hasattr(
             self.tokenizer, "decode") else str(toks)
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        return self.ask_batch(prompt, [video_path])[0]
+
+    def ask_batch(self, prompt: str, video_paths) -> List[str]:
+        from ..models.qwen2vl import (
+            build_video_prompt_ids,
+            get_rope_index,
+            greedy_generate_batch,
+        )
+
+        preps = [self._prep(p) for p in video_paths]
+        items = []
+        for _, grid in preps:
+            ids = build_video_prompt_ids(self.tokenizer, self.cfg, grid,
+                                         prompt)
+            pos, _ = get_rope_index(ids, [grid], self.cfg)
+            items.append((ids, pos, None, None))
+        rows = greedy_generate_batch(
+            self.params, self.cfg, items,
+            max_new_tokens=self.max_new_tokens,
+            eos_token_id=self.cfg.im_end_token_id,
+            attn_impl=self.attn_impl,
+            vision_embeds=[v for v, _ in preps],
+        )
+        return [self._decode(toks) for toks in rows]
 
 
 class MiniCPMVJudge:
@@ -308,34 +389,52 @@ class MiniCPMVJudge:
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl or "auto"
+        self._prep = _VideoPrepCache(self._encode_video)
 
-    def ask(self, prompt: str, video_path: str) -> str:
+    def _encode_video(self, video_path: str):
+        import jax.numpy as jnp
+
         from ..data.video import (
             decode_frames,
             get_frame_indices,
             video_metadata,
         )
-        from ..models.minicpmv import (
-            build_video_prompt_ids,
-            greedy_generate,
-            preprocess_video_frames,
-        )
+        from ..models.minicpmv import _jit_vision, preprocess_video_frames
 
         n_frames, fps = video_metadata(video_path)
         indices = get_frame_indices(n_frames, self.num_segments, fps=fps)
         frames = decode_frames(video_path, indices)
         pix = preprocess_video_frames(frames, self.cfg)
-        ids = build_video_prompt_ids(self.tokenizer, self.cfg, len(frames),
-                                     prompt)
-        toks = greedy_generate(
-            self.params, self.cfg, ids, pixel_values=pix,
-            max_new_tokens=self.max_new_tokens,
-            attn_impl=self.attn_impl,
-        )
+        vis = _jit_vision(self.params, self.cfg, jnp.asarray(pix),
+                          attn_impl=self.attn_impl)
+        return vis, len(frames)
+
+    def _decode(self, toks) -> str:
         if toks and toks[-1] == self.cfg.im_end_token_id:
             toks = toks[:-1]
         return self.tokenizer.decode(toks) if hasattr(
             self.tokenizer, "decode") else str(toks)
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        return self.ask_batch(prompt, [video_path])[0]
+
+    def ask_batch(self, prompt: str, video_paths) -> List[str]:
+        from ..models.minicpmv import (
+            build_video_prompt_ids,
+            greedy_generate_batch,
+        )
+
+        preps = [self._prep(p) for p in video_paths]
+        items = [(build_video_prompt_ids(self.tokenizer, self.cfg,
+                                         n_frames, prompt), None)
+                 for _, n_frames in preps]
+        rows = greedy_generate_batch(
+            self.params, self.cfg, items,
+            max_new_tokens=self.max_new_tokens,
+            attn_impl=self.attn_impl,
+            vision_embeds=[v for v, _ in preps],
+        )
+        return [self._decode(toks) for toks in rows]
 
 
 class CogVLM2Judge:
@@ -355,34 +454,54 @@ class CogVLM2Judge:
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl or "auto"
+        self._prep = _VideoPrepCache(self._encode_video)
 
-    def ask(self, prompt: str, video_path: str) -> str:
+    def _encode_video(self, video_path: str):
+        import jax.numpy as jnp
+
         from ..data.video import (
             decode_frames,
             get_frame_indices,
             video_metadata,
         )
-        from ..models.cogvlm2 import (
-            build_video_prompt_ids,
-            greedy_generate,
-            preprocess_video_frames,
-        )
+        from ..models.cogvlm2 import _jit_vision, preprocess_video_frames
 
         n_frames, fps = video_metadata(video_path)
         indices = get_frame_indices(n_frames, self.num_segments, fps=fps)
         frames = decode_frames(video_path, indices)
         pix = preprocess_video_frames(frames, self.cfg.vision)
-        ids, tt = build_video_prompt_ids(self.tokenizer, self.cfg,
-                                         len(frames), prompt)
-        toks = greedy_generate(
-            self.params, self.cfg, ids, tt, pixel_values=pix,
-            max_new_tokens=self.max_new_tokens,
-            attn_impl=self.attn_impl,
-        )
+        vis = _jit_vision(self.params, self.cfg, jnp.asarray(pix),
+                          attn_impl=self.attn_impl)
+        return vis, len(frames)
+
+    def _decode(self, toks) -> str:
         if toks and toks[-1] == self.cfg.eos_token_id:
             toks = toks[:-1]
         return self.tokenizer.decode(toks) if hasattr(
             self.tokenizer, "decode") else str(toks)
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        return self.ask_batch(prompt, [video_path])[0]
+
+    def ask_batch(self, prompt: str, video_paths) -> List[str]:
+        from ..models.cogvlm2 import (
+            build_video_prompt_ids,
+            greedy_generate_batch,
+        )
+
+        preps = [self._prep(p) for p in video_paths]
+        items = []
+        for _, n_frames in preps:
+            ids, tt = build_video_prompt_ids(self.tokenizer, self.cfg,
+                                             n_frames, prompt)
+            items.append((ids, tt, None))
+        rows = greedy_generate_batch(
+            self.params, self.cfg, items,
+            max_new_tokens=self.max_new_tokens,
+            attn_impl=self.attn_impl,
+            vision_embeds=[v for v, _ in preps],
+        )
+        return [self._decode(toks) for toks in rows]
 
 
 def _extract_frames_b64(video_path: str, every: int = 50,
@@ -508,10 +627,17 @@ def judge_pair(
     judge: Judge, video0: str, video1: str, caption: str,
     prompt_fn: Callable[[str], str] = overall_prompt,
 ) -> Tuple[int, int, str, str]:
-    """Rate both videos of a pair -> (score0, score1, resp0, resp1)."""
+    """Rate both videos of a pair -> (score0, score1, resp0, resp1).
+
+    Judges exposing ``ask_batch`` rate both videos in ONE batched
+    generation (half the dispatches, B=2 decode); others fall back to two
+    sequential ``ask`` calls."""
     p = prompt_fn(caption)
-    r0 = judge.ask(p, video0)
-    r1 = judge.ask(p, video1)
+    if hasattr(judge, "ask_batch"):
+        r0, r1 = judge.ask_batch(p, [video0, video1])
+    else:
+        r0 = judge.ask(p, video0)
+        r1 = judge.ask(p, video1)
     return parse_rating(r0), parse_rating(r1), r0, r1
 
 

@@ -612,7 +612,7 @@ def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
     ids go through jit ARGUMENTS (a closure would inline the weight tree
     as HLO constants — fatal at 19B dims)."""
     from .generate import (
-        greedy_decode,
+        greedy_decode_batch,
         init_kv_cache,
         last_real_token,
         prefill_slot_mask,
@@ -623,12 +623,15 @@ def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
 
     @jax.jit
     def gen(params, ids, tt, n_real, pos_all, vis):
+        # Batch-generic: ids/tt (B, Tb), n_real (B,), pos_all (B, max_len),
+        # vis (N_total, C) concatenated in row order.
         lm = params["language_model"]
+        B = ids.shape[0]
         embeds = dec.embed_tokens(lm, ids)
         if has_vision:
             marker = (tt == VISION_TOKEN_TYPE).astype(jnp.int32)
             embeds = scatter_image_embeds(embeds, marker, vis, 1)
-        cache_t = init_kv_cache(cfg.text, 1, max_len,
+        cache_t = init_kv_cache(cfg.text, B, max_len,
                                 dtype=lm["tok_embeddings"].dtype)
         cache = (cache_t.k, cache_t.v)
         slots, mask = prefill_slot_mask(Tb, max_len, n_real)
@@ -638,19 +641,70 @@ def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
         logits0 = lm_logits(params, last_real_token(hidden, n_real))[:, 0]
 
         def step(params, tok, i, cache):
-            e = dec.embed_tokens(params["language_model"],
-                                 tok.reshape(1, 1))
+            e = dec.embed_tokens(params["language_model"], tok[:, None])
             s, m = step_slot_mask(max_len, n_real, i)
-            rope_pos = jax.lax.dynamic_slice_in_dim(pos_all, n_real + i, 1,
-                                                    axis=1)
-            vm = jnp.zeros((1, 1, 1), e.dtype)  # generated = language
+            idx = (jnp.atleast_1d(n_real) + i)[:, None]
+            rope_pos = jnp.take_along_axis(pos_all, idx, axis=1)
+            vm = jnp.zeros((B, 1, 1), e.dtype)  # generated = language
             h, cache = _cogvlm2_forward_cached(
                 params, cfg, e, cache, s, rope_pos, m, vm)
             return lm_logits(params, h)[:, 0], cache
 
-        return greedy_decode(step, params, logits0, cache, max_new, eos)
+        return greedy_decode_batch(step, params, logits0, cache, max_new,
+                                   eos)
 
     return gen
+
+
+def greedy_generate_batch(
+    params, cfg: CogVLM2Config,
+    items,  # sequence of (input_ids (1,T), token_type_ids (1,T),
+            #              pixel_values) per row
+    max_new_tokens: int = 16,
+    eos_token_id: Optional[int] = None,
+    attn_impl: str = "auto",  # kept for API compat
+    vision_embeds=None,  # optional per-row precomputed vision embeds
+) -> List[List[int]]:
+    """Batched greedy decode with a static KV cache: each row's frames
+    encode once (the square model resolution makes every video the same
+    shape, so ANY two videos batch), the padded prompt batch prefills
+    once, and the whole token loop runs as ONE jitted ``lax.while_loop``;
+    prompts bucket to multiples of 64 so every judge call shares one
+    compiled executable.  Generated tokens go through the language expert
+    (new tokens are always language type) while RoPE keeps the
+    shared-vision-position scheme.  ``vision_embeds`` (one array per row)
+    skips the vision tower — callers asking many questions about the same
+    videos encode once."""
+    from .generate import pad_prompt_batch
+
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    B = len(items)
+    has_vision = items[0][2] is not None or vision_embeds is not None
+    ids, n_real, Tb = pad_prompt_batch([it[0] for it in items],
+                                       cfg.pad_token_id)
+    max_len = Tb + max_new_tokens
+    tt = np.zeros((B, Tb), np.int32)  # pads = language type
+    pos_all = np.zeros((B, max_len), np.int64)
+    for b, (_, token_type_ids, _) in enumerate(items):
+        nr = int(n_real[b])
+        tt[b, :nr] = token_type_ids[0]
+        pos_prompt = build_position_ids(np.asarray(token_type_ids))
+        pos_all[b, :nr] = pos_prompt
+        pos_all[b, nr:] = pos_prompt.max() + 1 + np.arange(max_len - nr)
+
+    vis = None
+    if has_vision:
+        vis = jnp.concatenate([
+            _jit_vision(params, cfg, jnp.asarray(pv), attn_impl=attn_impl)
+            for _, _, pv in items
+        ]) if vision_embeds is None else jnp.concatenate(
+            [jnp.reshape(v, (-1, v.shape[-1])) for v in vision_embeds])
+
+    gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision, int(eos))
+    toks, n = gen(params, jnp.asarray(ids), jnp.asarray(tt),
+                  jnp.asarray(n_real), jnp.asarray(pos_all, jnp.int32), vis)
+    toks, n = np.asarray(toks), np.asarray(n)
+    return [[int(t) for t in toks[b, : n[b]]] for b in range(B)]
 
 
 def greedy_generate(
@@ -662,35 +716,11 @@ def greedy_generate(
     eos_token_id: Optional[int] = None,
     attn_impl: str = "auto",  # kept for API compat
 ) -> List[int]:
-    """Greedy decode with a static KV cache: frames encode once, the
-    prompt prefills once, and the whole token loop runs as ONE jitted
-    ``lax.while_loop``; prompts bucket to multiples of 64 so every judge
-    call shares one compiled executable.  Generated tokens go through the
-    language expert (new tokens are always language type) while RoPE
-    keeps the shared-vision-position scheme."""
-    from .generate import pad_prompt
-
-    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
-    ids, n_real, Tb = pad_prompt(input_ids, cfg.pad_token_id)
-    max_len = Tb + max_new_tokens
-    tt = np.zeros((1, Tb), np.int32)  # pads = language type
-    tt[:, :n_real] = token_type_ids
-    pos_prompt = build_position_ids(np.asarray(token_type_ids))
-    pos_all = np.zeros((1, max_len), np.int64)
-    pos_all[:, :n_real] = pos_prompt
-    pos_all[:, n_real:] = pos_prompt.max() + 1 + np.arange(max_len - n_real)
-
-    vis = None
-    if pixel_values is not None:
-        vis = _jit_vision(params, cfg, jnp.asarray(pixel_values),
-                          attn_impl=attn_impl)
-
-    gen = _generate_fn(cfg, Tb, max_new_tokens, pixel_values is not None,
-                       int(eos))
-    toks, n = gen(params, jnp.asarray(ids), jnp.asarray(tt),
-                  jnp.asarray(n_real, jnp.int32),
-                  jnp.asarray(pos_all, jnp.int32), vis)
-    return [int(t) for t in np.asarray(toks)[: int(n)]]
+    """Single-prompt greedy decode (see ``greedy_generate_batch``)."""
+    return greedy_generate_batch(
+        params, cfg, [(input_ids, token_type_ids, pixel_values)],
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        attn_impl=attn_impl)[0]
 
 
 @functools.partial(jax.jit, static_argnums=(1,),

@@ -133,41 +133,56 @@ def decoder_forward_cached(
     return x, KVCache(k_new, v_new)
 
 
-def greedy_decode(step_fn, params, logits0, cache, max_new_tokens: int,
-                  eos: int):
-    """Traceable greedy loop — call INSIDE an outer jit.
+def greedy_decode_batch(step_fn, params, logits0, cache,
+                        max_new_tokens: int, eos: int):
+    """Traceable batched greedy loop — call INSIDE an outer jit.
 
-    ``step_fn(params, tok (scalar i32), i (scalar i32), cache) ->
-    (logits (1, V), cache)`` is the caller's single-token cached step.
-    Runs the whole decode as one ``lax.while_loop`` with device-side
-    early exit on ``eos``; returns (toks (max_new_tokens,) i32, count).
-    One dispatch per generation instead of one per token.
-    """
-    toks0 = jnp.full((max_new_tokens,), eos, jnp.int32)
+    ``step_fn(params, tok (B,) i32, i (scalar i32), cache) ->
+    (logits (B, V), cache)`` is the caller's cached step over one new
+    token per row.  Runs the whole decode as one ``lax.while_loop`` with
+    device-side early exit once EVERY row has emitted ``eos``; finished
+    rows keep feeding ``eos`` (their cache writes land on slots the
+    output ignores).  Returns (toks (B, max_new_tokens) i32,
+    count (B,) i32 = tokens emitted per row including the eos)."""
+    B = logits0.shape[0]
+    toks0 = jnp.full((B, max_new_tokens), eos, jnp.int32)
 
     def cond(st):
         i, done, *_ = st
-        return jnp.logical_and(~done, i < max_new_tokens)
+        return jnp.logical_and(~jnp.all(done), i < max_new_tokens)
 
     def body(st):
-        i, done, logits, cache, toks = st
-        tok = jnp.argmax(logits[0]).astype(jnp.int32)
-        toks = toks.at[i].set(tok)
-        done = tok == eos
+        i, done, n, logits, cache, toks = st
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(done, eos, tok)
+        toks = toks.at[:, i].set(tok)
+        n = n + (~done).astype(jnp.int32)
+        done = done | (tok == eos)
         # Skip the decode forward when this token ends the generation
-        # (EOS or the last slot) — its logits would never be consumed.
+        # everywhere (all-EOS or the last slot) — its logits would never
+        # be consumed.
         logits, cache = jax.lax.cond(
-            jnp.logical_or(done, i + 1 >= max_new_tokens),
+            jnp.logical_or(jnp.all(done), i + 1 >= max_new_tokens),
             lambda _: (logits, cache),
             lambda _: step_fn(params, tok, i, cache),
             None,
         )
-        return (i + 1, done, logits, cache, toks)
+        return (i + 1, done, n, logits, cache, toks)
 
-    i, done, _, _, toks = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.asarray(False), logits0, cache,
-                     toks0))
-    return toks, i
+    _, _, n, _, _, toks = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((B,), bool),
+                     jnp.zeros((B,), jnp.int32), logits0, cache, toks0))
+    return toks, n
+
+
+def greedy_decode(step_fn, params, logits0, cache, max_new_tokens: int,
+                  eos: int):
+    """B=1 greedy loop (see ``greedy_decode_batch``): ``step_fn`` takes a
+    SCALAR token; returns (toks (max_new_tokens,) i32, count)."""
+    toks, n = greedy_decode_batch(
+        lambda p, tok, i, c: step_fn(p, tok[0], i, c),
+        params, logits0, cache, max_new_tokens, eos)
+    return toks[0], n[0]
 
 
 def round_up_bucket(n: int, bucket: int = 64) -> int:
@@ -191,24 +206,46 @@ def pad_prompt(input_ids, pad_id: int, bucket: int = 64):
     return ids, n_real, Tb
 
 
+def pad_prompt_batch(ids_list, pad_id: int, bucket: int = 64):
+    """[(1, T_i) prompts] -> ((B, Tb) right-padded ids, (B,) n_real, Tb)
+    with every row bucketed to the same width."""
+    n_real = np.asarray([ids.shape[1] for ids in ids_list], np.int32)
+    Tb = round_up_bucket(int(n_real.max()), bucket)
+    out = np.full((len(ids_list), Tb), pad_id, np.int32)
+    for b, ids in enumerate(ids_list):
+        out[b, : ids.shape[1]] = ids[0]
+    return out, n_real, Tb
+
+
+def _rows(n_real):
+    """n_real (scalar or (B,)) -> (B, 1) column vector."""
+    return jnp.reshape(jnp.atleast_1d(jnp.asarray(n_real)), (-1, 1))
+
+
 def prefill_slot_mask(Tb: int, max_len: int, n_real):
-    """Cache slots + validity mask for the (padded) prompt prefill."""
-    slots = jnp.arange(Tb)[None]
-    mask = (jnp.arange(max_len) < n_real)[None].astype(jnp.int32)
+    """Cache slots + validity mask for the (padded) prompt prefill.
+
+    ``n_real``: scalar or (B,) per-row real-token counts; returns
+    ((B or 1, Tb) slots, (B or 1, max_len) mask)."""
+    nr = _rows(n_real)
+    slots = jnp.broadcast_to(jnp.arange(Tb)[None], (nr.shape[0], Tb))
+    mask = (jnp.arange(max_len)[None] < nr).astype(jnp.int32)
     return slots, mask
 
 
 def step_slot_mask(max_len: int, n_real, i):
-    """Cache slot + validity mask for the i-th generated token."""
-    slots = jnp.full((1, 1), 0, jnp.int32) + n_real + i
-    mask = (jnp.arange(max_len) < n_real + i + 1)[None].astype(jnp.int32)
+    """Cache slot + validity mask for the i-th generated token (per row)."""
+    nr = _rows(n_real)
+    slots = (nr + i).astype(jnp.int32)
+    mask = (jnp.arange(max_len)[None] < nr + i + 1).astype(jnp.int32)
     return slots, mask
 
 
 def last_real_token(hidden, n_real):
-    """(B, T, C) -> (B, 1, C) at the last REAL prompt position."""
-    return jnp.take_along_axis(
-        hidden, jnp.reshape(n_real - 1, (1, 1, 1)), axis=1)
+    """(B, T, C) -> (B, 1, C) at each row's last REAL prompt position."""
+    idx = _rows(n_real).astype(jnp.int32)[:, :, None] - 1  # (B, 1, 1)
+    idx = jnp.broadcast_to(idx, (hidden.shape[0], 1, 1))
+    return jnp.take_along_axis(hidden, idx, axis=1)
 
 
 class GenerationConfig(NamedTuple):
@@ -244,12 +281,15 @@ def generate(
     generation_config: GenerationConfig = GenerationConfig(),
     rng: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    vision_embeds: Optional[jnp.ndarray] = None,  # (P, n_tok, C) precomputed
 ) -> jnp.ndarray:
     """Multimodal autoregressive generation; returns (B, max_new_tokens).
 
     Equivalent of ``InternVLChatModel.generate``
     (``modeling_internvl_chat.py:369-415``): ViT features scatter into the
-    prompt embeds, then the LLM decodes.
+    prompt embeds, then the LLM decodes.  ``vision_embeds`` short-circuits
+    the vision tower with precomputed ``extract_feature`` output — callers
+    asking many questions about the same video encode it once.
     """
     gc = generation_config
     lm = params["language_model"]
@@ -259,11 +299,12 @@ def generate(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
     embeds = dec.embed_tokens(lm, input_ids)
-    if pixel_values is not None:
-        vit = extract_feature(params, cfg, pixel_values, attn_impl=attn_impl,
-                              remat=False)
+    if vision_embeds is None and pixel_values is not None:
+        vision_embeds = extract_feature(params, cfg, pixel_values,
+                                        attn_impl=attn_impl, remat=False)
+    if vision_embeds is not None:
         embeds = scatter_image_embeds(
-            embeds, input_ids, vit, cfg.img_context_token_id
+            embeds, input_ids, vision_embeds, cfg.img_context_token_id
         )
 
     # Cache slots are laid out by sequence index (slot i = token i); RoPE
@@ -337,6 +378,7 @@ def batch_chat(
     pixel_values=None, num_patches_lists=None,
     generation_config: GenerationConfig = GenerationConfig(),
     attn_impl: str = "auto",
+    vision_embeds=None,
 ):
     """Batched single-turn chat (``modeling_internvl_chat.py:336-367``).
 
@@ -355,7 +397,8 @@ def batch_chat(
         npl = num_patches_lists[i] if num_patches_lists else None
         chats.append(prepare_chat_input(
             cfg, tokenizer, q, num_patches_list=npl,
-            has_image=pixel_values is not None, require_gating=False,
+            has_image=pixel_values is not None or vision_embeds is not None,
+            require_gating=False,
         ))
     # Bucketed batch width -> one compiled executable per bucket.
     T = round_up_bucket(max(c.input_ids.shape[1] for c in chats))
@@ -374,6 +417,7 @@ def batch_chat(
         params, cfg, jnp.asarray(ids), jnp.asarray(mask),
         pixel_values=None if pixel_values is None else jnp.asarray(pixel_values),
         generation_config=gc, attn_impl=attn_impl,
+        vision_embeds=vision_embeds,
     )
     responses = []
     for row in np.asarray(out):
@@ -524,6 +568,7 @@ def chat(
     pixel_values=None, num_patches_list=None,
     history=None, generation_config: GenerationConfig = GenerationConfig(),
     attn_impl: str = "auto",
+    vision_embeds=None,
 ) -> Tuple[str, list]:
     """Single-turn(ed) chat (``modeling_internvl_chat.py:264-334``)."""
     import numpy as np
@@ -555,6 +600,7 @@ def chat(
         params, cfg, jnp.asarray(ids), jnp.asarray(mask),
         pixel_values=None if pixel_values is None else jnp.asarray(pixel_values),
         generation_config=gc, attn_impl=attn_impl,
+        vision_embeds=vision_embeds,
     )
     toks = [int(t) for t in np.asarray(out[0])]
     if eos_id in toks:

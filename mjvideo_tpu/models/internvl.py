@@ -94,6 +94,14 @@ def extract_feature(
     return apply_projector(params["mlp1"], vit_embeds)
 
 
+# Jitted vision tower for callers that encode a video once and reuse the
+# embeds across many generations (judge loops) — see ``generate.generate``'s
+# ``vision_embeds`` argument.
+extract_feature_jitted = jax.jit(
+    extract_feature, static_argnums=(1,),
+    static_argnames=("attn_impl", "remat"))
+
+
 def scatter_image_embeds(
     input_embeds: jnp.ndarray,  # (B, T, C)
     input_ids: jnp.ndarray,  # (B, T)

@@ -351,7 +351,7 @@ def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
     exceeds remote compilers' request limits)."""
     from .generate import (
         decoder_forward_cached,
-        greedy_decode,
+        greedy_decode_batch,
         init_kv_cache,
         last_real_token,
         prefill_slot_mask,
@@ -362,12 +362,14 @@ def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
 
     @jax.jit
     def gen(params, ids, n_real, vis):
+        # Batch-generic: ids (B, Tb), n_real (B,), vis (F_total, Q, C)
+        # concatenated in row order (the scatter flattens row-major).
         llm = params["llm"]
         embeds = dec.embed_tokens(llm, ids)
         if has_vision:
             embeds = scatter_image_embeds(embeds, ids, vis,
                                           cfg.unk_token_id)
-        cache = init_kv_cache(cfg.text, 1, max_len,
+        cache = init_kv_cache(cfg.text, ids.shape[0], max_len,
                               dtype=llm["tok_embeddings"].dtype)
         # right-padded prompt: real tokens at slots [0, n_real); pad-slot
         # K/V writes are masked out by the cache mask, so their (garbage)
@@ -378,15 +380,53 @@ def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
         logits0 = lm_logits(params, last_real_token(hidden, n_real))[:, 0]
 
         def step(params, tok, i, cache):
-            e = dec.embed_tokens(params["llm"], tok.reshape(1, 1))
+            e = dec.embed_tokens(params["llm"], tok[:, None])
             s, m = step_slot_mask(max_len, n_real, i)
             h, cache = decoder_forward_cached(
                 params["llm"], cfg.text, e, cache, s, m)
             return lm_logits(params, h)[:, 0], cache
 
-        return greedy_decode(step, params, logits0, cache, max_new, eos)
+        return greedy_decode_batch(step, params, logits0, cache, max_new,
+                                   eos)
 
     return gen
+
+
+def greedy_generate_batch(
+    params, cfg: MiniCPMVConfig,
+    items,  # sequence of (input_ids (1,T), pixel_values) per row
+    max_new_tokens: int = 16,
+    eos_token_id: Optional[int] = None,
+    attn_impl: str = "auto",  # kept for API compat; cached path picks
+    vision_embeds=None,  # optional per-row precomputed (F, Q, C) embeds
+) -> List[List[int]]:
+    """Batched greedy decode with a static KV cache: each row's frames
+    encode once (the resampler always emits (F, Q, C) regardless of the
+    source resolution, so ANY two videos batch), the padded prompt batch
+    prefills once, and the whole token loop runs as ONE jitted
+    ``lax.while_loop``; prompts bucket to multiples of 64 so every judge
+    call shares one compiled executable.  ``vision_embeds`` (one array per
+    row) skips the vision tower — callers asking many questions about the
+    same videos encode once."""
+    from .generate import pad_prompt_batch
+
+    eos = cfg.im_end_token_id if eos_token_id is None else eos_token_id
+    has_vision = items[0][1] is not None or vision_embeds is not None
+    ids, n_real, Tb = pad_prompt_batch([it[0] for it in items],
+                                       cfg.text.pad_token_id)
+
+    vis = None
+    if has_vision:
+        vis = jnp.concatenate([
+            _jit_vision(params, cfg, jnp.asarray(pv), attn_impl=attn_impl)
+            for _, pv in items
+        ]) if vision_embeds is None else jnp.concatenate(
+            list(vision_embeds))
+
+    gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision, int(eos))
+    toks, n = gen(params, jnp.asarray(ids), jnp.asarray(n_real), vis)
+    toks, n = np.asarray(toks), np.asarray(n)
+    return [[int(t) for t in toks[b, : n[b]]] for b in range(len(items))]
 
 
 def greedy_generate(
@@ -397,25 +437,11 @@ def greedy_generate(
     eos_token_id: Optional[int] = None,
     attn_impl: str = "auto",  # kept for API compat; cached path picks
 ) -> List[int]:
-    """Greedy decode with a static KV cache: frames encode once, the
-    prompt prefills once, and the whole token loop runs as ONE jitted
-    ``lax.while_loop``; prompts bucket to multiples of 64 so every judge
-    call shares one compiled executable."""
-    from .generate import pad_prompt
-
-    eos = cfg.im_end_token_id if eos_token_id is None else eos_token_id
-    ids, n_real, Tb = pad_prompt(input_ids, cfg.text.pad_token_id)
-
-    vis = None
-    if pixel_values is not None:
-        vis = _jit_vision(params, cfg, jnp.asarray(pixel_values),
-                          attn_impl=attn_impl)
-
-    gen = _generate_fn(cfg, Tb, max_new_tokens, pixel_values is not None,
-                       int(eos))
-    toks, n = gen(params, jnp.asarray(ids),
-                  jnp.asarray(n_real, jnp.int32), vis)
-    return [int(t) for t in np.asarray(toks)[: int(n)]]
+    """Single-prompt greedy decode (see ``greedy_generate_batch``)."""
+    return greedy_generate_batch(
+        params, cfg, [(input_ids, pixel_values)],
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        attn_impl=attn_impl)[0]
 
 
 _jit_vision = jax.jit(get_vision_embedding, static_argnums=(1,),

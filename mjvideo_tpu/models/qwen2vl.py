@@ -537,7 +537,7 @@ def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
     tree as HLO constants — observed HTTP 413 at 2B dims)."""
     from .generate import (
         decoder_forward_cached,
-        greedy_decode,
+        greedy_decode_batch,
         init_kv_cache,
         last_real_token,
         prefill_slot_mask,
@@ -548,7 +548,10 @@ def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
 
     @jax.jit
     def gen(params, ids, n_real, vis, cos_all, sin_all):
+        # Batch-generic: ids (B, Tb), n_real (B,), vis flat (N_total, C)
+        # concatenated in row order, cos/sin (B, max_len, D).
         lm = params["language_model"]
+        B = ids.shape[0]
         embeds = dec.embed_tokens(lm, ids)
         if has_vision:
             marker = jnp.logical_or(ids == cfg.image_token_id,
@@ -556,7 +559,7 @@ def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
             embeds = scatter_image_embeds(
                 embeds, jnp.where(marker, cfg.video_token_id, 0), vis[None],
                 cfg.video_token_id)
-        cache = init_kv_cache(cfg.text, 1, max_len,
+        cache = init_kv_cache(cfg.text, B, max_len,
                               dtype=lm["tok_embeddings"].dtype)
         slots, mask = prefill_slot_mask(Tb, max_len, n_real)
         hidden, cache = decoder_forward_cached(
@@ -566,19 +569,79 @@ def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
                             last_real_token(hidden, n_real))[:, 0]
 
         def step(params, tok, i, cache):
-            e = dec.embed_tokens(params["language_model"],
-                                 tok.reshape(1, 1))
+            e = dec.embed_tokens(params["language_model"], tok[:, None])
             s, m = step_slot_mask(max_len, n_real, i)
-            c = jax.lax.dynamic_slice_in_dim(cos_all, n_real + i, 1, axis=1)
-            sn = jax.lax.dynamic_slice_in_dim(sin_all, n_real + i, 1, axis=1)
+            idx = (jnp.atleast_1d(n_real) + i)[:, None, None]
+            idx = jnp.broadcast_to(idx, (B, 1, cos_all.shape[-1]))
+            c = jnp.take_along_axis(cos_all, idx, axis=1)
+            sn = jnp.take_along_axis(sin_all, idx, axis=1)
             h, cache = decoder_forward_cached(
                 params["language_model"], cfg.text, e, cache, s, m,
                 rope_override=(c, sn))
             return lm_logits(params, cfg, h)[:, 0], cache
 
-        return greedy_decode(step, params, logits0, cache, max_new, eos)
+        return greedy_decode_batch(step, params, logits0, cache, max_new,
+                                   eos)
 
     return gen
+
+
+def greedy_generate_batch(
+    params, cfg: Qwen2VLConfig,
+    items,  # sequence of (input_ids (1,T), position_ids (3,1,T),
+            #              pixel_patches, grid) per row
+    max_new_tokens: int = 16,
+    eos_token_id: int = 151645,  # <|im_end|>
+    attn_impl: str = "auto",  # kept for API compat
+    vision_embeds=None,  # optional per-row precomputed vision embeds
+) -> List[List[int]]:
+    """Batched greedy decode with a static KV cache: each row's vision
+    tower runs once (per-video — frames must not cross-attend), the
+    padded prompt batch prefills once, and the whole token loop runs as
+    ONE jitted ``lax.while_loop`` over all rows; prompts bucket to
+    multiples of 64 so every judge call shares one compiled executable.
+    M-RoPE cos/sin are precomputed per row for every slot (generated
+    tokens continue at max(prompt) + 1 + i on all three channels) and
+    gathered per step via ``rope_override``.
+
+    Rows may carry different videos — even different grids: the
+    cumsum-gather scatter consumes the concatenated flat embeds in row
+    order, so per-row video-token counts may differ (each distinct
+    (bucket, total-embed) shape compiles its own executable).
+    ``vision_embeds`` (one array per row) skips the vision tower —
+    callers asking many questions about the same videos encode once."""
+    from .generate import pad_prompt_batch
+
+    B = len(items)
+    has_vision = items[0][2] is not None or vision_embeds is not None
+    ids, n_real, Tb = pad_prompt_batch([it[0] for it in items],
+                                       cfg.text.pad_token_id)
+    max_len = Tb + max_new_tokens
+    pos0 = np.zeros((3, B, max_len), np.int64)
+    for b, (_, position_ids, _, _) in enumerate(items):
+        nr = int(n_real[b])
+        pos0[:, b, :nr] = position_ids[:, 0]
+        # pad + decode slots: continue on all three channels (pad-slot
+        # values are masked out of the cache; decode slot n_real+i uses
+        # entry n_real+i)
+        pos0[:, b, nr:] = position_ids.max() + 1 + np.arange(max_len - nr)
+    cos_all, sin_all = mrope_cos_sin(jnp.asarray(pos0), cfg)
+
+    vis = None
+    if has_vision:
+        vis = jnp.concatenate([
+            _jit_vision(params["visual"], cfg.vision,
+                        jnp.asarray(patches), grid, attn_impl=attn_impl)
+            for _, _, patches, grid in items
+        ]) if vision_embeds is None else jnp.concatenate(
+            [jnp.reshape(v, (-1, v.shape[-1])) for v in vision_embeds])
+
+    gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision,
+                       int(eos_token_id))
+    toks, n = gen(params, jnp.asarray(ids), jnp.asarray(n_real), vis,
+                  cos_all, sin_all)
+    toks, n = np.asarray(toks), np.asarray(n)
+    return [[int(t) for t in toks[b, : n[b]]] for b in range(B)]
 
 
 def greedy_generate(
@@ -590,36 +653,11 @@ def greedy_generate(
     eos_token_id: int = 151645,  # <|im_end|>
     attn_impl: str = "auto",  # kept for API compat
 ) -> List[int]:
-    """Greedy decode with a static KV cache: the vision tower runs once,
-    the prompt prefills once, and the whole token loop runs as ONE jitted
-    ``lax.while_loop``; prompts bucket to multiples of 64 so every judge
-    call shares one compiled executable.  M-RoPE cos/sin are precomputed
-    for every slot (generated tokens continue at max(prompt) + 1 + i on
-    all three channels) and sliced per step via ``rope_override``.
-    """
-    from .generate import pad_prompt
-
-    ids, n_real, Tb = pad_prompt(input_ids, cfg.text.pad_token_id)
-    max_len = Tb + max_new_tokens
-    pos0 = np.zeros((3, 1, max_len), np.int64)
-    pos0[:, :, :n_real] = position_ids
-    # pad + decode slots: continue on all three channels (pad-slot values
-    # are masked out of the cache; decode slots n_real+i use entry n_real+i)
-    nxt = position_ids.max() + 1 + np.arange(max_len - n_real)
-    pos0[:, :, n_real:] = nxt[None, None, :]
-    cos_all, sin_all = mrope_cos_sin(jnp.asarray(pos0), cfg)
-
-    vis = None
-    if pixel_patches is not None:
-        vis = _jit_vision(params["visual"], cfg.vision,
-                          jnp.asarray(pixel_patches), grid,
-                          attn_impl=attn_impl)
-
-    gen = _generate_fn(cfg, Tb, max_new_tokens, pixel_patches is not None,
-                       int(eos_token_id))
-    toks, n = gen(params, jnp.asarray(ids),
-                  jnp.asarray(n_real, jnp.int32), vis, cos_all, sin_all)
-    return [int(t) for t in np.asarray(toks)[: int(n)]]
+    """Single-prompt greedy decode (see ``greedy_generate_batch``)."""
+    return greedy_generate_batch(
+        params, cfg, [(input_ids, position_ids, pixel_patches, grid)],
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        attn_impl=attn_impl)[0]
 
 
 _jit_vision = jax.jit(
