@@ -74,6 +74,50 @@ def main():
           f"({len(toks)} tokens, warm; first incl. compile "
           f"{compile_and_first:.1f}s)", flush=True)
 
+    # pair-batched decode (judge_pair's ask_batch path): both videos of a
+    # preference pair through ONE B=2 generation
+    from mjvideo_tpu.models.qwen2vl import greedy_generate_batch
+
+    patches1 = rng.normal(size=(n_patch, cfg.vision.patch_dim)).astype(
+        np.float32)
+    items = [(ids, pos, patches, grid), (ids, pos, patches1, grid)]
+    t0 = time.perf_counter()
+    rows = greedy_generate_batch(params, cfg, items,
+                                 max_new_tokens=args.new_tokens,
+                                 eos_token_id=-1)
+    pair_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = greedy_generate_batch(params, cfg, items,
+                                 max_new_tokens=args.new_tokens,
+                                 eos_token_id=-1)
+    pair = time.perf_counter() - t0
+    print(f"pair-batched decode (B=2): {pair*1e3:8.1f} ms total = "
+          f"{pair*1e3/2:6.1f} ms/answer "
+          f"(vs {cached*1e3:6.1f} sequential -> "
+          f"{2*cached/pair:.2f}x pair throughput; first incl. compile "
+          f"{pair_first:.1f}s)", flush=True)
+
+    # cached-vision pair (the fine-grained benchmark's steady state: ~34
+    # questions per pair, vision embeds cached per video after the first)
+    from mjvideo_tpu.models.qwen2vl import _jit_vision
+
+    vises = [_jit_vision(params["visual"], cfg.vision, jnp.asarray(p_),
+                         grid) for p_ in (patches, patches1)]
+    items_novis = [(ids, pos, None, None)] * 2
+    greedy_generate_batch(params, cfg, items_novis,
+                          max_new_tokens=args.new_tokens,
+                          eos_token_id=-1, vision_embeds=vises)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        greedy_generate_batch(params, cfg, items_novis,
+                              max_new_tokens=args.new_tokens,
+                              eos_token_id=-1, vision_embeds=vises)
+    per_pair = (time.perf_counter() - t0) / 3
+    print(f"cached-vision pair question: {per_pair*1e3:8.1f} ms "
+          f"(vs {2*cached*1e3:.1f} uncached-sequential -> "
+          f"{2*cached/per_pair:.1f}x for fine-grained's repeat questions)",
+          flush=True)
+
     # what the pre-cache design paid: one full prompt forward per token
     mask = jnp.ones((1, T), jnp.int32)
 
