@@ -197,31 +197,35 @@ class Judge(Protocol):
     def ask(self, prompt: str, video_path: str) -> str: ...
 
 
-class _VideoPrepCache:
-    """Tiny per-judge LRU keyed by video path.
+def _video_prep_cache(encode_fn):
+    """Per-judge LRU over ``_encode_video``, keyed by video path.
 
     The fine-grained benchmark asks ~34 questions per video (5 categories
     + their subcategories, ``run_fine_grained_benchmark``), and every pair
-    alternates between the same two videos — caching the decoded frames
-    AND the device-side vision embeds turns 34 decode+encode passes per
-    video into 1."""
+    alternates between the same two videos — caching the device-side
+    vision embeds turns 34 decode+encode passes per video into 1.  Plain
+    ``functools.lru_cache`` wrapping the bound method: per-instance, so no
+    ``self``-keyed leak across judges."""
+    import functools
 
-    def __init__(self, fn, maxsize: int = 8):
-        from collections import OrderedDict
+    return functools.lru_cache(maxsize=8)(encode_fn)
 
-        self._fn = fn
-        self._maxsize = maxsize
-        self._d: "OrderedDict" = OrderedDict()
 
-    def __call__(self, path: str):
-        if path in self._d:
-            self._d.move_to_end(path)
-            return self._d[path]
-        val = self._fn(path)
-        self._d[path] = val
-        if len(self._d) > self._maxsize:
-            self._d.popitem(last=False)
-        return val
+class _GreedyLocalJudge:
+    """Shared tail for the batched local judges (Qwen2-VL / MiniCPM-V /
+    CogVLM2): strip the stop token named by ``_eos_attr`` off each decoded
+    row and route single ``ask`` through ``ask_batch``."""
+
+    _eos_attr = "im_end_token_id"
+
+    def _decode(self, toks) -> str:
+        if toks and toks[-1] == getattr(self.cfg, self._eos_attr):
+            toks = toks[:-1]
+        return self.tokenizer.decode(toks) if hasattr(
+            self.tokenizer, "decode") else str(toks)
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        return self.ask_batch(prompt, [video_path])[0]
 
 
 class InternVLJudge:
@@ -230,7 +234,7 @@ class InternVLJudge:
     The reference runs its local baselines through ms-swift
     (``eval_overall_internvl2_2b.py:119-129``); here the same backbone
     generates through ``models.generate``.  Vision embeds cache per video
-    (``_VideoPrepCache``) and pairs decode as one batched generation
+    (``_video_prep_cache``) and pairs decode as one batched generation
     (``ask_batch``)."""
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
@@ -241,7 +245,7 @@ class InternVLJudge:
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl or "auto"
-        self._prep = _VideoPrepCache(self._encode_video)
+        self._prep = _video_prep_cache(self._encode_video)
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -298,7 +302,7 @@ class InternVLJudge:
         )
 
 
-class Qwen2VLJudge:
+class Qwen2VLJudge(_GreedyLocalJudge):
     """A local judge backed by the Qwen2-VL JAX port (``models/qwen2vl.py``).
 
     Second local backbone family after InternVL, matching the reference's
@@ -317,7 +321,7 @@ class Qwen2VLJudge:
         self.max_new_tokens = max_new_tokens
         self.max_pixels = max_pixels
         self.attn_impl = attn_impl or "auto"
-        self._prep = _VideoPrepCache(self._encode_video)
+        self._prep = _video_prep_cache(self._encode_video)
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -338,15 +342,6 @@ class Qwen2VLJudge:
                           jnp.asarray(patches), grid,
                           attn_impl=self.attn_impl)
         return vis, grid
-
-    def _decode(self, toks) -> str:
-        if toks and toks[-1] == self.cfg.im_end_token_id:
-            toks = toks[:-1]
-        return self.tokenizer.decode(toks) if hasattr(
-            self.tokenizer, "decode") else str(toks)
-
-    def ask(self, prompt: str, video_path: str) -> str:
-        return self.ask_batch(prompt, [video_path])[0]
 
     def ask_batch(self, prompt: str, video_paths) -> List[str]:
         from ..models.qwen2vl import (
@@ -372,7 +367,7 @@ class Qwen2VLJudge:
         return [self._decode(toks) for toks in rows]
 
 
-class MiniCPMVJudge:
+class MiniCPMVJudge(_GreedyLocalJudge):
     """A local judge backed by the MiniCPM-V-2.6 JAX port
     (``models/minicpmv.py``) — third local backbone family, matching the
     reference's MiniCPM swift baseline (``eval_overall_minicpm.py:119-129``,
@@ -389,7 +384,7 @@ class MiniCPMVJudge:
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl or "auto"
-        self._prep = _VideoPrepCache(self._encode_video)
+        self._prep = _video_prep_cache(self._encode_video)
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -408,15 +403,6 @@ class MiniCPMVJudge:
         vis = _jit_vision(self.params, self.cfg, jnp.asarray(pix),
                           attn_impl=self.attn_impl)
         return vis, len(frames)
-
-    def _decode(self, toks) -> str:
-        if toks and toks[-1] == self.cfg.im_end_token_id:
-            toks = toks[:-1]
-        return self.tokenizer.decode(toks) if hasattr(
-            self.tokenizer, "decode") else str(toks)
-
-    def ask(self, prompt: str, video_path: str) -> str:
-        return self.ask_batch(prompt, [video_path])[0]
 
     def ask_batch(self, prompt: str, video_paths) -> List[str]:
         from ..models.minicpmv import (
@@ -437,7 +423,7 @@ class MiniCPMVJudge:
         return [self._decode(toks) for toks in rows]
 
 
-class CogVLM2Judge:
+class CogVLM2Judge(_GreedyLocalJudge):
     """A local judge backed by the CogVLM2-Video JAX port
     (``models/cogvlm2.py``) — fourth local backbone family, matching the
     reference's CogVLM2 swift baseline (``eval_overall_cogvlm2.py:119-129``,
@@ -454,7 +440,7 @@ class CogVLM2Judge:
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl or "auto"
-        self._prep = _VideoPrepCache(self._encode_video)
+        self._prep = _video_prep_cache(self._encode_video)
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -474,14 +460,7 @@ class CogVLM2Judge:
                           attn_impl=self.attn_impl)
         return vis, len(frames)
 
-    def _decode(self, toks) -> str:
-        if toks and toks[-1] == self.cfg.eos_token_id:
-            toks = toks[:-1]
-        return self.tokenizer.decode(toks) if hasattr(
-            self.tokenizer, "decode") else str(toks)
-
-    def ask(self, prompt: str, video_path: str) -> str:
-        return self.ask_batch(prompt, [video_path])[0]
+    _eos_attr = "eos_token_id"
 
     def ask_batch(self, prompt: str, video_paths) -> List[str]:
         from ..models.cogvlm2 import (

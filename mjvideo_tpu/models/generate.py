@@ -578,6 +578,10 @@ def chat(
 
     if num_patches_list is None and pixel_values is not None:
         num_patches_list = [pixel_values.shape[0]]
+    if num_patches_list is None and vision_embeds is not None:
+        # One tile stack: without this the prompt would carry zero
+        # <IMG_CONTEXT> tokens and the scatter would silently no-op.
+        num_patches_list = [vision_embeds.shape[0]]
     chat_in = prepare_chat_input(
         cfg, tokenizer, question, num_patches_list=num_patches_list,
         history=history, require_gating=False,

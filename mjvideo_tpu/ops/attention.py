@@ -28,6 +28,17 @@ from .matmul import einsum
 NEG_INF = -1e30  # large finite negative instead of -inf: keeps softmax NaN-free
 
 
+def kv_valid_mask(batch: int, kv_len: int, kv_valid: int) -> jnp.ndarray:
+    """(B, K) int32 padding mask for a static ``kv_valid`` prefix of real rows.
+
+    Single definition shared by the dispatch fallback and both
+    ``flash_attention`` mask-rebuild sites so the declared-valid-tail
+    semantics can never diverge between forward and backward."""
+    return jnp.broadcast_to(
+        (jnp.arange(kv_len) < kv_valid).astype(jnp.int32)[None],
+        (batch, kv_len))
+
+
 def make_attention_bias(
     attention_mask: Optional[jnp.ndarray],
     q_len: int,
@@ -117,10 +128,7 @@ def multi_head_attention(
             scale=scale, kv_valid=kv_valid,
         )
     if kv_valid is not None and attention_mask is None:
-        K = k.shape[1]
-        attention_mask = jnp.broadcast_to(
-            (jnp.arange(K) < kv_valid).astype(jnp.int32)[None],
-            (k.shape[0], K))
+        attention_mask = kv_valid_mask(k.shape[0], k.shape[1], kv_valid)
     bias = make_attention_bias(
         attention_mask, q.shape[1], k.shape[1], causal=causal
     )

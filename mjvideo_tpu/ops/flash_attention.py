@@ -319,8 +319,9 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
                             interpret, with_lse, kv_valid=kv_valid)
     if kv_valid is not None and attention_mask is None:
         # Non-nc shapes take the declared-valid tail as an ordinary mask.
-        attention_mask = jnp.broadcast_to(
-            (jnp.arange(K) < kv_valid).astype(jnp.int32)[None], (B, K))
+        from .attention import kv_valid_mask
+
+        attention_mask = kv_valid_mask(B, K, kv_valid)
 
     default_bq, default_bk = _pick_blocks(Q, K, causal)
     block_q = min(block_q or default_bq, _round_up(Q, 128))
@@ -682,10 +683,9 @@ def _vjp_bwd(causal, scale, block_q, block_kv, kv_valid, res, g):
         # backward needs no mask — the zeroed k rows nullify the tail's dQ
         # contribution, and its dK/dV land on rows the caller zero-masks —
         # but the XLA fallback recomputes the softmax and DOES need it.)
-        K = k.shape[1]
-        bwd_mask = jnp.broadcast_to(
-            (jnp.arange(K) < kv_valid).astype(jnp.int32)[None],
-            (k.shape[0], K))
+        from .attention import kv_valid_mask
+
+        bwd_mask = kv_valid_mask(k.shape[0], k.shape[1], kv_valid)
     else:
         bwd_mask = attention_mask
     if lse is None:  # off-TPU fallback: exact gradients via XLA einsum path
