@@ -15,6 +15,10 @@ from .configs import (  # noqa: F401
     LLMConfig,
     RewardConfig,
     VisionConfig,
+    internvl2_2b_chat_config,
+    internvl2_4b_chat_config,
+    internvl2_8b_chat_config,
+    internvl2_26b_chat_config,
     mjvideo_2b_config,
     mjvideo_4b_config,
     tiny_test_config,

@@ -371,6 +371,74 @@ def mjvideo_4b_config() -> RewardConfig:
     )
 
 
+def internvl2_2b_chat_config() -> ChatConfig:
+    """InternVL2-2B judge backbone — the same InternViT-300M + InternLM2-1.8B
+    stack the reward model builds on (``eval_overall_internvl2_2b.py:119-129``
+    loads ``internvl2-2b`` via swift)."""
+    return ChatConfig()
+
+
+def internvl2_8b_chat_config() -> ChatConfig:
+    """InternVL2-8B judge backbone: InternViT-300M + InternLM2.5-7B-chat.
+
+    Dims follow OpenGVLab/InternVL2-8B config.json; the reference
+    benchmarks this size via swift (``eval_overall_internvl2_8b.py``).
+    """
+    return ChatConfig(
+        llm=LLMConfig(
+            vocab_size=92553,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            rope_theta=1e6,
+        ),
+        template="internlm2-chat",
+    )
+
+
+def internvl2_4b_chat_config() -> ChatConfig:
+    """InternVL2-4B judge backbone: InternViT-300M + Phi-3-mini.
+
+    Same chat stack as :func:`mjvideo_4b_config` (the reference benchmarks
+    this size via swift, ``eval_overall_internvl2_4b.py``; phi3 template per
+    ``conversation.py:368-379``)."""
+    return mjvideo_4b_config().chat
+
+
+def internvl2_26b_chat_config() -> ChatConfig:
+    """InternVL2-26B judge backbone: InternViT-6B + InternLM2-chat-20B.
+
+    Dims follow OpenGVLab/InternVL2-26B config.json — the 6B ViT variant
+    (45 layers / 3200 hidden / RMSNorm / qk-normalization, head_dim 128)
+    exercises the ``qk_normalization``/``rms_norm`` paths of
+    ``models/vit.py``.  The reference benchmarks this size via swift
+    (``eval_overall_internvl2_26b.py``).  At ~26B params bf16 this model
+    needs tensor parallelism over >=4 chips (see ``parallel/``).
+    """
+    return ChatConfig(
+        vision=VisionConfig(
+            hidden_size=3200,
+            intermediate_size=12800,
+            num_hidden_layers=45,
+            num_attention_heads=25,
+            qk_normalization=True,
+            norm_type="rms_norm",
+        ),
+        llm=LLMConfig(
+            vocab_size=92553,
+            hidden_size=6144,
+            intermediate_size=16384,
+            num_hidden_layers=48,
+            num_attention_heads=48,
+            num_key_value_heads=8,
+            rope_theta=1e6,
+        ),
+        template="internlm2-chat",
+    )
+
+
 def tiny_test_config(
     vocab_size: int = 272,
     hidden_size: int = 64,

@@ -130,6 +130,31 @@ def qwen2vl_config_from_hf(d: Dict[str, Any]) -> Qwen2VLConfig:
     )
 
 
+def qwen2vl_7b_config() -> Qwen2VLConfig:
+    """Qwen2-VL-7B-Instruct dims (Qwen/Qwen2-VL-7B-Instruct config.json) —
+    the second Qwen2-VL judge size the reference benchmarks
+    (``eval_overall_qwen2_7b.py``).  Same ViT as the 2B; the text model
+    widens to 3584/28 heads and stops tying the LM head."""
+    return Qwen2VLConfig(
+        vision=Qwen2VLVisionConfig(hidden_size=3584),
+        text=LLMConfig(
+            architecture="llama",
+            vocab_size=152064,
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_hidden_layers=28,
+            num_attention_heads=28,
+            num_key_value_heads=4,
+            rope_theta=1e6,
+            rms_norm_eps=1e-6,
+            pad_token_id=151643,
+            max_position_embeddings=32768,
+            bias=True,
+        ),
+        tie_word_embeddings=False,
+    )
+
+
 # ------------------------------------------------------------------ params
 
 def init_qwen2vl_params(key, cfg: Qwen2VLConfig, dtype=jnp.float32):

@@ -349,6 +349,53 @@ def test_tp_sharded_cogvlm2_forward_matches_single_device():
     np.testing.assert_allclose(out, single, atol=2e-4)
 
 
+def test_tp_sharded_qknorm_vit_chat_matches_single_device():
+    """The InternViT-6B variant (qk_normalization + rms_norm, as in the
+    InternVL2-26B judge preset) under data=4 x model=2: the full-hidden-dim
+    qk RMSNorm crosses the head split the TP rules put on ``attn/qkv``, so
+    GSPMD must insert the resharding — verify the math is unchanged."""
+    import dataclasses
+
+    base = tiny_test_config().chat
+    cfg = dataclasses.replace(
+        base,
+        vision=dataclasses.replace(
+            base.vision, qk_normalization=True, norm_type="rms_norm"),
+    )
+    from mjvideo_tpu.models.internvl import chat_forward, init_chat_params
+
+    params = init_chat_params(jax.random.PRNGKey(4), cfg, with_lm_head=False)
+    assert "q_norm" in params["vision_model"]["layers"]["attn"]
+
+    rng = np.random.default_rng(5)
+    B, frames = 2, 1
+    n_img = cfg.num_image_token * frames
+    T = n_img + 8
+    ids = np.full((B, T), 5, np.int64)
+    ids[:, 2:2 + n_img] = cfg.img_context_token_id
+    pix = jnp.asarray(rng.normal(size=(
+        B * frames, cfg.vision.image_size, cfg.vision.image_size, 3,
+    )).astype(np.float32))
+    ids = jnp.asarray(ids, jnp.int32)
+
+    single = chat_forward(params, cfg, pix, ids,
+                          attn_impl="xla", remat=False)
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shard_params(params, mesh, tp=True)
+    specs = jax.tree.map(lambda a: a.sharding.spec, p_sh)
+    assert "model" in str(
+        specs["vision_model"]["layers"]["attn"]["qkv"]["kernel"])
+
+    @jax.jit
+    def fwd(p, pix, ids):
+        return chat_forward(p, cfg, pix, ids, attn_impl="xla", remat=False)
+
+    out = fwd(p_sh, pix, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               atol=2e-4)
+
+
 def test_tp_sharded_phi3_reward_matches_single_device():
     """The 4B architecture (Phi-3 decoder: packed qkv_proj / gate_up_proj)
     under data=4 x model=2 must equal the unsharded forward — the sharding
