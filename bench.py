@@ -67,6 +67,13 @@ def main():
     T = n_img + text_len
 
     params = init_reward_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    # Opt-in w8a8 serving mode (ops/quant.py): int8 weights + dynamic
+    # activation quantization on the MXU's double-rate int8 path.
+    quant = os.environ.get("BENCH_QUANT", "")
+    if quant == "int8":
+        from mjvideo_tpu.ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
 
     rng = np.random.default_rng(0)
     pix = jnp.asarray(
@@ -100,7 +107,8 @@ def main():
 
     clips_per_sec = batch * iters / dt
     result = {
-        "metric": f"8-frame clips/sec/chip reward scoring (MJ-VIDEO-{model.upper()} bf16)"
+        "metric": f"8-frame clips/sec/chip reward scoring (MJ-VIDEO-{model.upper()} "
+                  f"{'w8a8' if quant == 'int8' else 'bf16'})"
                   if on_tpu else
                   "clips/sec/chip reward scoring (tiny cfg, CPU fallback)",
         "value": round(clips_per_sec, 3),

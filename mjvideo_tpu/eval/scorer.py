@@ -53,6 +53,7 @@ class RewardScorer:
         device_preprocess: bool = False,
         device_max_num: int = 1,
         device_batch: Optional[int] = None,
+        quant: Optional[str] = None,
     ):
         """``mesh``: an optional ('data','model') Mesh — params are placed
         per the TP rules and scoring batches shard over ``data`` (the
@@ -80,9 +81,23 @@ class RewardScorer:
         batch-1 executables keep the ViT activations VMEM-resident and
         pipelined batch-1 dispatches beat every bigger single-dispatch
         batch (9.54 vs 8.25 clips/s at 8 clips), so the TPU default is 1
-        per data shard; None = auto (1 on TPU, no split elsewhere)."""
+        per data shard; None = auto (1 on TPU, no split elsewhere).
+
+        ``quant="int8"`` (opt-in serving mode): swap the large dense
+        kernels for int8 weights + per-output-channel scales and run those
+        matmuls int8 x int8 -> int32 on the MXU's double-rate path
+        (``ops/quant.py``); activations quantize dynamically in-graph.
+        Halves weight HBM, no calibration. Attention, norms, embeddings
+        and the reward heads stay bf16/fp32."""
         self.cfg = cfg
         self.mesh = mesh
+        if quant is not None:
+            if quant != "int8":
+                raise ValueError(f"unknown quant mode {quant!r}")
+            from ..ops.quant import quantize_params_int8
+
+            params = quantize_params_int8(params)
+        self.quant = quant
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
@@ -380,6 +395,14 @@ class RewardScorer:
         ``jax.grad(scorer.score_fn(ids, pos))(frames)``.  For use inside
         your own jit'd step, prefer ``score_fn_with_params``.
         """
+        from ..ops.quant import is_quantized
+
+        if self.quant is not None or is_quantized(self.params):
+            # round() in the dynamic activation quantization has zero
+            # gradient — backprop would silently return zeros.
+            raise ValueError(
+                "score_fn requires full-precision params; build the "
+                "scorer without quant= for reward-feedback training")
         T = round_to_bucket(len(input_ids), self.buckets)
         ids = jnp.asarray(self._pad(np.asarray(input_ids), T,
                                     self.pad_token_id))[None]

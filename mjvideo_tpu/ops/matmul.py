@@ -27,16 +27,29 @@ def _prec(*args):
     return _HI if all(a.dtype == jnp.float32 for a in args) else _DEF
 
 
-def dot(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """x @ kernel with fp32 accumulation, result cast back to x.dtype."""
+def dot(x: jnp.ndarray, kernel) -> jnp.ndarray:
+    """x @ kernel with fp32 accumulation, result cast back to x.dtype.
+
+    ``kernel`` may be a plain array or an ``ops.quant.QuantKernel`` (the
+    opt-in w8a8 serving mode swaps the large dense kernels for the
+    latter); every model family routes its dense matmuls here, so the
+    dispatch covers them all."""
+    from .quant import QuantKernel, dot_q8
+
+    if isinstance(kernel, QuantKernel):
+        return dot_q8(x, kernel)
     return jnp.dot(
         x, kernel, precision=_prec(x, kernel),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
 
-def dot_f32(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def dot_f32(x: jnp.ndarray, kernel) -> jnp.ndarray:
     """x @ kernel with fp32 accumulation, result kept in fp32."""
+    from .quant import QuantKernel, dot_q8_f32
+
+    if isinstance(kernel, QuantKernel):
+        return dot_q8_f32(x, kernel)
     return jnp.dot(
         x, kernel, precision=_prec(x, kernel),
         preferred_element_type=jnp.float32,

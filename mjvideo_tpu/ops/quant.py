@@ -1,0 +1,174 @@
+"""int8 weight + dynamic activation quantization (w8a8 serving mode).
+
+TPU-native rationale: the v5e MXU has a double-rate int8 path (~394 TOPS
+vs ~197 TFLOPS bf16); an int8 x int8 -> int32 ``dot_general`` measured
+1.4-1.9x the bf16 matmul at this model's dense shapes (docs/PERF.md,
+round 3).  The reference has no quantized inference at all — its torch
+stack serves bf16 (``eval_genai_mjvideo.py``) — so this is a capability
+on top of parity, strictly opt-in (``RewardScorer(quant="int8")``).
+
+Scheme (standard w8a8, no calibration pass needed):
+
+* weights: per-output-channel symmetric int8 — each output column keeps
+  an fp32 scale, error bounded by the column's amax;
+* activations: dynamic per-row symmetric int8 computed in-graph (one
+  fused amax + scale + round per matmul input);
+* accumulation: int32 on the MXU, dequantized by ``a_scale * w_scale``
+  in the epilogue, cast back to the activation dtype.
+
+Everything stays inside the jit graph: no calibration, no host sync.
+Attention (Pallas flash kernels), norms, embeddings, rotary and the small
+reward heads remain bf16/fp32 — quantization covers only the large dense
+kernels, which is where the FLOPs are (>70% of the forward, docs/PERF.md
+HLO audit).
+
+``QuantKernel`` is a registered pytree node, so quantized trees flow
+through ``jax.lax.scan`` (stacked layers slice per-step), ``jit``,
+donation, and ``parallel.mesh.shard_params`` unchanged: the TP rules
+match parameter paths by regex and ``.../kernel/q`` inherits the
+column/row spec of ``.../kernel``; the (…, 1, N) scale falls back to
+replicated via the divisibility guard.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class QuantKernel:
+    """int8 kernel + fp32 per-output-channel scale.
+
+    ``q``: (..., K, N) int8;  ``scale``: (..., 1, N) fp32 such that
+    ``q * scale ~= w``.  Leading axes (if any) are layer stacking.
+    """
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    @property
+    def dtype(self):
+        # The *logical* dtype: what dequantization produces.
+        return self.scale.dtype
+
+
+def quantize_kernel(w: jnp.ndarray, dtype=jnp.float32) -> QuantKernel:
+    """Per-output-channel symmetric int8 quantization of a dense kernel.
+
+    ``w``: (..., K, N) — the last axis is the output dimension (the
+    convention of every ``.../kernel`` in this package: ``dot(x, kernel)``
+    contracts x's last axis with the kernel's second-to-last).
+    """
+    w32 = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)  # (..., 1, N)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return QuantKernel(q=q, scale=scale.astype(dtype))
+
+
+def dequantize_kernel(k: QuantKernel, dtype=jnp.float32) -> jnp.ndarray:
+    return (k.q.astype(jnp.float32) * k.scale).astype(dtype)
+
+
+def _quantize_rows(x32: jnp.ndarray):
+    """Dynamic per-row symmetric int8: x32 (..., K) fp32."""
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(amax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+    return xq, a_scale
+
+
+def dot_q8_f32(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
+    """x @ dequant(kernel) computed as int8 x int8 -> int32 on the MXU,
+    dequantized in fp32.  ``x``: (..., K); kernel.q: (K, N) (per-layer
+    slice — stacked kernels are sliced by scan before reaching a dot)."""
+    assert kernel.q.ndim == 2, (
+        f"dot_q8 expects a per-layer (K, N) kernel, got {kernel.q.shape}")
+    xq, a_scale = _quantize_rows(x.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, kernel.q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * a_scale * kernel.scale.reshape(1, -1)
+
+
+def dot_q8(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
+    return dot_q8_f32(x, kernel).astype(x.dtype)
+
+
+# ---------------------------------------------------------------- tree walk
+
+# Never quantize: embeddings are gathers (not dots); patch embedding is the
+# single most accuracy-critical projection (first touch of the pixels) and
+# a rounding error there propagates through all 24+48 layers.
+_EXCLUDE_DEFAULT = (
+    r"tok_embeddings",
+    r"embeddings",
+    r"patch_embed",
+    r"position",
+    r"gating",
+    r"regression",
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def quantize_params_int8(
+    params: Any,
+    exclude: Sequence[str] = _EXCLUDE_DEFAULT,
+    min_elements: int = 1 << 16,
+) -> Any:
+    """Replace every large dense ``.../kernel`` leaf with a QuantKernel.
+
+    Selection: leaf path ends in ``kernel``, ndim >= 2, at least
+    ``min_elements`` elements per layer slice, and no ``exclude`` pattern
+    matches the path.  Biases, norms, scales, embeddings and small heads
+    stay as-is, so the tree's structure outside the swapped leaves — and
+    therefore every forward that routes its matmuls through
+    ``ops.matmul.dot`` — is unchanged.
+    """
+    exc = [re.compile(p) for p in exclude]
+
+    def one(path, leaf):
+        s = _path_str(path)
+        if not s.endswith("kernel") or any(r.search(s) for r in exc):
+            return leaf
+        if getattr(leaf, "ndim", 0) < 2:
+            return leaf
+        per_layer = leaf.size // (leaf.shape[0] if leaf.ndim == 3 else 1)
+        if per_layer < min_elements:
+            return leaf
+        return quantize_kernel(leaf)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def is_quantized(params: Any) -> bool:
+    return any(isinstance(x, QuantKernel)
+               for x in jax.tree.leaves(
+                   params, is_leaf=lambda n: isinstance(n, QuantKernel)))

@@ -1,0 +1,160 @@
+"""w8a8 int8 serving quantization (ops/quant.py).
+
+The reference serves bf16 only (``eval_genai_mjvideo.py``); int8 is a
+TPU-native capability on top of parity (v5e double-rate int8 MXU path),
+strictly opt-in via ``RewardScorer(quant="int8")``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjvideo_tpu.configs import tiny_test_config
+from mjvideo_tpu.data.prompts import ByteTokenizer
+from mjvideo_tpu.models.reward import init_reward_params
+from mjvideo_tpu.ops.matmul import dot, dot_f32
+from mjvideo_tpu.ops.quant import (
+    QuantKernel,
+    dequantize_kernel,
+    dot_q8,
+    is_quantized,
+    quantize_kernel,
+    quantize_params_int8,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_reward_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_dot_q8_accuracy_and_dispatch():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    qk = quantize_kernel(w)
+    ref = np.asarray(x @ w)
+    out = np.asarray(dot_q8(x, qk))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+    # ops.matmul.dot / dot_f32 route QuantKernel to the int8 path
+    np.testing.assert_array_equal(np.asarray(dot(x, qk)), out)
+    assert dot_f32(x, qk).dtype == jnp.float32
+
+
+def test_dequantize_bounded_by_column_amax():
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    qk = quantize_kernel(jnp.asarray(w))
+    back = np.asarray(dequantize_kernel(qk))
+    # symmetric per-column: error <= half a quantization step per column
+    step = np.abs(w).max(axis=0) / 127.0
+    assert (np.abs(back - w) <= 0.5 * step[None, :] + 1e-7).all()
+
+
+def test_quantize_selection_excludes_heads_and_small(params):
+    qt = quantize_params_int8(params, min_elements=128)
+    assert is_quantized(qt)
+    # big dense kernels swapped
+    assert isinstance(
+        qt["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"],
+        QuantKernel)
+    # reward heads / gates / embeddings stay full precision
+    assert not is_quantized(qt["aspect_gating"])
+    assert not is_quantized(qt["criteria_gating"])
+    assert not is_quantized({"r": qt["regression_layer"]})
+    assert not isinstance(
+        qt["model"]["language_model"]["tok_embeddings"], QuantKernel)
+    # default threshold leaves the tiny config untouched (serving sizes
+    # clear 1<<16 elements per layer slice; tiny test dims don't)
+    assert not is_quantized(quantize_params_int8(params))
+
+
+def test_stacked_kernels_slice_through_scan():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=(3, 128, 64)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+    qt = quantize_params_int8({"layers": {"attention": {"wq": {"kernel": w}}}},
+                              min_elements=128)
+
+    def step(c, lyr):
+        return c, dot(x, lyr["attention"]["wq"]["kernel"])
+
+    _, ys = jax.lax.scan(step, 0, qt["layers"])
+    assert ys.shape == (3, 4, 64)
+    for i in range(3):
+        ref = np.asarray(x @ w[i])
+        rel = np.linalg.norm(np.asarray(ys[i]) - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, (i, rel)
+
+
+def test_scorer_int8_matches_fp32(cfg, params):
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    tok = ByteTokenizer()
+    common = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(256,),
+                  gating_pattern=tok.gating_pattern())
+    s0 = RewardScorer(cfg, params, tok, **common)
+    s1 = RewardScorer(cfg, quantize_params_int8(params, min_elements=128),
+                      tok, **common)
+    c = cfg.chat
+    ids = np.full((c.num_image_token + 12,), 5, np.int32)
+    ids[2:2 + c.num_image_token] = c.img_context_token_id
+    pix = np.random.default_rng(0).normal(
+        size=(1, c.vision.image_size, c.vision.image_size, 3)
+    ).astype(np.float32)
+    r0 = s0.score_batch(pix, [ids], [len(ids) - 4])
+    r1 = s1.score_batch(pix, [ids], [len(ids) - 4])
+    assert np.max(np.abs(np.asarray(r0.rewards) - np.asarray(r1.rewards))) < 2e-2
+    assert abs(float(r0.score[0]) - float(r1.score[0])) < 1e-2
+
+
+def test_scorer_quant_kwarg_and_score_fn_guard(cfg, params):
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    tok = ByteTokenizer()
+    with pytest.raises(ValueError):
+        RewardScorer(cfg, params, tok, quant="fp4",
+                     gating_pattern=tok.gating_pattern())
+    s = RewardScorer(cfg, params, tok, quant="int8", attn_impl="xla",
+                     dtype=jnp.float32, length_buckets=(256,),
+                     gating_pattern=tok.gating_pattern())
+    assert s.quant == "int8"
+    # reward-feedback training is full-precision only (round() grad is 0)
+    sq = RewardScorer(cfg, quantize_params_int8(params, min_elements=128),
+                      tok, attn_impl="xla", dtype=jnp.float32,
+                      length_buckets=(256,),
+                      gating_pattern=tok.gating_pattern())
+    ids = np.full((cfg.chat.num_image_token + 12,), 5, np.int32)
+    ids[2:2 + cfg.chat.num_image_token] = cfg.chat.img_context_token_id
+    with pytest.raises(ValueError):
+        sq.score_fn(ids, gating_pos=len(ids) - 4)
+
+
+def test_quantized_tree_shards_over_tp_mesh(params):
+    """TP rules apply through QuantKernel: .../kernel/q inherits the
+    column/row spec; the (L,1,N) scale falls back per the divisibility
+    guard. Exactness: sharded int8 dot == single-device int8 dot."""
+    from mjvideo_tpu.parallel.mesh import make_mesh, shard_params
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = make_mesh(data=4, model=2)
+    qt = quantize_params_int8(params, min_elements=128)
+    sharded = shard_params(qt, mesh)
+    wq = qt["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"]
+    wq_s = sharded["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(wq_s.q), np.asarray(wq.q))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, wq.q.shape[1])).astype(np.float32))
+    ref = dot(x, QuantKernel(q=wq.q[0], scale=wq.scale[0]))
+    out = jax.jit(lambda k: dot(x, QuantKernel(q=k.q[0], scale=k.scale[0])))(
+        wq_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
