@@ -29,6 +29,8 @@ def main():
                     help="decode-pool workers (0 = single prefetch thread)")
     ap.add_argument("--device-preprocess", action="store_true",
                     help="raw uint8 frames in; resize+tile+normalize on MXU")
+    ap.add_argument("--quant", default=None, choices=["int8"],
+                    help="w8a8 serving mode (int8 dense kernels on the MXU)")
     ap.add_argument("--out", default="scores.jsonl")
     args = ap.parse_args()
 
@@ -48,7 +50,8 @@ def main():
                           gating_pattern=cfg.gating_token_pattern,
                           device_preprocess=args.device_preprocess,
                           device_max_num=(args.max_num
-                                          if args.device_preprocess else 1))
+                                          if args.device_preprocess else 1),
+                          quant=args.quant)
 
     captions = {}
     if args.caption_file:

@@ -211,6 +211,25 @@ def _video_prep_cache(encode_fn):
     return functools.lru_cache(maxsize=8)(encode_fn)
 
 
+def _maybe_quantize(params, quant):
+    """Apply the w8a8 serving mode (``ops/quant.py``) to a judge's params.
+
+    Judge decode is weight-bound (one token per step reads every dense
+    kernel from HBM), so int8 weights halve the decode-step HBM traffic on
+    top of the MXU double-rate prefill win.  All four local backbone
+    families route their dense matmuls through ``ops.matmul.dot``, so the
+    quantized tree flows through vision, prefill and cached decode
+    unchanged.  The reference serves its judges bf16 through swift
+    (``eval_overall_qwen2_2b.py:119-129``)."""
+    if quant is None:
+        return params
+    if quant != "int8":
+        raise ValueError(f"unknown quant mode {quant!r}")
+    from ..ops.quant import quantize_params_int8
+
+    return quantize_params_int8(params)
+
+
 class _GreedyLocalJudge:
     """Shared tail for the batched local judges (Qwen2-VL / MiniCPM-V /
     CogVLM2): strip the stop token named by ``_eos_attr`` off each decoded
@@ -238,9 +257,10 @@ class InternVLJudge:
     (``ask_batch``)."""
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
-                 max_new_tokens: int = 64, attn_impl: Optional[str] = None):
+                 max_new_tokens: int = 64, attn_impl: Optional[str] = None,
+                 quant: Optional[str] = None):
         self.cfg = cfg  # ChatConfig
-        self.params = params  # chat params WITH lm head
+        self.params = _maybe_quantize(params, quant)  # chat params WITH lm head
         self.tokenizer = tokenizer
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
@@ -313,9 +333,10 @@ class Qwen2VLJudge(_GreedyLocalJudge):
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, max_pixels: int = 360 * 420,
-                 attn_impl: Optional[str] = None):
+                 attn_impl: Optional[str] = None,
+                 quant: Optional[str] = None):
         self.cfg = cfg  # Qwen2VLConfig
-        self.params = params
+        self.params = _maybe_quantize(params, quant)
         self.tokenizer = tokenizer
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
@@ -377,9 +398,10 @@ class MiniCPMVJudge(_GreedyLocalJudge):
     """
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
-                 max_new_tokens: int = 64, attn_impl: Optional[str] = None):
+                 max_new_tokens: int = 64, attn_impl: Optional[str] = None,
+                 quant: Optional[str] = None):
         self.cfg = cfg  # MiniCPMVConfig
-        self.params = params
+        self.params = _maybe_quantize(params, quant)
         self.tokenizer = tokenizer
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens
@@ -433,9 +455,10 @@ class CogVLM2Judge(_GreedyLocalJudge):
     """
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
-                 max_new_tokens: int = 64, attn_impl: Optional[str] = None):
+                 max_new_tokens: int = 64, attn_impl: Optional[str] = None,
+                 quant: Optional[str] = None):
         self.cfg = cfg  # CogVLM2Config
-        self.params = params
+        self.params = _maybe_quantize(params, quant)
         self.tokenizer = tokenizer
         self.num_segments = num_segments
         self.max_new_tokens = max_new_tokens

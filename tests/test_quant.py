@@ -137,6 +137,65 @@ def test_scorer_quant_kwarg_and_score_fn_guard(cfg, params):
         sq.score_fn(ids, gating_pos=len(ids) - 4)
 
 
+def test_quantized_judge_backbone_decodes():
+    """Judge decode with a quantized tree: the cached generate loop
+    (prefill + single-token steps) compiles with QuantKernel leaves and
+    the logits stay close to full precision.  Covers the weight-bound
+    serving path ``_maybe_quantize`` enables on the four local judges."""
+    from mjvideo_tpu.configs import LLMConfig
+    from mjvideo_tpu.models.qwen2vl import (
+        Qwen2VLConfig,
+        Qwen2VLVisionConfig,
+        get_rope_index,
+        greedy_generate,
+        init_qwen2vl_params,
+        lm_logits,
+        qwen2vl_forward,
+    )
+
+    cfg = Qwen2VLConfig(
+        vision=Qwen2VLVisionConfig(
+            depth=1, embed_dim=32, num_heads=4, mlp_ratio=2, patch_size=4,
+            temporal_patch_size=2, spatial_merge_size=2, hidden_size=48),
+        text=LLMConfig(
+            architecture="llama", vocab_size=256, hidden_size=48,
+            intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=3, num_key_value_heads=1,
+            rope_theta=10000.0, rms_norm_eps=1e-6, pad_token_id=0,
+            max_position_embeddings=512, bias=True),
+        mrope_section=(2, 3, 3), image_token_id=250, video_token_id=251,
+        vision_start_token_id=248, vision_end_token_id=249,
+    )
+    p = init_qwen2vl_params(jax.random.PRNGKey(0), cfg)
+    pq = quantize_params_int8(p, min_elements=128)
+    assert is_quantized(pq)
+
+    ids = np.asarray([[3, 5, 7, 11, 13]], np.int64)
+    pos, _ = get_rope_index(ids, None, cfg)
+    args = (jnp.asarray(ids, jnp.int32), jnp.ones((1, 5), jnp.int32),
+            jnp.asarray(pos))
+    l0 = np.asarray(lm_logits(
+        p, cfg, qwen2vl_forward(p, cfg, *args, attn_impl="xla",
+                                remat=False)))
+    l1 = np.asarray(lm_logits(
+        pq, cfg, qwen2vl_forward(pq, cfg, *args, attn_impl="xla",
+                                 remat=False)))
+    rel = np.linalg.norm(l1 - l0) / max(np.linalg.norm(l0), 1e-9)
+    assert rel < 0.05, rel
+
+    toks = greedy_generate(pq, cfg, ids, pos, max_new_tokens=4,
+                           eos_token_id=-1, attn_impl="xla")
+    assert len(toks) == 4
+
+
+def test_judge_maybe_quantize_guard():
+    from mjvideo_tpu.eval.judges import _maybe_quantize
+
+    assert _maybe_quantize({"x": 1}, None) == {"x": 1}
+    with pytest.raises(ValueError):
+        _maybe_quantize({}, "fp4")
+
+
 def test_quantized_tree_shards_over_tp_mesh(params):
     """TP rules apply through QuantKernel: .../kernel/q inherits the
     column/row spec; the (L,1,N) scale falls back per the divisibility
