@@ -70,10 +70,10 @@ def main():
     # Opt-in w8a8 serving mode (ops/quant.py): int8 weights + dynamic
     # activation quantization on the MXU's double-rate int8 path.
     quant = os.environ.get("BENCH_QUANT", "")
-    if quant == "int8":
-        from mjvideo_tpu.ops.quant import quantize_params_int8
+    if quant:
+        from mjvideo_tpu.ops.quant import quantize_params_mode
 
-        params = quantize_params_int8(params)
+        params = quantize_params_mode(params, quant)
 
     rng = np.random.default_rng(0)
     pix = jnp.asarray(
@@ -106,9 +106,10 @@ def main():
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch * iters / dt
+    mode_label = {"int8": "w8a8", "int8-vit": "w8a8-vit"}.get(quant, "bf16")
     result = {
-        "metric": f"8-frame clips/sec/chip reward scoring (MJ-VIDEO-{model.upper()} "
-                  f"{'w8a8' if quant == 'int8' else 'bf16'})"
+        "metric": f"8-frame clips/sec/chip reward scoring "
+                  f"(MJ-VIDEO-{model.upper()} {mode_label})"
                   if on_tpu else
                   "clips/sec/chip reward scoring (tiny cfg, CPU fallback)",
         "value": round(clips_per_sec, 3),

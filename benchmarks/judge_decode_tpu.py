@@ -19,7 +19,7 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--new-tokens", type=int, default=24)
-    ap.add_argument("--quant", default=None, choices=["int8"],
+    ap.add_argument("--quant", default=None, choices=["int8", "int8-vit"],
                     help="w8a8 judge serving mode (decode is weight-bound; "
                          "int8 kernels halve the per-step HBM reads)")
     args = ap.parse_args()
@@ -43,11 +43,11 @@ def main():
     cfg = Qwen2VLConfig()  # 2B dims
     params = init_qwen2vl_params(jax.random.PRNGKey(0), cfg,
                                  dtype=jnp.bfloat16)
-    if args.quant == "int8":
-        from mjvideo_tpu.ops.quant import quantize_params_int8
+    if args.quant:
+        from mjvideo_tpu.ops.quant import quantize_params_mode
 
-        params = quantize_params_int8(params)
-        print("w8a8 int8 judge params", flush=True)
+        params = quantize_params_mode(params, args.quant)
+        print(f"quantized judge params ({args.quant})", flush=True)
 
     # 8-frame video at the judge's default budget: grid (4, 18, 24) ->
     # 4*18*24/4 = 432 video tokens + prompt ~= 500-token prefill

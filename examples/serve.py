@@ -29,8 +29,9 @@ def main():
                     help="decode-pool workers (0 = single prefetch thread)")
     ap.add_argument("--device-preprocess", action="store_true",
                     help="raw uint8 frames in; resize+tile+normalize on MXU")
-    ap.add_argument("--quant", default=None, choices=["int8"],
-                    help="w8a8 serving mode (int8 dense kernels on the MXU)")
+    ap.add_argument("--quant", default=None, choices=["int8", "int8-vit"],
+                    help="serving quantization: w8a8 everywhere (int8) or "
+                         "vision tower only (int8-vit)")
     ap.add_argument("--out", default="scores.jsonl")
     args = ap.parse_args()
 

@@ -50,10 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-batch", type=int, default=None,
                    help="clips per device dispatch (default: measured "
                         "optimum, 1/data-shard on TPU)")
-    p.add_argument("--quant", default=None, choices=["int8"],
-                   help="w8a8 serving mode: int8 dense kernels + dynamic "
-                        "activation quantization on the MXU double-rate "
-                        "path (+31%% measured clips/s vs bf16)")
+    p.add_argument("--quant", default=None, choices=["int8", "int8-vit"],
+                   help="serving quantization: 'int8' = w8a8 on every "
+                        "large dense kernel (+31%% measured clips/s vs "
+                        "bf16); 'int8-vit' = vision tower only "
+                        "(near-zero score perturbation)")
     p.add_argument("--byte-tokenizer", action="store_true",
                    help="hermetic mode: use the dependency-free "
                         "ByteTokenizer (matches train CLI --tiny runs / "

@@ -223,11 +223,9 @@ def _maybe_quantize(params, quant):
     (``eval_overall_qwen2_2b.py:119-129``)."""
     if quant is None:
         return params
-    if quant != "int8":
-        raise ValueError(f"unknown quant mode {quant!r}")
-    from ..ops.quant import quantize_params_int8
+    from ..ops.quant import quantize_params_mode
 
-    return quantize_params_int8(params)
+    return quantize_params_mode(params, quant)
 
 
 class _GreedyLocalJudge:

@@ -88,15 +88,16 @@ class RewardScorer:
         matmuls int8 x int8 -> int32 on the MXU's double-rate path
         (``ops/quant.py``); activations quantize dynamically in-graph.
         Halves weight HBM, no calibration. Attention, norms, embeddings
-        and the reward heads stay bf16/fp32."""
+        and the reward heads stay bf16/fp32.  ``quant="int8-vit"``
+        quantizes only the vision tower — most of the throughput win at
+        near-zero score perturbation (the decoder carries ~97% of the
+        full-int8 error, docs/PERF.md round 3)."""
         self.cfg = cfg
         self.mesh = mesh
         if quant is not None:
-            if quant != "int8":
-                raise ValueError(f"unknown quant mode {quant!r}")
-            from ..ops.quant import quantize_params_int8
+            from ..ops.quant import quantize_params_mode
 
-            params = quantize_params_int8(params)
+            params = quantize_params_mode(params, quant)
         self.quant = quant
         if mesh is not None:
             from ..parallel.mesh import shard_params

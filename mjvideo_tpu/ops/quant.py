@@ -138,10 +138,16 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+# Vision-tower paths across the model families (InternViT "vision_model",
+# Qwen2-VL "visual", MiniCPM-V "vpm", CogVLM2 "vision").
+_VIT_INCLUDE = re.compile(r"vision_model|visual|vpm|(^|/)vision(/|$)")
+
+
 def quantize_params_int8(
     params: Any,
     exclude: Sequence[str] = _EXCLUDE_DEFAULT,
     min_elements: int = 1 << 16,
+    scope: str = "all",
 ) -> Any:
     """Replace every large dense ``.../kernel`` leaf with a QuantKernel.
 
@@ -151,12 +157,23 @@ def quantize_params_int8(
     stay as-is, so the tree's structure outside the swapped leaves — and
     therefore every forward that routes its matmuls through
     ``ops.matmul.dot`` — is unchanged.
+
+    ``scope="vit"`` restricts quantization to the vision tower (the
+    LLM and projector stay full precision).  Motivation (mid-dims error
+    study, docs/PERF.md round 3): the decoder contributes ~97% of the
+    w8a8 reward perturbation — mostly irreducible int8 weight-rounding —
+    while the ViT quantizes essentially for free (rewards_rel 7e-4 vs
+    3e-2 full), and at 8 frames/clip the ViT holds ~40% of the FLOPs.
     """
+    if scope not in ("all", "vit"):
+        raise ValueError(f"unknown quant scope {scope!r}")
     exc = [re.compile(p) for p in exclude]
 
     def one(path, leaf):
         s = _path_str(path)
         if not s.endswith("kernel") or any(r.search(s) for r in exc):
+            return leaf
+        if scope == "vit" and not _VIT_INCLUDE.search(s):
             return leaf
         if getattr(leaf, "ndim", 0) < 2:
             return leaf
@@ -166,6 +183,23 @@ def quantize_params_int8(
         return quantize_kernel(leaf)
 
     return jax.tree_util.tree_map_with_path(one, params)
+
+
+def quantize_params_mode(params: Any, mode: str,
+                         min_elements: int = 1 << 16) -> Any:
+    """Apply a named serving quantization mode.
+
+    ``"int8"``: every large dense kernel (max throughput, +31% measured;
+    carries the decoder's int8 weight-rounding perturbation).
+    ``"int8-vit"``: vision towers only (near-zero accuracy cost).
+    """
+    if mode == "int8":
+        return quantize_params_int8(params, min_elements=min_elements)
+    if mode == "int8-vit":
+        return quantize_params_int8(params, min_elements=min_elements,
+                                    scope="vit")
+    raise ValueError(f"unknown quant mode {mode!r}; "
+                     "expected 'int8' or 'int8-vit'")
 
 
 def is_quantized(params: Any) -> bool:

@@ -196,6 +196,49 @@ def test_judge_maybe_quantize_guard():
         _maybe_quantize({}, "fp4")
 
 
+def test_vit_scope_quantizes_vision_only(cfg, params):
+    """'int8-vit': vision tower kernels swap, the decoder and projector
+    stay full precision (they carry ~97% of the full-int8 error)."""
+    from mjvideo_tpu.ops.quant import quantize_params_mode
+
+    qt = quantize_params_int8(params, min_elements=128, scope="vit")
+    m = qt["model"]
+    assert is_quantized(m["vision_model"])
+    assert not is_quantized(m["language_model"])
+    assert not is_quantized(m["mlp1"])
+    with pytest.raises(ValueError):
+        quantize_params_int8(params, scope="bogus")
+    # the named-mode entry point routes the same way
+    qm = quantize_params_mode(params, "int8-vit", min_elements=128)
+    assert is_quantized(qm["model"]["vision_model"])
+    assert not is_quantized(qm["model"]["language_model"])
+    with pytest.raises(ValueError):
+        quantize_params_mode(params, "int4")
+
+
+def test_scorer_int8_vit_close_to_fp32(cfg, params):
+    """ViT-only quantization perturbs scores far less than full int8."""
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    tok = ByteTokenizer()
+    common = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(256,),
+                  gating_pattern=tok.gating_pattern())
+    s0 = RewardScorer(cfg, params, tok, **common)
+    s1 = RewardScorer(cfg, quantize_params_int8(params, min_elements=128,
+                                                scope="vit"),
+                      tok, **common)
+    c = cfg.chat
+    ids = np.full((c.num_image_token + 12,), 5, np.int32)
+    ids[2:2 + c.num_image_token] = c.img_context_token_id
+    pix = np.random.default_rng(0).normal(
+        size=(1, c.vision.image_size, c.vision.image_size, 3)
+    ).astype(np.float32)
+    r0 = s0.score_batch(pix, [ids], [len(ids) - 4])
+    r1 = s1.score_batch(pix, [ids], [len(ids) - 4])
+    assert np.max(np.abs(np.asarray(r0.rewards) - np.asarray(r1.rewards))) < 5e-3
+    assert abs(float(r0.score[0]) - float(r1.score[0])) < 2e-3
+
+
 def test_quantized_tree_shards_over_tp_mesh(params):
     """TP rules apply through QuantKernel: .../kernel/q inherits the
     column/row spec; the (L,1,N) scale falls back per the divisibility
