@@ -202,6 +202,25 @@ def quantize_params_mode(params: Any, mode: str,
                      "expected 'int8' or 'int8-vit'")
 
 
+def revive_quant_kernels(tree: Any) -> Any:
+    """Rebuild ``QuantKernel`` nodes after a structure-less restore.
+
+    Orbax's ``StandardCheckpointer`` serializes a registered-dataclass
+    node as a plain ``{'q', 'scale'}`` dict; restoring WITHOUT a target
+    tree therefore loses the type and the int8 matmul dispatch with it
+    (``ops.matmul.dot`` routes on ``isinstance(..., QuantKernel)``).
+    This walk re-wraps any dict of exactly those two keys whose ``q``
+    leaf is int8 — unambiguous, since no model family in this package
+    uses 'q'/'scale' as parameter names."""
+    def is_qk(n):
+        return (isinstance(n, dict) and set(n.keys()) == {"q", "scale"}
+                and getattr(n["q"], "dtype", None) == jnp.int8)
+
+    return jax.tree_util.tree_map(
+        lambda n: QuantKernel(q=n["q"], scale=n["scale"]) if is_qk(n) else n,
+        tree, is_leaf=is_qk)
+
+
 def is_quantized(params: Any) -> bool:
     return any(isinstance(x, QuantKernel)
                for x in jax.tree.leaves(

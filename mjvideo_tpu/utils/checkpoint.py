@@ -544,10 +544,16 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def restore_pytree(path: str, like: Optional[Any] = None) -> Any:
-    """Restore a pytree saved by ``save_pytree``."""
+    """Restore a pytree saved by ``save_pytree``.
+
+    Without ``like``, orbax returns registered-dataclass nodes as plain
+    dicts; QuantKernel leaves of a w8a8 tree (``ops/quant.py``) are
+    revived so a restored serving checkpoint keeps its int8 dispatch."""
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
         if like is None:
-            return ckptr.restore(os.path.abspath(path))
+            from ..ops.quant import revive_quant_kernels
+
+            return revive_quant_kernels(ckptr.restore(os.path.abspath(path)))
         return ckptr.restore(os.path.abspath(path), like)

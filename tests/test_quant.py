@@ -239,6 +239,30 @@ def test_scorer_int8_vit_close_to_fp32(cfg, params):
     assert abs(float(r0.score[0]) - float(r1.score[0])) < 2e-3
 
 
+def test_quantized_checkpoint_roundtrip(tmp_path, params):
+    """A saved w8a8 tree restores WITH its QuantKernel nodes (orbax
+    flattens registered dataclasses to dicts; restore_pytree revives
+    them so the int8 dispatch survives serve restarts)."""
+    from mjvideo_tpu.ops.quant import revive_quant_kernels
+    from mjvideo_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+    q = quantize_params_int8(params, min_elements=128)
+    save_pytree(str(tmp_path / "q"), q)
+    r = restore_pytree(str(tmp_path / "q"))
+    assert is_quantized(r)
+    k0 = q["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"]
+    k1 = r["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"]
+    assert isinstance(k1, QuantKernel)
+    np.testing.assert_array_equal(np.asarray(k0.q), np.asarray(k1.q))
+    np.testing.assert_array_equal(np.asarray(k0.scale), np.asarray(k1.scale))
+    # providing the target tree also works (orbax's own typed path)
+    r2 = restore_pytree(str(tmp_path / "q"), like=q)
+    assert is_quantized(r2)
+    # revive is idempotent and leaves unquantized trees alone
+    assert revive_quant_kernels(r) is not None
+    assert not is_quantized(revive_quant_kernels(params))
+
+
 def test_quantized_tree_shards_over_tp_mesh(params):
     """TP rules apply through QuantKernel: .../kernel/q inherits the
     column/row spec; the (L,1,N) scale falls back per the divisibility
