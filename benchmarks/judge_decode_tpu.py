@@ -19,9 +19,12 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--new-tokens", type=int, default=24)
-    ap.add_argument("--quant", default=None, choices=["int8", "int8-vit"],
-                    help="w8a8 judge serving mode (decode is weight-bound; "
-                         "int8 kernels halve the per-step HBM reads)")
+    ap.add_argument("--quant", default=None,
+                    choices=["int8", "int8-vit", "int8-wo"],
+                    help="judge quantization; 'int8-wo' (weight-only) "
+                         "targets the decode loop: halves per-step weight "
+                         "HBM reads without w8a8's per-step activation-"
+                         "quantize ops")
     args = ap.parse_args()
 
     from mjvideo_tpu.utils.profiling import enable_compilation_cache

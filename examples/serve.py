@@ -29,9 +29,11 @@ def main():
                     help="decode-pool workers (0 = single prefetch thread)")
     ap.add_argument("--device-preprocess", action="store_true",
                     help="raw uint8 frames in; resize+tile+normalize on MXU")
-    ap.add_argument("--quant", default=None, choices=["int8", "int8-vit"],
-                    help="serving quantization: w8a8 everywhere (int8) or "
-                         "vision tower only (int8-vit)")
+    ap.add_argument("--quant", default=None,
+                    choices=["int8", "int8-vit", "int8-wo"],
+                    help="serving quantization: w8a8 everywhere (int8), "
+                         "vision tower only (int8-vit), or weight-only "
+                         "w8a16 (int8-wo)")
     ap.add_argument("--out", default="scores.jsonl")
     args = ap.parse_args()
 

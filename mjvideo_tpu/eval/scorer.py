@@ -91,7 +91,11 @@ class RewardScorer:
         and the reward heads stay bf16/fp32.  ``quant="int8-vit"``
         quantizes only the vision tower — most of the throughput win at
         near-zero score perturbation (the decoder carries ~97% of the
-        full-int8 error, docs/PERF.md round 3)."""
+        full-int8 error, docs/PERF.md round 3).  ``quant="int8-wo"`` is
+        weight-only w8a16: int8 storage, bf16 compute — halves weight
+        HBM with no activation error; the mode for decode-bound serving
+        and the only quantized mode ``score_fn`` accepts (activations
+        stay differentiable)."""
         self.cfg = cfg
         self.mesh = mesh
         if quant is not None:
@@ -396,14 +400,21 @@ class RewardScorer:
         ``jax.grad(scorer.score_fn(ids, pos))(frames)``.  For use inside
         your own jit'd step, prefer ``score_fn_with_params``.
         """
-        from ..ops.quant import is_quantized
+        from ..ops.quant import QuantKernel
 
-        if self.quant is not None or is_quantized(self.params):
-            # round() in the dynamic activation quantization has zero
-            # gradient — backprop would silently return zeros.
+        if self.quant == "int8" or self.quant == "int8-vit" or any(
+            isinstance(x, QuantKernel)
+            for x in jax.tree.leaves(
+                self.params, is_leaf=lambda n: isinstance(n, QuantKernel))
+        ):
+            # round() in w8a8's dynamic ACTIVATION quantization has zero
+            # gradient — backprop to pixels would silently return zeros.
+            # Weight-only int8 ("int8-wo") is fine: the int8 weights are
+            # constants and activations stay differentiable end-to-end.
             raise ValueError(
-                "score_fn requires full-precision params; build the "
-                "scorer without quant= for reward-feedback training")
+                "score_fn requires params without w8a8 kernels; use "
+                "full-precision or quant='int8-wo' for reward-feedback "
+                "training")
         T = round_to_bucket(len(input_ids), self.buckets)
         ids = jnp.asarray(self._pad(np.asarray(input_ids), T,
                                     self.pad_token_id))[None]

@@ -30,14 +30,16 @@ def _prec(*args):
 def dot(x: jnp.ndarray, kernel) -> jnp.ndarray:
     """x @ kernel with fp32 accumulation, result cast back to x.dtype.
 
-    ``kernel`` may be a plain array or an ``ops.quant.QuantKernel`` (the
-    opt-in w8a8 serving mode swaps the large dense kernels for the
-    latter); every model family routes its dense matmuls here, so the
-    dispatch covers them all."""
-    from .quant import QuantKernel, dot_q8
+    ``kernel`` may be a plain array, an ``ops.quant.QuantKernel`` (w8a8
+    serving mode) or a ``WOQuantKernel`` (weight-only w8a16 for the
+    decode-bound regime); every model family routes its dense matmuls
+    here, so the dispatch covers them all."""
+    from .quant import QuantKernel, WOQuantKernel, dot_q8, dot_wo
 
     if isinstance(kernel, QuantKernel):
         return dot_q8(x, kernel)
+    if isinstance(kernel, WOQuantKernel):
+        return dot_wo(x, kernel)
     return jnp.dot(
         x, kernel, precision=_prec(x, kernel),
         preferred_element_type=jnp.float32,
@@ -46,10 +48,12 @@ def dot(x: jnp.ndarray, kernel) -> jnp.ndarray:
 
 def dot_f32(x: jnp.ndarray, kernel) -> jnp.ndarray:
     """x @ kernel with fp32 accumulation, result kept in fp32."""
-    from .quant import QuantKernel, dot_q8_f32
+    from .quant import QuantKernel, WOQuantKernel, dot_q8_f32, dot_wo_f32
 
     if isinstance(kernel, QuantKernel):
         return dot_q8_f32(x, kernel)
+    if isinstance(kernel, WOQuantKernel):
+        return dot_wo_f32(x, kernel)
     return jnp.dot(
         x, kernel, precision=_prec(x, kernel),
         preferred_element_type=jnp.float32,

@@ -66,6 +66,43 @@ class QuantKernel:
         return self.scale.dtype
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class WOQuantKernel:
+    """Weight-ONLY int8 kernel (w8a16): int8 storage, bf16/fp32 compute.
+
+    Same quantization as ``QuantKernel`` but the matmul runs at the
+    activation dtype — ``(x @ qw) * scale`` is exact w.r.t. dequantizing
+    first because ``scale`` is per-output-column, so it factors out of
+    the contraction.  No dynamic activation quantization: zero per-step
+    overhead and no activation rounding error, at the cost of the MXU's
+    double-rate int8 path.  The point is the DECODE regime: cached
+    generation is weight-HBM-bound (each step reads every kernel once
+    for a handful of rows), so halving weight bytes halves the step's
+    memory traffic where w8a8's extra per-step quantize ops made it a
+    net loss (docs/PERF.md round-3 judge A/B).
+
+    ``qw``: (..., K, N) int8;  ``scale``: (..., 1, N).  The field is
+    named ``qw`` (not ``q``) so checkpoint restore can revive the right
+    wrapper from key names alone (utils/checkpoint.py).
+    """
+
+    qw: jnp.ndarray
+    scale: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.qw.shape
+
+    @property
+    def ndim(self):
+        return self.qw.ndim
+
+    @property
+    def dtype(self):
+        return self.scale.dtype
+
+
 def quantize_kernel(w: jnp.ndarray, dtype=jnp.float32) -> QuantKernel:
     """Per-output-channel symmetric int8 quantization of a dense kernel.
 
@@ -111,6 +148,26 @@ def dot_q8(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
     return dot_q8_f32(x, kernel).astype(x.dtype)
 
 
+def dot_wo_f32(x: jnp.ndarray, kernel: WOQuantKernel) -> jnp.ndarray:
+    """x @ dequant(kernel) at the activation dtype, fp32 accumulation.
+
+    The int8->x.dtype convert sits on the dot's weight operand so XLA
+    can fuse it into the matmul's operand read (weights stay int8 in
+    HBM); the per-column scale applies in the fp32 epilogue."""
+    assert kernel.qw.ndim == 2, (
+        f"dot_wo expects a per-layer (K, N) kernel, got {kernel.qw.shape}")
+    acc = jax.lax.dot_general(
+        x, kernel.qw.astype(x.dtype),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc * kernel.scale.astype(jnp.float32).reshape(1, -1)
+
+
+def dot_wo(x: jnp.ndarray, kernel: WOQuantKernel) -> jnp.ndarray:
+    return dot_wo_f32(x, kernel).astype(x.dtype)
+
+
 # ---------------------------------------------------------------- tree walk
 
 # Never quantize: embeddings are gathers (not dots); patch embedding is the
@@ -148,6 +205,7 @@ def quantize_params_int8(
     exclude: Sequence[str] = _EXCLUDE_DEFAULT,
     min_elements: int = 1 << 16,
     scope: str = "all",
+    weight_only: bool = False,
 ) -> Any:
     """Replace every large dense ``.../kernel`` leaf with a QuantKernel.
 
@@ -180,7 +238,10 @@ def quantize_params_int8(
         per_layer = leaf.size // (leaf.shape[0] if leaf.ndim == 3 else 1)
         if per_layer < min_elements:
             return leaf
-        return quantize_kernel(leaf)
+        qk = quantize_kernel(leaf)
+        if weight_only:
+            return WOQuantKernel(qw=qk.q, scale=qk.scale)
+        return qk
 
     return jax.tree_util.tree_map_with_path(one, params)
 
@@ -189,17 +250,24 @@ def quantize_params_mode(params: Any, mode: str,
                          min_elements: int = 1 << 16) -> Any:
     """Apply a named serving quantization mode.
 
-    ``"int8"``: every large dense kernel (max throughput, +31% measured;
-    carries the decoder's int8 weight-rounding perturbation).
-    ``"int8-vit"``: vision towers only (near-zero accuracy cost).
+    ``"int8"``: every large dense kernel, w8a8 (max prefill throughput,
+    +31% measured; carries the decoder's int8 weight-rounding
+    perturbation).
+    ``"int8-vit"``: vision towers only, w8a8 (near-zero accuracy cost).
+    ``"int8-wo"``: every large dense kernel, weight-only w8a16 (halves
+    weight HBM for the decode-bound regime, no activation quantization
+    error or per-step quantize ops).
     """
     if mode == "int8":
         return quantize_params_int8(params, min_elements=min_elements)
     if mode == "int8-vit":
         return quantize_params_int8(params, min_elements=min_elements,
                                     scope="vit")
+    if mode == "int8-wo":
+        return quantize_params_int8(params, min_elements=min_elements,
+                                    weight_only=True)
     raise ValueError(f"unknown quant mode {mode!r}; "
-                     "expected 'int8' or 'int8-vit'")
+                     "expected 'int8', 'int8-vit' or 'int8-wo'")
 
 
 def revive_quant_kernels(tree: Any) -> Any:
@@ -210,18 +278,32 @@ def revive_quant_kernels(tree: Any) -> Any:
     tree therefore loses the type and the int8 matmul dispatch with it
     (``ops.matmul.dot`` routes on ``isinstance(..., QuantKernel)``).
     This walk re-wraps any dict of exactly those two keys whose ``q``
-    leaf is int8 — unambiguous, since no model family in this package
-    uses 'q'/'scale' as parameter names."""
+    (or ``qw``, the weight-only wrapper) leaf is int8 — unambiguous,
+    since no model family in this package uses those parameter names."""
     def is_qk(n):
-        return (isinstance(n, dict) and set(n.keys()) == {"q", "scale"}
-                and getattr(n["q"], "dtype", None) == jnp.int8)
+        if not isinstance(n, dict):
+            return False
+        keys = set(n.keys())
+        if keys == {"q", "scale"}:
+            return getattr(n["q"], "dtype", None) == jnp.int8
+        if keys == {"qw", "scale"}:
+            return getattr(n["qw"], "dtype", None) == jnp.int8
+        return False
 
-    return jax.tree_util.tree_map(
-        lambda n: QuantKernel(q=n["q"], scale=n["scale"]) if is_qk(n) else n,
-        tree, is_leaf=is_qk)
+    def revive(n):
+        if not is_qk(n):
+            return n
+        if "q" in n:
+            return QuantKernel(q=n["q"], scale=n["scale"])
+        return WOQuantKernel(qw=n["qw"], scale=n["scale"])
+
+    return jax.tree_util.tree_map(revive, tree, is_leaf=is_qk)
+
+
+def _is_qnode(x) -> bool:
+    return isinstance(x, (QuantKernel, WOQuantKernel))
 
 
 def is_quantized(params: Any) -> bool:
-    return any(isinstance(x, QuantKernel)
-               for x in jax.tree.leaves(
-                   params, is_leaf=lambda n: isinstance(n, QuantKernel)))
+    return any(_is_qnode(x)
+               for x in jax.tree.leaves(params, is_leaf=_is_qnode))

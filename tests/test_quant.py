@@ -239,6 +239,112 @@ def test_scorer_int8_vit_close_to_fp32(cfg, params):
     assert abs(float(r0.score[0]) - float(r1.score[0])) < 2e-3
 
 
+def test_dot_wo_exact_vs_dequant_and_dispatch():
+    """Weight-only int8: (x @ qw) * scale matches x @ dequant(qw) up to
+    fp32 rounding order (per-column scale factors out of the dot)."""
+    from mjvideo_tpu.ops.quant import WOQuantKernel, dot_wo, dot_wo_f32
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    qk = quantize_kernel(w)
+    wo = WOQuantKernel(qw=qk.q, scale=qk.scale)
+    deq = np.asarray(dequantize_kernel(qk))
+    ref = np.asarray(jnp.asarray(x) @ jnp.asarray(deq))
+    out = np.asarray(dot_wo_f32(x, wo))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+    # vs the TRUE weights: weight-rounding error only
+    rel = np.linalg.norm(out - np.asarray(x @ w)) / np.linalg.norm(
+        np.asarray(x @ w))
+    assert rel < 0.01, rel
+    # ops.matmul routes WOQuantKernel to the weight-only path
+    np.testing.assert_array_equal(np.asarray(dot(x, wo)),
+                                  np.asarray(dot_wo(x, wo)))
+    assert dot_f32(x, wo).dtype == jnp.float32
+
+
+def test_int8_wo_mode_and_scorer(cfg, params):
+    """'int8-wo' swaps kernels for WOQuantKernel; the scorer accepts the
+    mode and its error is activation-free (<= the w8a8 error)."""
+    from mjvideo_tpu.eval.scorer import RewardScorer
+    from mjvideo_tpu.ops.quant import (WOQuantKernel, quantize_params_int8,
+                                       quantize_params_mode)
+
+    qt = quantize_params_int8(params, min_elements=128, weight_only=True)
+    assert is_quantized(qt)
+    assert isinstance(
+        qt["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"],
+        WOQuantKernel)
+    qm = quantize_params_mode(params, "int8-wo", min_elements=128)
+    assert isinstance(
+        qm["model"]["vision_model"]["layers"]["mlp"]["fc1"]["kernel"],
+        WOQuantKernel)
+
+    tok = ByteTokenizer()
+    common = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(256,),
+                  gating_pattern=tok.gating_pattern())
+    s0 = RewardScorer(cfg, params, tok, **common)
+    s1 = RewardScorer(cfg, qt, tok, **common)
+    c = cfg.chat
+    ids = np.full((c.num_image_token + 12,), 5, np.int32)
+    ids[2:2 + c.num_image_token] = c.img_context_token_id
+    pix = np.random.default_rng(0).normal(
+        size=(1, c.vision.image_size, c.vision.image_size, 3)
+    ).astype(np.float32)
+    r0 = s0.score_batch(pix, [ids], [len(ids) - 4])
+    r1 = s1.score_batch(pix, [ids], [len(ids) - 4])
+    assert np.all(np.isfinite(np.asarray(r1.rewards)))
+    assert np.max(np.abs(np.asarray(r0.rewards) - np.asarray(r1.rewards))) \
+        < 5e-2
+
+
+def test_score_fn_accepts_weight_only_and_differentiates(cfg, params):
+    """score_fn refuses w8a8 trees (activation round() kills gradients)
+    but accepts int8-wo: weights are constants, pixels stay
+    differentiable — a reward-feedback loop can run against a
+    half-HBM reward model."""
+    from mjvideo_tpu.eval.scorer import RewardScorer
+    from mjvideo_tpu.ops.quant import quantize_params_int8
+
+    tok = ByteTokenizer()
+    common = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(256,),
+                  gating_pattern=tok.gating_pattern())
+    c = cfg.chat
+    ids = np.full((c.num_image_token + 12,), 5, np.int32)
+    ids[2:2 + c.num_image_token] = c.img_context_token_id
+
+    s_w8a8 = RewardScorer(
+        cfg, quantize_params_int8(params, min_elements=128), tok, **common)
+    with pytest.raises(ValueError, match="w8a8"):
+        s_w8a8.score_fn(ids, len(ids) - 4)
+
+    s_wo = RewardScorer(
+        cfg, quantize_params_int8(params, min_elements=128,
+                                  weight_only=True), tok, **common)
+    f = s_wo.score_fn(ids, len(ids) - 4)
+    pix = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, c.vision.image_size, c.vision.image_size, 3)
+    ).astype(np.float32))
+    g = jax.grad(f)(pix)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_weight_only_checkpoint_roundtrip(tmp_path, params):
+    """int8-wo trees revive as WOQuantKernel from the qw/scale key pair."""
+    from mjvideo_tpu.ops.quant import WOQuantKernel, quantize_params_int8
+    from mjvideo_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+    q = quantize_params_int8(params, min_elements=128, weight_only=True)
+    save_pytree(str(tmp_path / "wo"), q)
+    r = restore_pytree(str(tmp_path / "wo"))
+    assert is_quantized(r)
+    k = r["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"]
+    assert isinstance(k, WOQuantKernel)
+    k0 = q["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k0.qw), np.asarray(k.qw))
+
+
 def test_quantized_checkpoint_roundtrip(tmp_path, params):
     """A saved w8a8 tree restores WITH its QuantKernel nodes (orbax
     flattens registered dataclasses to dicts; restore_pytree revives
@@ -283,4 +389,18 @@ def test_quantized_tree_shards_over_tp_mesh(params):
     out = jax.jit(lambda k: dot(x, QuantKernel(q=k.q[0], scale=k.scale[0])))(
         wq_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # weight-only trees shard the same way (.../kernel/qw hits the same
+    # path rules) and stay exact under the mesh
+    from mjvideo_tpu.ops.quant import WOQuantKernel
+
+    wo = quantize_params_int8(params, min_elements=128, weight_only=True)
+    wo_s = shard_params(wo, mesh)
+    k = wo["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"]
+    k_s = wo_s["model"]["language_model"]["layers"]["attention"]["wq"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k_s.qw), np.asarray(k.qw))
+    ref_wo = dot(x, WOQuantKernel(qw=k.qw[0], scale=k.scale[0]))
+    out_wo = jax.jit(
+        lambda kk: dot(x, WOQuantKernel(qw=kk.qw[0], scale=kk.scale[0])))(k_s)
+    np.testing.assert_allclose(np.asarray(out_wo), np.asarray(ref_wo),
                                rtol=1e-6, atol=1e-6)
