@@ -147,6 +147,75 @@ def variant_impl(q, k, v, *, mode):
     return jnp.transpose(out[:, :, :Q, :], (0, 2, 1, 3))
 
 
+def tmajor_impl(q, k, v, *, hp=1, interpret=False):
+    """NO host-side transpose: q/k/v stay token-major (B, S, H, D).
+
+    The round-3 HLO audit shows the (B,S,H,D)->(B,H,S,D) relayout copies
+    cost ~0.3 ms/layer (3 strided-transpose copies at ~143 GB/s).  This
+    variant deletes them and instead lets each (b, head-group) program
+    DMA its q/k/v blocks (1, S, hp, D) straight out of the token-major
+    array — strided bursts of hp*128 bytes.  Whether strided DMA beats
+    the XLA transpose is what the on-chip A/B answers.  ``hp`` adjacent
+    heads per program lengthen the bursts; in-kernel the per-head
+    slices are static sublane-dim indexing of the (S, hp, D) tile.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mjvideo_tpu.ops.flash_attention import _dot, _round_up
+
+    B, Q, H, D = q.shape
+    K = k.shape[1]
+    scale = D**-0.5
+    kv_pad = 0
+    if Q % 8:
+        qp = _round_up(Q, 8)
+        q = jnp.pad(q, ((0, 0), (0, qp - Q), (0, 0), (0, 0)))
+        kv_pad = qp - K
+        k = jnp.pad(k, ((0, 0), (0, qp - K), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, qp - K), (0, 0), (0, 0)))
+        Qf, Kf = qp, qp
+    else:
+        Qf, Kf = Q, K
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for j in range(hp):
+            qh = q_ref[0, :, j, :]
+            kh = k_ref[0, :, j, :]
+            vh = v_ref[0, :, j, :]
+            s = _dot(qh, kh, trans_b=True) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            if kv_pad:
+                l = jnp.maximum(l - kv_pad * jnp.exp(-m), 1e-30)
+            acc = _dot(p.astype(vh.dtype), vh)
+            o_ref[0, :, j, :] = (acc / l).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // hp),
+        in_specs=[
+            pl.BlockSpec((1, Qf, hp, D), lambda b, g: (b, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kf, hp, D), lambda b, g: (b, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kf, hp, D), lambda b, g: (b, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Qf, hp, D), lambda b, g: (b, 0, g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Qf, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :Q]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", type=int, default=8)
@@ -181,6 +250,9 @@ def main():
     for mode in ("exp2", "bf16s", "nomax", "exp2_nomax"):
         report(f"variant {mode}", bench(
             functools.partial(variant_impl, mode=mode), q, k, v, args.chain))
+    for hp in (1, 2, 4):
+        report(f"variant tmajor hp={hp}", bench(
+            functools.partial(tmajor_impl, hp=hp), q, k, v, args.chain))
 
     # numerics vs the current kernel
     import jax
@@ -191,6 +263,11 @@ def main():
         got = np.asarray(jax.jit(functools.partial(
             variant_impl, mode=mode))(q, k, v)).astype(np.float32)
         print(f"max |{mode} - base| = {np.abs(got - base).max():.2e}",
+              flush=True)
+    for hp in (1, 2):
+        got = np.asarray(jax.jit(functools.partial(
+            tmajor_impl, hp=hp))(q, k, v)).astype(np.float32)
+        print(f"max |tmajor hp={hp} - base| = {np.abs(got - base).max():.2e}",
               flush=True)
 
 
