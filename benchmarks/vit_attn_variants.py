@@ -147,7 +147,7 @@ def variant_impl(q, k, v, *, mode):
     return jnp.transpose(out[:, :, :Q, :], (0, 2, 1, 3))
 
 
-def tmajor_impl(q, k, v, *, hp=1, interpret=False):
+def tmajor_impl(q, k, v, *, hp=1, block_q=None, interpret=False):
     """NO host-side transpose: q/k/v stay token-major (B, S, H, D).
 
     The round-3 HLO audit shows the (B,S,H,D)->(B,H,S,D) relayout copies
@@ -158,6 +158,10 @@ def tmajor_impl(q, k, v, *, hp=1, interpret=False):
     the XLA transpose is what the on-chip A/B answers.  ``hp`` adjacent
     heads per program lengthen the bursts; in-kernel the per-head
     slices are static sublane-dim indexing of the (S, hp, D) tile.
+
+    VMEM: the unrolled head loop keeps each head's fp32 s/p live
+    (observed round 2), so hp>1 needs ``block_q`` small enough that
+    hp * 2 * block_q * S * 4 fits ~14MB (hp=2 -> 512, hp=4 -> 128).
     """
     import jax
     import jax.numpy as jnp
@@ -194,22 +198,25 @@ def tmajor_impl(q, k, v, *, hp=1, interpret=False):
             acc = _dot(p.astype(vh.dtype), vh)
             o_ref[0, :, j, :] = (acc / l).astype(o_ref.dtype)
 
+    bq = block_q or Qf
+    while Qf % bq:
+        bq //= 2
     out = pl.pallas_call(
         kernel,
-        grid=(B, H // hp),
+        grid=(B, H // hp, Qf // bq),
         in_specs=[
-            pl.BlockSpec((1, Qf, hp, D), lambda b, g: (b, 0, g, 0),
+            pl.BlockSpec((1, bq, hp, D), lambda b, g, i: (b, i, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Kf, hp, D), lambda b, g: (b, 0, g, 0),
+            pl.BlockSpec((1, Kf, hp, D), lambda b, g, i: (b, 0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Kf, hp, D), lambda b, g: (b, 0, g, 0),
+            pl.BlockSpec((1, Kf, hp, D), lambda b, g, i: (b, 0, g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Qf, hp, D), lambda b, g: (b, 0, g, 0),
+        out_specs=pl.BlockSpec((1, bq, hp, D), lambda b, g, i: (b, i, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Qf, H, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(q, k, v)
@@ -250,9 +257,18 @@ def main():
     for mode in ("exp2", "bf16s", "nomax", "exp2_nomax"):
         report(f"variant {mode}", bench(
             functools.partial(variant_impl, mode=mode), q, k, v, args.chain))
-    for hp in (1, 2, 4):
-        report(f"variant tmajor hp={hp}", bench(
-            functools.partial(tmajor_impl, hp=hp), q, k, v, args.chain))
+    # hp=16 (full-H blocks) is the Mosaic-safe config: partial blocks over
+    # the 16-head second-minor dim may be rejected by the (16,128) bf16
+    # tiling; small hp rows are kept to measure IF they compile.
+    # VMEM: unrolled heads keep fp32 s/p live -> hp*2*bq*Kf*4 <~ 14MB.
+    for hp, bq in ((16, 24), (16, 8), (4, 129), (1, None)):
+        try:
+            report(f"variant tmajor hp={hp} bq={bq}", bench(
+                functools.partial(tmajor_impl, hp=hp, block_q=bq),
+                q, k, v, args.chain))
+        except Exception as e:  # Mosaic tiling rejection is a data point
+            print(f"variant tmajor hp={hp} bq={bq}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
     # numerics vs the current kernel
     import jax
@@ -264,11 +280,15 @@ def main():
             variant_impl, mode=mode))(q, k, v)).astype(np.float32)
         print(f"max |{mode} - base| = {np.abs(got - base).max():.2e}",
               flush=True)
-    for hp in (1, 2):
-        got = np.asarray(jax.jit(functools.partial(
-            tmajor_impl, hp=hp))(q, k, v)).astype(np.float32)
-        print(f"max |tmajor hp={hp} - base| = {np.abs(got - base).max():.2e}",
-              flush=True)
+    for hp, bq in ((16, 24), (1, None)):
+        try:
+            got = np.asarray(jax.jit(functools.partial(
+                tmajor_impl, hp=hp, block_q=bq))(q, k, v)).astype(np.float32)
+            print(f"max |tmajor hp={hp} - base| = "
+                  f"{np.abs(got - base).max():.2e}", flush=True)
+        except Exception as e:
+            print(f"tmajor hp={hp} numerics: FAILED {type(e).__name__}",
+                  flush=True)
 
 
 if __name__ == "__main__":
