@@ -197,15 +197,6 @@ def round_up_bucket(n: int, bucket: int = 64) -> int:
 # decode token i at slot n_real + i.  Keeping the slot/mask arithmetic in
 # one place stops the three factories from drifting apart.
 
-def pad_prompt(input_ids, pad_id: int, bucket: int = 64):
-    """(1, T) prompt -> ((1, Tb) right-padded ids, n_real, Tb)."""
-    n_real = input_ids.shape[1]
-    Tb = round_up_bucket(n_real, bucket)
-    ids = np.full((1, Tb), pad_id, np.int32)
-    ids[:, :n_real] = input_ids
-    return ids, n_real, Tb
-
-
 def pad_prompt_batch(ids_list, pad_id: int, bucket: int = 64):
     """[(1, T_i) prompts] -> ((B, Tb) right-padded ids, (B,) n_real, Tb)
     with every row bucketed to the same width."""

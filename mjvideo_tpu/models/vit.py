@@ -257,7 +257,11 @@ def vit_forward(
                 "attention_dropout > 0 is not supported by the fused "
                 "attention kernels; published InternViT configs use 0.0"
             )
-        dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, n_run)
+        # Rates come from the FULL-depth schedule, sliced to the layers that
+        # run: the reference builds linspace(0, rate, num_hidden_layers) and
+        # indexes it per layer (modeling_intern_vit.py:312), so a truncated
+        # tower (select_layer < -1) keeps each layer's original rate.
+        dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, L)[:n_run]
         keys = jax.random.split(rng, n_run)
 
         def block(carry, sc):

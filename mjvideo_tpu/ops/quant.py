@@ -172,7 +172,10 @@ def dot_wo(x: jnp.ndarray, kernel: WOQuantKernel) -> jnp.ndarray:
 
 # Never quantize: embeddings are gathers (not dots); patch embedding is the
 # single most accuracy-critical projection (first touch of the pixels) and
-# a rounding error there propagates through all 24+48 layers.
+# a rounding error there propagates through all 24+48 layers.  The MiniCPM-V
+# resampler's packed ``in_proj`` kernel is consumed via ``jnp.split`` (the
+# torch MultiheadAttention layout), which a QuantKernel node cannot survive —
+# and it runs once per video, so it buys no decode HBM anyway.
 _EXCLUDE_DEFAULT = (
     r"tok_embeddings",
     r"embeddings",
@@ -180,6 +183,7 @@ _EXCLUDE_DEFAULT = (
     r"position",
     r"gating",
     r"regression",
+    r"in_proj",
 )
 
 
@@ -196,8 +200,11 @@ def _path_str(path) -> str:
 
 
 # Vision-tower paths across the model families (InternViT "vision_model",
-# Qwen2-VL "visual", MiniCPM-V "vpm", CogVLM2 "vision").
-_VIT_INCLUDE = re.compile(r"vision_model|visual|vpm|(^|/)vision(/|$)")
+# Qwen2-VL "visual", MiniCPM-V "vpm", CogVLM2 "vision").  The CogVLM2 match
+# is anchored to the tree root: the decoder's dual-expert MLP also has
+# ``.../mlp/vision/...`` paths, and those are LLM weights that scope="vit"
+# must leave full precision.
+_VIT_INCLUDE = re.compile(r"vision_model|visual|vpm|^vision(/|$)")
 
 
 def quantize_params_int8(
