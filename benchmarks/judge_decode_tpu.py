@@ -20,7 +20,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--new-tokens", type=int, default=24)
     ap.add_argument("--quant", default=None,
-                    choices=["int8", "int8-vit", "int8-wo"],
+                    choices=["int8", "int8-vit", "int8-wo", "int4-wo"],
                     help="judge quantization; 'int8-wo' (weight-only) "
                          "targets the decode loop: halves per-step weight "
                          "HBM reads without w8a8's per-step activation-"

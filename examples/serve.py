@@ -30,10 +30,10 @@ def main():
     ap.add_argument("--device-preprocess", action="store_true",
                     help="raw uint8 frames in; resize+tile+normalize on MXU")
     ap.add_argument("--quant", default=None,
-                    choices=["int8", "int8-vit", "int8-wo"],
+                    choices=["int8", "int8-vit", "int8-wo", "int4-wo"],
                     help="serving quantization: w8a8 everywhere (int8), "
-                         "vision tower only (int8-vit), or weight-only "
-                         "w8a16 (int8-wo)")
+                         "vision tower only (int8-vit), weight-only "
+                         "w8a16 (int8-wo) or weight-only int4 (int4-wo)")
     ap.add_argument("--out", default="scores.jsonl")
     args = ap.parse_args()
 

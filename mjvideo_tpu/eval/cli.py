@@ -51,13 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="clips per device dispatch (default: measured "
                         "optimum, 1/data-shard on TPU)")
     p.add_argument("--quant", default=None,
-                   choices=["int8", "int8-vit", "int8-wo"],
+                   choices=["int8", "int8-vit", "int8-wo", "int4-wo"],
                    help="serving quantization: 'int8' = w8a8 on every "
                         "large dense kernel (+31%% measured clips/s vs "
                         "bf16); 'int8-vit' = vision tower only "
                         "(near-zero score perturbation); 'int8-wo' = "
                         "weight-only w8a16 (halves weight HBM for "
-                        "decode-bound serving, no activation error)")
+                        "decode-bound serving, no activation error); "
+                        "'int4-wo' = weight-only int4, group-128 scales "
+                        "(fits 26B-class judges on one 16GB chip)")
     p.add_argument("--byte-tokenizer", action="store_true",
                    help="hermetic mode: use the dependency-free "
                         "ByteTokenizer (matches train CLI --tiny runs / "

@@ -40,6 +40,10 @@ def dot(x: jnp.ndarray, kernel) -> jnp.ndarray:
         return dot_q8(x, kernel)
     if isinstance(kernel, WOQuantKernel):
         return dot_wo(x, kernel)
+    from .quant4 import Q4Kernel, dot_q4
+
+    if isinstance(kernel, Q4Kernel):
+        return dot_q4(x, kernel)
     return jnp.dot(
         x, kernel, precision=_prec(x, kernel),
         preferred_element_type=jnp.float32,
@@ -54,6 +58,10 @@ def dot_f32(x: jnp.ndarray, kernel) -> jnp.ndarray:
         return dot_q8_f32(x, kernel)
     if isinstance(kernel, WOQuantKernel):
         return dot_wo_f32(x, kernel)
+    from .quant4 import Q4Kernel, dot_q4_f32
+
+    if isinstance(kernel, Q4Kernel):
+        return dot_q4_f32(x, kernel)
     return jnp.dot(
         x, kernel, precision=_prec(x, kernel),
         preferred_element_type=jnp.float32,

@@ -264,6 +264,9 @@ def quantize_params_mode(params: Any, mode: str,
     ``"int8-wo"``: every large dense kernel, weight-only w8a16 (halves
     weight HBM for the decode-bound regime, no activation quantization
     error or per-step quantize ops).
+    ``"int4-wo"``: weight-only int4 with group-128 scales (4x smaller
+    weights — what fits InternVL2-26B-class judges on one 16GB chip;
+    ``ops/quant4.py``).
     """
     if mode == "int8":
         return quantize_params_int8(params, min_elements=min_elements)
@@ -273,8 +276,12 @@ def quantize_params_mode(params: Any, mode: str,
     if mode == "int8-wo":
         return quantize_params_int8(params, min_elements=min_elements,
                                     weight_only=True)
+    if mode == "int4-wo":
+        from .quant4 import quantize_params_int4
+
+        return quantize_params_int4(params, min_elements=min_elements)
     raise ValueError(f"unknown quant mode {mode!r}; "
-                     "expected 'int8', 'int8-vit' or 'int8-wo'")
+                     "expected 'int8', 'int8-vit', 'int8-wo' or 'int4-wo'")
 
 
 def revive_quant_kernels(tree: Any) -> Any:
@@ -295,6 +302,8 @@ def revive_quant_kernels(tree: Any) -> Any:
             return getattr(n["q"], "dtype", None) == jnp.int8
         if keys == {"qw", "scale"}:
             return getattr(n["qw"], "dtype", None) == jnp.int8
+        if keys == {"packed", "scale"}:
+            return getattr(n["packed"], "dtype", None) == jnp.int8
         return False
 
     def revive(n):
@@ -302,13 +311,19 @@ def revive_quant_kernels(tree: Any) -> Any:
             return n
         if "q" in n:
             return QuantKernel(q=n["q"], scale=n["scale"])
-        return WOQuantKernel(qw=n["qw"], scale=n["scale"])
+        if "qw" in n:
+            return WOQuantKernel(qw=n["qw"], scale=n["scale"])
+        from .quant4 import Q4Kernel
+
+        return Q4Kernel(packed=n["packed"], scale=n["scale"])
 
     return jax.tree_util.tree_map(revive, tree, is_leaf=is_qk)
 
 
 def _is_qnode(x) -> bool:
-    return isinstance(x, (QuantKernel, WOQuantKernel))
+    from .quant4 import Q4Kernel
+
+    return isinstance(x, (QuantKernel, WOQuantKernel, Q4Kernel))
 
 
 def is_quantized(params: Any) -> bool:
