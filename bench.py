@@ -21,8 +21,34 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.0 / 8.0  # north star on v5e-8
 
 
+def _backend_responds() -> bool:
+    """Probe TPU backend init in a child process with a timeout.
+
+    The axon tunnel can wedge so that device init blocks FOREVER (observed:
+    >1h), and the plugin ignores ``JAX_PLATFORMS=cpu`` set via env — so a
+    wedged tunnel would leave the driver with no JSON line at all.  A child
+    process takes the hang instead of us; on timeout the parent pins itself
+    to CPU and reports the labeled CPU fallback.
+    """
+    import subprocess
+
+    timeout = float(os.environ.get("BENCH_BACKEND_TIMEOUT", 600))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    if not _backend_responds():
+        jax.config.update("jax_platforms", "cpu")
+        print("bench: TPU backend unresponsive, falling back to CPU",
+              file=sys.stderr, flush=True)
 
     # Persistent compile cache: repeated bench runs skip the ~5-min remote
     # TPU compile.
