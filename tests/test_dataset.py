@@ -272,3 +272,20 @@ def test_eval_cli_byte_tokenizer_end_to_end_hermetic(tmp_path, capsys):
     res = _json.loads(out[out.index("{"):])
     assert "accuracy" in res or "count" in res, res
     assert (tmp_path / "res.jsonl").exists()
+
+    # the serving-quantization flag end-to-end through the same path
+    # (weight-only mode: closest numerics, exercises the QuantKernel
+    # plumbing through decode -> scorer -> metrics)
+    ecli.main([
+        "--benchmark", "overall", "--byte-tokenizer", "--fp32",
+        "--quant", "int8-wo",
+        "--data-json", str(sample / "pairs.json"),
+        "--video-root", str(sample / "videos"),
+        "--model-path", str(ckpt),
+        "--num-segments", "2",
+        "--results", str(tmp_path / "res_q.jsonl"),
+    ])
+    out_q = capsys.readouterr().out
+    res_q = _json.loads(out_q[out_q.index("{"):])
+    assert "accuracy" in res_q or "count" in res_q, res_q
+    assert (tmp_path / "res_q.jsonl").exists()
