@@ -150,6 +150,19 @@ def test_mesh_sharded_scorer_matches_unsharded(cfg, params):
     np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
                                atol=1e-4)
 
+    # quantized serving composes with the mesh: pre-quantized trees
+    # (weight-only: deterministic numerics) shard and score identically
+    from mjvideo_tpu.ops.quant import quantize_params_int8
+
+    qt = quantize_params_int8(params, min_elements=128, weight_only=True)
+    q_plain = RewardScorer(cfg, qt, tok, **kw)
+    q_mesh = RewardScorer(cfg, qt, tok, mesh=make_mesh(data=4, model=2),
+                          **kw)
+    qa = q_plain.score_batch(pixels, ids_list, gpos)
+    qb = q_mesh.score_batch(pixels, ids_list, gpos)
+    np.testing.assert_allclose(np.asarray(qa.score), np.asarray(qb.score),
+                               atol=1e-4)
+
 
 def test_sequence_parallel_attention_matches_single_device(cfg):
     """SP flash attention (q sharded, KV all-gathered, global causal offset)
