@@ -144,9 +144,16 @@ def dot_q4_f32(x: jnp.ndarray, kernel: Q4Kernel) -> jnp.ndarray:
     """
     assert kernel.packed.ndim == 2, (
         f"dot_q4 expects a per-layer kernel, got {kernel.packed.shape}")
-    if (os.environ.get("MJV_Q4_PALLAS") == "1" and x.ndim == 2
-            and x.shape[0] <= 32 and jax.default_backend() == "tpu"):
-        return _w4_matmul_pallas(x, kernel.packed, kernel.scale)
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if (os.environ.get("MJV_Q4_PALLAS") == "1" and rows <= 32
+            and jax.default_backend() == "tpu"):
+        # decode-shaped activations, e.g. (B, 1, K) cached-decode steps:
+        # flatten the leading dims for the GEMV kernel
+        out = _w4_matmul_pallas(x.reshape(rows, x.shape[-1]),
+                                kernel.packed, kernel.scale)
+        return out.reshape(*x.shape[:-1], out.shape[-1])
     K2 = kernel.packed.shape[-2]
     w_lo, w_hi = _deq_halves(kernel, x.dtype)
     dn = (((x.ndim - 1,), (0,)), ((), ()))
