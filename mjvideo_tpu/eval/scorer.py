@@ -93,9 +93,12 @@ class RewardScorer:
         near-zero score perturbation (the decoder carries ~97% of the
         full-int8 error, docs/PERF.md round 3).  ``quant="int8-wo"`` is
         weight-only w8a16: int8 storage, bf16 compute — halves weight
-        HBM with no activation error; the mode for decode-bound serving
-        and the only quantized mode ``score_fn`` accepts (activations
-        stay differentiable)."""
+        HBM with no activation error; the mode for decode-bound serving.
+        ``quant="int4-wo"`` is weight-only int4 with group-128 scales
+        (``ops/quant4.py``) — 4x smaller weights for capacity-bound
+        judges, far outside the reward parity bar (docs/PERF.md).  The
+        weight-only modes are the only quantized modes ``score_fn``
+        accepts (activations stay differentiable)."""
         self.cfg = cfg
         self.mesh = mesh
         if quant is not None:
@@ -409,12 +412,13 @@ class RewardScorer:
         ):
             # round() in w8a8's dynamic ACTIVATION quantization has zero
             # gradient — backprop to pixels would silently return zeros.
-            # Weight-only int8 ("int8-wo") is fine: the int8 weights are
-            # constants and activations stay differentiable end-to-end.
+            # The weight-only modes ("int8-wo", "int4-wo") are fine: the
+            # quantized weights are constants and activations stay
+            # differentiable end-to-end.
             raise ValueError(
                 "score_fn requires params without w8a8 kernels; use "
-                "full-precision or quant='int8-wo' for reward-feedback "
-                "training")
+                "full-precision or a weight-only mode ('int8-wo', "
+                "'int4-wo') for reward-feedback training")
         T = round_to_bucket(len(input_ids), self.buckets)
         ids = jnp.asarray(self._pad(np.asarray(input_ids), T,
                                     self.pad_token_id))[None]

@@ -199,6 +199,20 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def _kernel_leaf_eligible(path_str: str, leaf, exc, min_elements: int) -> bool:
+    """Shared selection policy for the serving-quantization tree walks
+    (int8 here, int4 in ``quant4.py``): path ends in ``kernel``, no
+    exclude pattern matches, ndim >= 2, and at least ``min_elements``
+    elements per layer slice."""
+    if not path_str.endswith("kernel") or any(r.search(path_str)
+                                              for r in exc):
+        return False
+    if getattr(leaf, "ndim", 0) < 2:
+        return False
+    per_layer = leaf.size // (leaf.shape[0] if leaf.ndim == 3 else 1)
+    return per_layer >= min_elements
+
+
 # Vision-tower paths across the model families (InternViT "vision_model",
 # Qwen2-VL "visual", MiniCPM-V "vpm", CogVLM2 "vision").  The CogVLM2 match
 # is anchored to the tree root: the decoder's dual-expert MLP also has
@@ -236,14 +250,9 @@ def quantize_params_int8(
 
     def one(path, leaf):
         s = _path_str(path)
-        if not s.endswith("kernel") or any(r.search(s) for r in exc):
+        if not _kernel_leaf_eligible(s, leaf, exc, min_elements):
             return leaf
         if scope == "vit" and not _VIT_INCLUDE.search(s):
-            return leaf
-        if getattr(leaf, "ndim", 0) < 2:
-            return leaf
-        per_layer = leaf.size // (leaf.shape[0] if leaf.ndim == 3 else 1)
-        if per_layer < min_elements:
             return leaf
         qk = quantize_kernel(leaf)
         if weight_only:

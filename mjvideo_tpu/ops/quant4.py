@@ -40,7 +40,7 @@ import functools
 import os
 import re
 from dataclasses import dataclass
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -193,6 +193,19 @@ def _w4_matmul_pallas(x, packed, scale, block_n: int = 512,
     while N % bn:
         bn //= 2
 
+    # Cap the per-program VMEM footprint: besides the int8 tile, the
+    # kernel materializes two fp32-dequantized (K/2, bn) halves, which
+    # at 26B MLP dims (K2 = 8192, bn = 512) is 32 MiB — past the v5e's
+    # ~16 MiB/core VMEM.  Halving bn keeps N-divisibility (N % bn == 0
+    # and bn even => N % (bn/2) == 0); floor at the 128-lane width.
+    def _vmem_bytes(b):
+        return (M * K * x.dtype.itemsize        # activations
+                + K2 * b                        # int8 tile
+                + G * b * scale.dtype.itemsize  # scales
+                + 2 * K2 * b * 4)               # dequantized halves, fp32
+    while bn % 2 == 0 and bn > 128 and _vmem_bytes(bn) > 12 * 2**20:
+        bn //= 2
+
     def kern(x_ref, p_ref, s_ref, o_ref):
         xv = x_ref[...]
         b = p_ref[...].astype(jnp.int32) & 0xFF
@@ -230,29 +243,27 @@ def _w4_matmul_pallas(x, packed, scale, block_n: int = 512,
 
 def quantize_params_int4(
     params: Any,
-    exclude: Sequence[str] = None,
+    exclude: Optional[Sequence[str]] = None,
     min_elements: int = 1 << 16,
     group_size: int = 128,
 ) -> Any:
     """Replace every large dense ``.../kernel`` leaf with a Q4Kernel.
 
     Same selection policy as ``quant.quantize_params_int8`` (weight-only
-    semantics).  Leaves whose K isn't divisible by 2*group_size get a
-    smaller per-leaf group (halved until it fits, floor 16); if none
-    fits, the leaf stays full precision.
+    semantics); ``exclude=None`` means the shared default exclude list
+    (an explicit empty sequence disables excludes, as in the int8 walk).
+    Leaves whose K isn't divisible by 2*group_size get a smaller
+    per-leaf group (halved until it fits, floor 16); if none fits, the
+    leaf stays full precision.
     """
-    from .quant import _EXCLUDE_DEFAULT, _path_str
+    from .quant import _EXCLUDE_DEFAULT, _kernel_leaf_eligible, _path_str
 
-    exc = [re.compile(p) for p in (exclude or _EXCLUDE_DEFAULT)]
+    exc = [re.compile(p) for p in
+           (_EXCLUDE_DEFAULT if exclude is None else exclude)]
 
     def one(path, leaf):
-        s = _path_str(path)
-        if not s.endswith("kernel") or any(r.search(s) for r in exc):
-            return leaf
-        if getattr(leaf, "ndim", 0) < 2:
-            return leaf
-        per_layer = leaf.size // (leaf.shape[0] if leaf.ndim == 3 else 1)
-        if per_layer < min_elements:
+        if not _kernel_leaf_eligible(_path_str(path), leaf, exc,
+                                     min_elements):
             return leaf
         K = leaf.shape[-2]
         g = group_size
