@@ -95,10 +95,13 @@ def quantize_kernel_q4(w: jnp.ndarray, group_size: int = 128,
     grouped = w32.reshape(*w.shape[:-2], K // g, g, w.shape[-1])
     amax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
     scale = jnp.maximum(amax / 7.0, 1e-10)
-    q = jnp.clip(jnp.round(grouped / scale), -8, 7).astype(jnp.int32)
+    # biased nibbles in uint8 (NOT int32 — at 20B-scale stacked leaves an
+    # int32 intermediate is a ~19GB host transient); the +8 bias keeps
+    # every value in [0, 15], and the shifted OR stays within uint8
+    q = jnp.clip(jnp.round(grouped / scale) + 8.0, 0, 15).astype(jnp.uint8)
     q = q.reshape(*w.shape[:-2], K, w.shape[-1])
     lo, hi = q[..., : K // 2, :], q[..., K // 2:, :]
-    packed = ((lo + 8) | ((hi + 8) << 4)).astype(jnp.int8)
+    packed = jax.lax.bitcast_convert_type(lo | (hi << 4), jnp.int8)
     scale = scale.reshape(*w.shape[:-2], K // g, w.shape[-1])
     return Q4Kernel(packed=packed, scale=scale.astype(scale_dtype))
 
