@@ -23,6 +23,11 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--new-tokens", type=int, default=24)
+    ap.add_argument("--quant", default="int8",
+                    choices=["int8", "int8-wo", "int4-wo"],
+                    help="serving quantization for the 7B tree (bf16 at "
+                         "~16.5 GB does not fit one v5e; int8 ~8.3 GB and "
+                         "int4 ~4.2 GB do)")
     args = ap.parse_args()
 
     from mjvideo_tpu.utils.profiling import enable_compilation_cache
@@ -39,7 +44,7 @@ def main():
         init_qwen2vl_params,
         qwen2vl_7b_config,
     )
-    from mjvideo_tpu.ops.quant import QuantKernel, quantize_params_int8
+    from mjvideo_tpu.ops.quant import quantize_params_mode, _is_qnode
 
     cfg = qwen2vl_7b_config()
     cpu = jax.devices("cpu")[0]
@@ -47,17 +52,22 @@ def main():
     with jax.default_device(cpu):
         params = init_qwen2vl_params(jax.random.PRNGKey(0), cfg,
                                      dtype=jnp.bfloat16)
-        params = quantize_params_int8(params)
-    leaves = jax.tree.leaves(params,
-                             is_leaf=lambda n: isinstance(n, QuantKernel))
-    bytes_total = sum(
-        x.q.size + x.scale.nbytes if isinstance(x, QuantKernel) else x.nbytes
-        for x in leaves)
-    int8_elems = sum(x.q.size for x in leaves if isinstance(x, QuantKernel))
-    print(f"host init+quantize: {time.perf_counter()-t0:.0f}s, "
+        params = quantize_params_mode(params, args.quant)
+    leaves = jax.tree.leaves(params, is_leaf=_is_qnode)
+
+    def node_bytes(x):
+        if _is_qnode(x):
+            return sum(a.nbytes for a in jax.tree.leaves(x))
+        return x.nbytes
+
+    bytes_total = sum(node_bytes(x) for x in leaves)
+    q_elems = sum(
+        int(np.prod(x.shape)) for x in leaves if _is_qnode(x))
+    print(f"host init+quantize ({args.quant}): "
+          f"{time.perf_counter()-t0:.0f}s, "
           f"{bytes_total/2**30:.2f} GiB on device "
           f"(the quantized kernels alone would be "
-          f"{2*int8_elems/2**30:.1f} GiB in bf16)", flush=True)
+          f"{2*q_elems/2**30:.1f} GiB in bf16)", flush=True)
 
     dev = jax.devices()[0]
     t0 = time.perf_counter()
@@ -93,7 +103,8 @@ def main():
                            grid=grid, max_new_tokens=args.new_tokens,
                            eos_token_id=-1)
     warm = time.perf_counter() - t0
-    print(f"7B w8a8 cached decode, single chip: {warm*1e3:8.1f} ms total "
+    print(f"7B {args.quant} cached decode, single chip: "
+          f"{warm*1e3:8.1f} ms total "
           f"({len(toks)} tokens = {warm*1e3/len(toks):.1f} ms/token, warm; "
           f"first incl. compile {first:.1f}s)", flush=True)
 
