@@ -1,11 +1,22 @@
-"""int8 weight + dynamic activation quantization (w8a8 serving mode).
+"""Serving quantization: int8 kernel wrappers + the named-mode registry.
 
-TPU-native rationale: the v5e MXU has a double-rate int8 path (~394 TOPS
-vs ~197 TFLOPS bf16); an int8 x int8 -> int32 ``dot_general`` measured
-1.4-1.9x the bf16 matmul at this model's dense shapes (docs/PERF.md,
-round 3).  The reference has no quantized inference at all — its torch
-stack serves bf16 (``eval_genai_mjvideo.py``) — so this is a capability
-on top of parity, strictly opt-in (``RewardScorer(quant="int8")``).
+The reference has no quantized inference at all — its torch stack serves
+bf16 (``eval_genai_mjvideo.py``) — so everything here is capability on
+top of parity, strictly opt-in (``RewardScorer(quant=...)``).  Modes
+(``quantize_params_mode``; error ladder + A/Bs in docs/PERF.md round 3):
+
+* ``"int8"`` — w8a8: int8 weights + dynamic per-row activation
+  quantization, matmuls int8 x int8 -> int32 on the v5e MXU's
+  double-rate path (~394 TOPS vs ~197 TFLOPS bf16; measured 1.4-1.9x at
+  this model's dense shapes).  Max prefill throughput.
+* ``"int8-vit"`` — w8a8 on the vision towers only (the accuracy-safe
+  subset: the decoder carries ~94-97% of full-int8's perturbation).
+* ``"int8-wo"`` — weight-only w8a16 (``WOQuantKernel``): int8 storage,
+  activation-dtype compute.  For the decode-bound regime (halves
+  per-step weight HBM with no per-step quantize ops) and the only int8
+  mode whose activations stay differentiable.
+* ``"int4-wo"`` — weight-only int4 with group scales (``quant4.py``):
+  capacity mode — fits 26B-class judges on one 16GB chip.
 
 Scheme (standard w8a8, no calibration pass needed):
 
