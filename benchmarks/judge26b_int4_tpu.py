@@ -31,6 +31,9 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--new-tokens", type=int, default=24)
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache: halves the decode cache HBM "
+                         "(a 26k-token bf16 cache is ~5 GB at 26B dims)")
     ap.add_argument("--frames", type=int, default=8)
     args = ap.parse_args()
 
@@ -85,7 +88,7 @@ def main():
         size=(F, cfg.vision.image_size, cfg.vision.image_size, 3)),
         jnp.bfloat16)
     gc = GenerationConfig(max_new_tokens=args.new_tokens, eos_token_id=-1,
-                          pad_token_id=0)
+                          pad_token_id=0, kv_quant=args.kv_quant)
     print(f"prompt {T} tokens ({n_img} image), {args.new_tokens} new",
           flush=True)
 

@@ -16,9 +16,21 @@ sys.path.insert(0, ".")
 import numpy as np  # noqa: E402
 
 
+def greedy_generate_one(params, cfg, ids, pos, patches, grid, args):
+    from mjvideo_tpu.models.qwen2vl import greedy_generate_batch
+
+    return greedy_generate_batch(
+        params, cfg, [(ids, pos, patches, grid)],
+        max_new_tokens=args.new_tokens, eos_token_id=-1,
+        kv_quant=args.kv_quant)[0]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--new-tokens", type=int, default=24)
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache (per-slot-per-head scales): "
+                         "halves cache HBM reads per decode step")
     ap.add_argument("--quant", default=None,
                     choices=["int8", "int8-vit", "int8-wo", "int4-wo"],
                     help="judge quantization; 'int8-wo' (weight-only) "
@@ -38,7 +50,6 @@ def main():
         Qwen2VLConfig,
         build_video_prompt_ids,
         get_rope_index,
-        greedy_generate,
         init_qwen2vl_params,
         qwen2vl_forward,
     )
@@ -72,14 +83,10 @@ def main():
 
     # cached generation, end to end (vision + prefill + steps)
     t0 = time.perf_counter()
-    toks = greedy_generate(params, cfg, ids, pos, pixel_patches=patches,
-                           grid=grid, max_new_tokens=args.new_tokens,
-                           eos_token_id=-1)
+    toks = greedy_generate_one(params, cfg, ids, pos, patches, grid, args)
     compile_and_first = time.perf_counter() - t0
     t0 = time.perf_counter()
-    toks = greedy_generate(params, cfg, ids, pos, pixel_patches=patches,
-                           grid=grid, max_new_tokens=args.new_tokens,
-                           eos_token_id=-1)
+    toks = greedy_generate_one(params, cfg, ids, pos, patches, grid, args)
     cached = time.perf_counter() - t0
     print(f"cached decode: {cached*1e3:8.1f} ms total "
           f"({len(toks)} tokens, warm; first incl. compile "
@@ -95,12 +102,12 @@ def main():
     t0 = time.perf_counter()
     rows = greedy_generate_batch(params, cfg, items,
                                  max_new_tokens=args.new_tokens,
-                                 eos_token_id=-1)
+                                 eos_token_id=-1, kv_quant=args.kv_quant)
     pair_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     rows = greedy_generate_batch(params, cfg, items,
                                  max_new_tokens=args.new_tokens,
-                                 eos_token_id=-1)
+                                 eos_token_id=-1, kv_quant=args.kv_quant)
     pair = time.perf_counter() - t0
     print(f"pair-batched decode (B=2): {pair*1e3:8.1f} ms total = "
           f"{pair*1e3/2:6.1f} ms/answer "
@@ -117,12 +124,12 @@ def main():
     items_novis = [(ids, pos, None, None)] * 2
     greedy_generate_batch(params, cfg, items_novis,
                           max_new_tokens=args.new_tokens,
-                          eos_token_id=-1, vision_embeds=vises)
+                          eos_token_id=-1, vision_embeds=vises, kv_quant=args.kv_quant)
     t0 = time.perf_counter()
     for _ in range(3):
         greedy_generate_batch(params, cfg, items_novis,
                               max_new_tokens=args.new_tokens,
-                              eos_token_id=-1, vision_embeds=vises)
+                              eos_token_id=-1, vision_embeds=vises, kv_quant=args.kv_quant)
     per_pair = (time.perf_counter() - t0) / 3
     print(f"cached-vision pair question: {per_pair*1e3:8.1f} ms "
           f"(vs {2*cached*1e3:.1f} uncached-sequential -> "

@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "decode-bound serving, no activation error); "
                         "'int4-wo' = weight-only int4, group-128 scales "
                         "(fits 26B-class judges on one 16GB chip)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache for judge generation: per-slot-"
+                        "per-head scales halve cache HBM — what bounds "
+                        "long-video judge decode (a 26B judge's 26k-token "
+                        "bf16 cache alone is ~5 GB); no effect on the "
+                        "reward scorer (single forward, no cache)")
     p.add_argument("--byte-tokenizer", action="store_true",
                    help="hermetic mode: use the dependency-free "
                         "ByteTokenizer (matches train CLI --tiny runs / "
@@ -145,7 +151,8 @@ def _make_judge(args):
         state = load_safetensors_dir(path)
         params = import_qwen2vl_params(state, qcfg, dtype=jnp.bfloat16)
         return Qwen2VLJudge(qcfg, params, tok,
-                            num_segments=args.num_segments, quant=args.quant)
+                            num_segments=args.num_segments, quant=args.quant,
+                            kv_quant=args.kv_quant)
     if args.judge == "minicpm-v":
         from ..models.minicpmv import (
             import_minicpmv_params,
@@ -159,7 +166,8 @@ def _make_judge(args):
         state = load_safetensors_dir(path)
         params = import_minicpmv_params(state, mcfg, dtype=jnp.bfloat16)
         return MiniCPMVJudge(mcfg, params, tok,
-                             num_segments=args.num_segments, quant=args.quant)
+                             num_segments=args.num_segments, quant=args.quant,
+                            kv_quant=args.kv_quant)
     if args.judge == "cogvlm2":
         from ..models.cogvlm2 import (
             cogvlm2_config_from_hf,
@@ -173,7 +181,8 @@ def _make_judge(args):
         state = load_safetensors_dir(path)
         params = import_cogvlm2_params(state, ccfg, dtype=jnp.bfloat16)
         return CogVLM2Judge(ccfg, params, tok,
-                            num_segments=args.num_segments, quant=args.quant)
+                            num_segments=args.num_segments, quant=args.quant,
+                            kv_quant=args.kv_quant)
     # internvl-chat: our own backbone as the judge
     from ..configs import load_config
     from ..utils.checkpoint import import_chat_params, load_safetensors_dir
@@ -181,7 +190,8 @@ def _make_judge(args):
     cfg = load_config(f"{path}/config.json").chat
     state = load_safetensors_dir(path)
     params = import_chat_params(state, cfg, jnp.bfloat16, with_lm_head=True)
-    return InternVLJudge(cfg, params, tok, num_segments=args.num_segments, quant=args.quant)
+    return InternVLJudge(cfg, params, tok, num_segments=args.num_segments,
+                         quant=args.quant, kv_quant=args.kv_quant)
 
 
 def main(argv=None) -> None:

@@ -256,8 +256,9 @@ class InternVLJudge:
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, attn_impl: Optional[str] = None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None, kv_quant: bool = False):
         self.cfg = cfg  # ChatConfig
+        self.kv_quant = kv_quant
         self.params = _maybe_quantize(params, quant)  # chat params WITH lm head
         self.tokenizer = tokenizer
         self.num_segments = num_segments
@@ -285,7 +286,7 @@ class InternVLJudge:
         from ..models.generate import GenerationConfig
 
         return GenerationConfig(max_new_tokens=self.max_new_tokens,
-                                temperature=0.0)
+                                temperature=0.0, kv_quant=self.kv_quant)
 
     def ask(self, prompt: str, video_path: str) -> str:
         from ..data.prompts import build_video_question
@@ -332,8 +333,9 @@ class Qwen2VLJudge(_GreedyLocalJudge):
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, max_pixels: int = 360 * 420,
                  attn_impl: Optional[str] = None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None, kv_quant: bool = False):
         self.cfg = cfg  # Qwen2VLConfig
+        self.kv_quant = kv_quant
         self.params = _maybe_quantize(params, quant)
         self.tokenizer = tokenizer
         self.num_segments = num_segments
@@ -382,6 +384,7 @@ class Qwen2VLJudge(_GreedyLocalJudge):
             eos_token_id=self.cfg.im_end_token_id,
             attn_impl=self.attn_impl,
             vision_embeds=[v for v, _ in preps],
+            kv_quant=self.kv_quant,
         )
         return [self._decode(toks) for toks in rows]
 
@@ -397,8 +400,9 @@ class MiniCPMVJudge(_GreedyLocalJudge):
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, attn_impl: Optional[str] = None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None, kv_quant: bool = False):
         self.cfg = cfg  # MiniCPMVConfig
+        self.kv_quant = kv_quant
         self.params = _maybe_quantize(params, quant)
         self.tokenizer = tokenizer
         self.num_segments = num_segments
@@ -439,6 +443,7 @@ class MiniCPMVJudge(_GreedyLocalJudge):
             max_new_tokens=self.max_new_tokens,
             attn_impl=self.attn_impl,
             vision_embeds=[v for v, _ in preps],
+            kv_quant=self.kv_quant,
         )
         return [self._decode(toks) for toks in rows]
 
@@ -454,8 +459,9 @@ class CogVLM2Judge(_GreedyLocalJudge):
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, attn_impl: Optional[str] = None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None, kv_quant: bool = False):
         self.cfg = cfg  # CogVLM2Config
+        self.kv_quant = kv_quant
         self.params = _maybe_quantize(params, quant)
         self.tokenizer = tokenizer
         self.num_segments = num_segments
@@ -500,6 +506,7 @@ class CogVLM2Judge(_GreedyLocalJudge):
             max_new_tokens=self.max_new_tokens,
             attn_impl=self.attn_impl,
             vision_embeds=[v for v, _ in preps],
+            kv_quant=self.kv_quant,
         )
         return [self._decode(toks) for toks in rows]
 

@@ -531,13 +531,16 @@ def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
     return dot_f32(hidden, params["language_model"]["output"]["kernel"])
 
 
-def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
-                         slots, rope_pos, cache_mask, vis_mask):
+def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
+                         v_scale, cos, sin, slots, rope_pos, cache_mask,
+                         vis_mask):
     """Cached dual-expert layer: like ``generate._layer_with_cache`` but
     with per-position expert selection, and the RoPE rotation position
     (``rope_pos``, CogVLM's shared-vision scheme) decoupled from the cache
-    slot (``slots``) used for writes and causality."""
+    slot (``slots``) used for writes and causality.  ``k_scale``/
+    ``v_scale`` are the int8-cache scales (None = dense bf16 cache)."""
     from ..ops.attention import attention_xla
+    from .generate import read_kv, scatter_kv
 
     B, S, D = x.shape
     Hq, Hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -553,20 +556,15 @@ def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
     v = qkv[..., Hq * hd + Hkv * hd:].reshape(B, S, Hkv, hd)
     q, k = apply_rope(q, k, cos, sin, rope_pos)
 
-    write_ok = jnp.take_along_axis(cache_mask, slots, axis=1)  # (B, S)
-    oh = jax.nn.one_hot(slots, k_cache.shape[1], dtype=k.dtype)
-    oh = oh * write_ok[:, :, None].astype(k.dtype)
-    k_cache = k_cache + jnp.einsum("bsm,bshd->bmhd", oh,
-                                   k.astype(k_cache.dtype))
-    v_cache = v_cache + jnp.einsum("bsm,bshd->bmhd", oh,
-                                   v.astype(v_cache.dtype))
+    k_cache, v_cache, k_scale, v_scale = scatter_kv(
+        k_cache, v_cache, k_scale, v_scale, k, v, slots, cache_mask)
 
     k_pos = jnp.arange(k_cache.shape[1])[None, :]
     valid = (slots[:, :, None] >= k_pos[:, None, :]) \
         & (cache_mask[:, None, :] != 0)
     bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None]
-    attn = attention_xla(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                         bias=bias).reshape(B, S, Hq * hd)
+    k_op, v_op = read_kv(k_cache, v_cache, k_scale, v_scale, q.dtype)
+    attn = attention_xla(q, k_op, v_op, bias=bias).reshape(B, S, Hq * hd)
     out = jnp.where(vis_mask.astype(bool),
                     dot(attn, a["vision_dense"]["kernel"]),
                     dot(attn, a["language_dense"]["kernel"]))
@@ -580,11 +578,13 @@ def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
 
     mlp_out = jnp.where(vis_mask.astype(bool), swiglu(lp["mlp"]["vision"]),
                         swiglu(lp["mlp"]["language"]))
-    return x + mlp_out, k_cache, v_cache
+    return x + mlp_out, k_cache, v_cache, k_scale, v_scale
 
 
 def _cogvlm2_forward_cached(params, cfg: CogVLM2Config, embeds, cache,
                             slots, rope_pos, cache_mask, vis_mask):
+    """``cache`` is a (k, v, k_scale, v_scale) tuple; scales are None for
+    the dense bf16 cache (see ``generate.KVCache``)."""
     lm = params["language_model"]
     tc = cfg.text
     max_len = cache[0].shape[2]
@@ -592,21 +592,21 @@ def _cogvlm2_forward_cached(params, cfg: CogVLM2Config, embeds, cache,
                            max_position_embeddings=tc.max_position_embeddings)
 
     def block(x, scanned):
-        lp, kc, vc = scanned
-        x, kc, vc = _expert_layer_cached(
-            tc, lp, x, kc, vc, cos, sin, slots, rope_pos, cache_mask,
-            vis_mask)
-        return x, (kc, vc)
+        lp, kc, vc, ks, vs = scanned
+        x, kc, vc, ks, vs = _expert_layer_cached(
+            tc, lp, x, kc, vc, ks, vs, cos, sin, slots, rope_pos,
+            cache_mask, vis_mask)
+        return x, (kc, vc, ks, vs)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        block, embeds, (lm["layers"], cache[0], cache[1]))
+    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+        block, embeds, (lm["layers"],) + tuple(cache))
     x = rms_norm(x, lm["norm"]["weight"], eps=tc.rms_norm_eps)
-    return x, (k_new, v_new)
+    return x, (k_new, v_new, ks_new, vs_new)
 
 
 @functools.lru_cache(maxsize=8)
 def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
-                 has_vision: bool, eos: int):
+                 has_vision: bool, eos: int, kv_quant: bool = False):
     """ONE compiled (prefill + while-loop decode) program per
     (config, prompt bucket, max_new); params and the per-call position
     ids go through jit ARGUMENTS (a closure would inline the weight tree
@@ -632,8 +632,9 @@ def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
             marker = (tt == VISION_TOKEN_TYPE).astype(jnp.int32)
             embeds = scatter_image_embeds(embeds, marker, vis, 1)
         cache_t = init_kv_cache(cfg.text, B, max_len,
-                                dtype=lm["tok_embeddings"].dtype)
-        cache = (cache_t.k, cache_t.v)
+                                dtype=lm["tok_embeddings"].dtype,
+                                quant=kv_quant)
+        cache = tuple(cache_t)
         slots, mask = prefill_slot_mask(Tb, max_len, n_real)
         vm = (tt == VISION_TOKEN_TYPE).astype(embeds.dtype)[..., None]
         hidden, cache = _cogvlm2_forward_cached(
@@ -664,6 +665,7 @@ def greedy_generate_batch(
     eos_token_id: Optional[int] = None,
     attn_impl: str = "auto",  # kept for API compat
     vision_embeds=None,  # optional per-row precomputed vision embeds
+    kv_quant: bool = False,  # int8 KV cache (ops/quant.py:quantize_kv)
 ) -> List[List[int]]:
     """Batched greedy decode with a static KV cache: each row's frames
     encode once (the square model resolution makes every video the same
@@ -700,7 +702,8 @@ def greedy_generate_batch(
         ]) if vision_embeds is None else jnp.concatenate(
             [jnp.reshape(v, (-1, v.shape[-1])) for v in vision_embeds])
 
-    gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision, int(eos))
+    gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision, int(eos),
+                       kv_quant=kv_quant)
     toks, n = gen(params, jnp.asarray(ids), jnp.asarray(tt),
                   jnp.asarray(n_real), jnp.asarray(pos_all, jnp.int32), vis)
     toks, n = np.asarray(toks), np.asarray(n)

@@ -29,30 +29,95 @@ import numpy as np
 from ..configs import ChatConfig, LLMConfig
 from ..ops.attention import attention_xla
 from ..ops.norms import rms_norm
+from ..ops.quant import dequantize_kv, quantize_kv
 from ..ops.rope import apply_rope, rope_tables
 from . import decoder as dec
 from .internvl import extract_feature, scatter_image_embeds
 
 
 class KVCache(NamedTuple):
+    """Static KV cache; optionally int8-quantized (``kv_quant``).
+
+    Dense: ``k``/``v`` (L, B, max_len, Hkv, D) bf16, scales ``None``.
+    Quantized: ``k``/``v`` int8 with per-(slot, head) fp32 ``k_scale``/
+    ``v_scale`` (L, B, max_len, Hkv) — halves cache HBM vs bf16, which is
+    what bounds long-video judge decode (an InternVL2-26B judge's 26k-token
+    bf16 cache alone is ~5 GB; see docs/PERF.md).  The reference has no
+    quantized cache (HF ``past_key_values`` are model-dtype tuples,
+    ``modeling_internlm2.py:988-1052``) — this is capability on top.
+    """
+
     k: jnp.ndarray  # (L, B, max_len, Hkv, D)
     v: jnp.ndarray  # (L, B, max_len, Hkv, D)
+    k_scale: Optional[jnp.ndarray] = None  # (L, B, max_len, Hkv) if int8
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> KVCache:
+                  dtype=jnp.bfloat16, quant: bool = False) -> KVCache:
     shape = (cfg.num_hidden_layers, batch, max_len,
              cfg.num_key_value_heads, cfg.head_dim)
+    if quant:
+        return KVCache(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape[:-1], jnp.float32),
+                       jnp.zeros(shape[:-1], jnp.float32))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
-                      position_ids, cache_mask):
+def scatter_kv(k_cache, v_cache, k_scale, v_scale, k, v,
+               position_ids, cache_mask):
+    """Write new K/V (B, S, Hkv, D) into their cache slots.
+
+    ``position_ids`` are the slots.  Writes are masked by the slot's
+    validity so pad tokens never land in the cache — decode can then
+    safely reuse a right-padded prompt's pad slots (the scatter is
+    additive; an unmasked pad write would corrupt).  When the cache is
+    int8 (``k_scale is not None``) the fresh vectors quantize per
+    (slot, head) first; the one-hot einsum runs in fp32, where int8
+    values and their masked sums are exact, and each slot is written at
+    most once so the int8 add cannot overflow.
+    """
+    write_ok = jnp.take_along_axis(cache_mask, position_ids, axis=1)  # (B, S)
+    quant = k_scale is not None
+    oh_dtype = jnp.float32 if quant else k.dtype
+    oh = jax.nn.one_hot(position_ids, k_cache.shape[1], dtype=oh_dtype)
+    oh = oh * write_ok[:, :, None].astype(oh_dtype)
+    if quant:
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        # (B, S, max_len) x (B, S, Hkv, D) -> (B, max_len, Hkv, D)
+        k_cache = k_cache + jnp.einsum(
+            "bsm,bshd->bmhd", oh, kq.astype(jnp.float32)).astype(jnp.int8)
+        v_cache = v_cache + jnp.einsum(
+            "bsm,bshd->bmhd", oh, vq.astype(jnp.float32)).astype(jnp.int8)
+        k_scale = k_scale + jnp.einsum("bsm,bsh->bmh", oh, ks)
+        v_scale = v_scale + jnp.einsum("bsm,bsh->bmh", oh, vs)
+    else:
+        k_cache = k_cache + jnp.einsum("bsm,bshd->bmhd", oh,
+                                       k.astype(k_cache.dtype))
+        v_cache = v_cache + jnp.einsum("bsm,bshd->bmhd", oh,
+                                       v.astype(v_cache.dtype))
+    return k_cache, v_cache, k_scale, v_scale
+
+
+def read_kv(k_cache, v_cache, k_scale, v_scale, dtype):
+    """Cache slices as attention operands; int8 caches dequantize here
+    (the convert + scale multiply fuse into the matmul's operand read)."""
+    if k_scale is None:
+        return k_cache.astype(dtype), v_cache.astype(dtype)
+    return (dequantize_kv(k_cache, k_scale, dtype),
+            dequantize_kv(v_cache, v_scale, dtype))
+
+
+def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
+                      v_scale, cos, sin, position_ids, cache_mask):
     """One decoder layer writing its fresh K/V into the cache slice.
 
     ``x``: (B, S, C) new tokens; ``k_cache``/``v_cache``: (B, max_len, Hkv, D)
     with the first ``offset`` slots filled; ``cache_mask``: (B, max_len)
-    1 = valid cache slot (includes the new tokens' slots).
+    1 = valid cache slot (includes the new tokens' slots);
+    ``k_scale``/``v_scale``: (B, max_len, Hkv) int8-cache scales or None.
     """
     B, S, C = x.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -65,16 +130,8 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
     # through apply_rope's 3D branch; 2D tables gather by the cache slot.
     q, k = apply_rope(q, k, cos, sin, position_ids if cos.ndim == 2 else None)
 
-    # Scatter new K/V into their cache slots (position_ids are the slots).
-    # Writes are masked by the slot's validity so pad tokens never land in
-    # the cache — decode can then safely reuse a right-padded prompt's pad
-    # slots (the scatter is additive; an unmasked pad write would corrupt).
-    write_ok = jnp.take_along_axis(cache_mask, position_ids, axis=1)  # (B, S)
-    oh = jax.nn.one_hot(position_ids, k_cache.shape[1], dtype=k.dtype)
-    oh = oh * write_ok[:, :, None].astype(k.dtype)
-    # (B, S, max_len) x (B, S, Hkv, D) -> (B, max_len, Hkv, D)
-    k_cache = k_cache + jnp.einsum("bsm,bshd->bmhd", oh, k.astype(k_cache.dtype))
-    v_cache = v_cache + jnp.einsum("bsm,bshd->bmhd", oh, v.astype(v_cache.dtype))
+    k_cache, v_cache, k_scale, v_scale = scatter_kv(
+        k_cache, v_cache, k_scale, v_scale, k, v, position_ids, cache_mask)
 
     # Attend over the whole cache, masked to valid slots + causality.
     q_pos = position_ids  # (B, S)
@@ -82,15 +139,15 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, cos, sin,
     causal = q_pos[:, :, None] >= k_pos[:, None, :]  # (B, S, max_len)
     valid = causal & (cache_mask[:, None, :] != 0)
     bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None]
-    attn = attention_xla(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                         bias=bias)
+    k_op, v_op = read_kv(k_cache, v_cache, k_scale, v_scale, q.dtype)
+    attn = attention_xla(q, k_op, v_op, bias=bias)
     x = x + dec._dense(lp["attention"]["wo"], attn.reshape(B, S, Hq * D))
 
     h = rms_norm(x, lp["ffn_norm"]["weight"], eps=cfg.rms_norm_eps)
     gate = dec._dense(lp["feed_forward"]["w1"], h)
     up = dec._dense(lp["feed_forward"]["w3"], h)
     h = dec._dense(lp["feed_forward"]["w2"], jax.nn.silu(gate) * up)
-    return x + h, k_cache, v_cache
+    return x + h, k_cache, v_cache, k_scale, v_scale
 
 
 def decoder_forward_cached(
@@ -120,17 +177,18 @@ def decoder_forward_cached(
         )
 
     def block(x, scanned):
-        lp, kc, vc = scanned
-        x, kc, vc = _layer_with_cache(
-            cfg, lp, x, kc, vc, cos, sin, position_ids, cache_mask
+        lp, kc, vc, ks, vs = scanned
+        x, kc, vc, ks, vs = _layer_with_cache(
+            cfg, lp, x, kc, vc, ks, vs, cos, sin, position_ids, cache_mask
         )
-        return x, (kc, vc)
+        return x, (kc, vc, ks, vs)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        block, inputs_embeds, (params["layers"], cache.k, cache.v)
+    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+        block, inputs_embeds,
+        (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
     )
     x = rms_norm(x, params["norm"]["weight"], eps=cfg.rms_norm_eps)
-    return x, KVCache(k_new, v_new)
+    return x, KVCache(k_new, v_new, ks_new, vs_new)
 
 
 def greedy_decode_batch(step_fn, params, logits0, cache,
@@ -245,6 +303,9 @@ class GenerationConfig(NamedTuple):
     temperature: float = 0.0  # 0 = greedy
     top_p: float = 1.0
     pad_token_id: int = 2
+    # int8 KV cache (per-slot-per-head scales): halves cache HBM, for
+    # long-video judge decode.  Opt-in; accuracy ladder in docs/PERF.md.
+    kv_quant: bool = False
 
 
 def _sample(logits: jnp.ndarray, gc: GenerationConfig, key) -> jnp.ndarray:
@@ -302,7 +363,8 @@ def generate(
     # positions ARE the slots — left-padded rows stay correct via the
     # rotation's shift invariance, and pad slots never enter the cache.
     slot_ids = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
-    cache = init_kv_cache(llm_cfg, B, max_len, dtype=embeds.dtype)
+    cache = init_kv_cache(llm_cfg, B, max_len, dtype=embeds.dtype,
+                          quant=gc.kv_quant)
     cache_mask0 = jnp.pad(attention_mask, ((0, 0), (0, gc.max_new_tokens)))
 
     hidden, cache = decoder_forward_cached(
@@ -441,7 +503,8 @@ def _stream_fns(cfg: ChatConfig, gc: GenerationConfig, T: int,
             embeds = scatter_image_embeds(
                 embeds, input_ids, vit, cfg.img_context_token_id)
         slot_ids = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
-        cache = init_kv_cache(llm_cfg, B, max_len, dtype=embeds.dtype)
+        cache = init_kv_cache(llm_cfg, B, max_len, dtype=embeds.dtype,
+                              quant=gc.kv_quant)
         cache_mask = jnp.pad(attention_mask,
                              ((0, 0), (0, gc.max_new_tokens)))
         hidden, cache = decoder_forward_cached(

@@ -343,7 +343,7 @@ def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
-                 has_vision: bool, eos: int):
+                 has_vision: bool, eos: int, kv_quant: bool = False):
     """ONE compiled (prefill + while-loop decode) program per
     (config, prompt bucket, max_new) — judge calls with different captions
     reuse the same executable.  Params go through jit ARGUMENTS (a closure
@@ -370,7 +370,8 @@ def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
             embeds = scatter_image_embeds(embeds, ids, vis,
                                           cfg.unk_token_id)
         cache = init_kv_cache(cfg.text, ids.shape[0], max_len,
-                              dtype=llm["tok_embeddings"].dtype)
+                              dtype=llm["tok_embeddings"].dtype,
+                              quant=kv_quant)
         # right-padded prompt: real tokens at slots [0, n_real); pad-slot
         # K/V writes are masked out by the cache mask, so their (garbage)
         # activations never enter attention.
@@ -399,6 +400,7 @@ def greedy_generate_batch(
     eos_token_id: Optional[int] = None,
     attn_impl: str = "auto",  # kept for API compat; cached path picks
     vision_embeds=None,  # optional per-row precomputed (F, Q, C) embeds
+    kv_quant: bool = False,  # int8 KV cache (ops/quant.py:quantize_kv)
 ) -> List[List[int]]:
     """Batched greedy decode with a static KV cache: each row's frames
     encode once (the resampler always emits (F, Q, C) regardless of the
@@ -423,7 +425,8 @@ def greedy_generate_batch(
         ]) if vision_embeds is None else jnp.concatenate(
             list(vision_embeds))
 
-    gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision, int(eos))
+    gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision, int(eos),
+                       kv_quant=kv_quant)
     toks, n = gen(params, jnp.asarray(ids), jnp.asarray(n_real), vis)
     toks, n = np.asarray(toks), np.asarray(n)
     return [[int(t) for t in toks[b, : n[b]]] for b in range(len(items))]

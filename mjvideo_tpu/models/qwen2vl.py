@@ -555,7 +555,7 @@ def lm_logits(params, cfg: Qwen2VLConfig, hidden: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
-                 has_vision: bool, eos: int):
+                 has_vision: bool, eos: int, kv_quant: bool = False):
     """ONE compiled (prefill + while-loop decode) program per
     (config, prompt bucket, max_new); params and the per-call M-RoPE
     tables go through jit ARGUMENTS (a closure would inline the weight
@@ -585,7 +585,8 @@ def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
                 embeds, jnp.where(marker, cfg.video_token_id, 0), vis[None],
                 cfg.video_token_id)
         cache = init_kv_cache(cfg.text, B, max_len,
-                              dtype=lm["tok_embeddings"].dtype)
+                              dtype=lm["tok_embeddings"].dtype,
+                              quant=kv_quant)
         slots, mask = prefill_slot_mask(Tb, max_len, n_real)
         hidden, cache = decoder_forward_cached(
             lm, cfg.text, embeds, cache, slots, mask,
@@ -619,6 +620,7 @@ def greedy_generate_batch(
     eos_token_id: int = 151645,  # <|im_end|>
     attn_impl: str = "auto",  # kept for API compat
     vision_embeds=None,  # optional per-row precomputed vision embeds
+    kv_quant: bool = False,  # int8 KV cache (ops/quant.py:quantize_kv)
 ) -> List[List[int]]:
     """Batched greedy decode with a static KV cache: each row's vision
     tower runs once (per-video — frames must not cross-attend), the
@@ -662,7 +664,7 @@ def greedy_generate_batch(
             [jnp.reshape(v, (-1, v.shape[-1])) for v in vision_embeds])
 
     gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision,
-                       int(eos_token_id))
+                       int(eos_token_id), kv_quant=kv_quant)
     toks, n = gen(params, jnp.asarray(ids), jnp.asarray(n_real), vis,
                   cos_all, sin_all)
     toks, n = np.asarray(toks), np.asarray(n)

@@ -159,6 +159,31 @@ def dot_q8(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
     return dot_q8_f32(x, kernel).astype(x.dtype)
 
 
+def quantize_kv(x: jnp.ndarray):
+    """Per-(token, head) symmetric int8 for KV-cache entries.
+
+    ``x``: (..., H, D) — one scale per head vector (the last axis), the
+    standard KV-cache quantization granularity: each cached key/value
+    vector is rounded against its own amax, so one outlier token cannot
+    inflate every other token's rounding error (which a per-head-dim or
+    per-layer scale would).  Returns ``(q int8 (..., H, D),
+    scale fp32 (..., H))`` with ``q * scale[..., None] ~= x``.
+    """
+    x32 = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray,
+                  dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Inverse of :func:`quantize_kv`; the int8->fp convert + scale
+    multiply sit on the attention matmul's K/V operands so XLA fuses
+    them into the operand read — the cache stays int8 in HBM."""
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 def dot_wo_f32(x: jnp.ndarray, kernel: WOQuantKernel) -> jnp.ndarray:
     """x @ dequant(kernel) at the activation dtype, fp32 accumulation.
 
