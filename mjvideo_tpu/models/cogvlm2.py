@@ -533,13 +533,17 @@ def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
 
 def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
                          v_scale, cos, sin, slots, rope_pos, cache_mask,
-                         vis_mask):
+                         vis_mask, attn_impl: str = "xla"):
     """Cached dual-expert layer: like ``generate._layer_with_cache`` but
     with per-position expert selection, and the RoPE rotation position
     (``rope_pos``, CogVLM's shared-vision scheme) decoupled from the cache
     slot (``slots``) used for writes and causality.  ``k_scale``/
-    ``v_scale`` are the int8-cache scales (None = dense bf16 cache)."""
-    from ..ops.attention import attention_xla
+    ``v_scale`` are the int8-cache scales (None = dense bf16 cache).
+    ``attn_impl != "xla"`` routes empty-cache prefill (S > 1) through
+    the flash kernel over the fresh tokens (prefill slots are sequence
+    order, so the flash causal test equals the slot test); see
+    ``generate._layer_with_cache``."""
+    from ..ops.attention import attention_xla, multi_head_attention
     from .generate import read_kv, scatter_kv
 
     B, S, D = x.shape
@@ -559,12 +563,18 @@ def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
     k_cache, v_cache, k_scale, v_scale = scatter_kv(
         k_cache, v_cache, k_scale, v_scale, k, v, slots, cache_mask)
 
-    k_pos = jnp.arange(k_cache.shape[1])[None, :]
-    valid = (slots[:, :, None] >= k_pos[:, None, :]) \
-        & (cache_mask[:, None, :] != 0)
-    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None]
-    k_op, v_op = read_kv(k_cache, v_cache, k_scale, v_scale, q.dtype)
-    attn = attention_xla(q, k_op, v_op, bias=bias).reshape(B, S, Hq * hd)
+    if S > 1 and attn_impl != "xla":
+        write_ok = jnp.take_along_axis(cache_mask, slots, axis=1)
+        attn = multi_head_attention(
+            q, k, v, attention_mask=write_ok, causal=True,
+            impl=attn_impl).reshape(B, S, Hq * hd)
+    else:
+        k_pos = jnp.arange(k_cache.shape[1])[None, :]
+        valid = (slots[:, :, None] >= k_pos[:, None, :]) \
+            & (cache_mask[:, None, :] != 0)
+        bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None]
+        k_op, v_op = read_kv(k_cache, v_cache, k_scale, v_scale, q.dtype)
+        attn = attention_xla(q, k_op, v_op, bias=bias).reshape(B, S, Hq * hd)
     out = jnp.where(vis_mask.astype(bool),
                     dot(attn, a["vision_dense"]["kernel"]),
                     dot(attn, a["language_dense"]["kernel"]))
@@ -582,7 +592,8 @@ def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
 
 
 def _cogvlm2_forward_cached(params, cfg: CogVLM2Config, embeds, cache,
-                            slots, rope_pos, cache_mask, vis_mask):
+                            slots, rope_pos, cache_mask, vis_mask,
+                            attn_impl: str = "xla"):
     """``cache`` is a (k, v, k_scale, v_scale) tuple; scales are None for
     the dense bf16 cache (see ``generate.KVCache``)."""
     lm = params["language_model"]
@@ -595,7 +606,7 @@ def _cogvlm2_forward_cached(params, cfg: CogVLM2Config, embeds, cache,
         lp, kc, vc, ks, vs = scanned
         x, kc, vc, ks, vs = _expert_layer_cached(
             tc, lp, x, kc, vc, ks, vs, cos, sin, slots, rope_pos,
-            cache_mask, vis_mask)
+            cache_mask, vis_mask, attn_impl=attn_impl)
         return x, (kc, vc, ks, vs)
 
     x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
@@ -606,7 +617,8 @@ def _cogvlm2_forward_cached(params, cfg: CogVLM2Config, embeds, cache,
 
 @functools.lru_cache(maxsize=8)
 def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
-                 has_vision: bool, eos: int, kv_quant: bool = False):
+                 has_vision: bool, eos: int, kv_quant: bool = False,
+                 attn_impl: str = "auto"):
     """ONE compiled (prefill + while-loop decode) program per
     (config, prompt bucket, max_new); params and the per-call position
     ids go through jit ARGUMENTS (a closure would inline the weight tree
@@ -638,7 +650,8 @@ def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
         slots, mask = prefill_slot_mask(Tb, max_len, n_real)
         vm = (tt == VISION_TOKEN_TYPE).astype(embeds.dtype)[..., None]
         hidden, cache = _cogvlm2_forward_cached(
-            params, cfg, embeds, cache, slots, pos_all[:, :Tb], mask, vm)
+            params, cfg, embeds, cache, slots, pos_all[:, :Tb], mask, vm,
+            attn_impl=attn_impl)
         logits0 = lm_logits(params, last_real_token(hidden, n_real))[:, 0]
 
         def step(params, tok, i, cache):
@@ -663,7 +676,7 @@ def greedy_generate_batch(
             #              pixel_values) per row
     max_new_tokens: int = 16,
     eos_token_id: Optional[int] = None,
-    attn_impl: str = "auto",  # kept for API compat
+    attn_impl: str = "auto",  # vision tower AND cached prefill backend
     vision_embeds=None,  # optional per-row precomputed vision embeds
     kv_quant: bool = False,  # int8 KV cache (ops/quant.py:quantize_kv)
 ) -> List[List[int]]:
@@ -703,7 +716,7 @@ def greedy_generate_batch(
             [jnp.reshape(v, (-1, v.shape[-1])) for v in vision_embeds])
 
     gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision, int(eos),
-                       kv_quant=kv_quant)
+                       kv_quant=kv_quant, attn_impl=attn_impl)
     toks, n = gen(params, jnp.asarray(ids), jnp.asarray(tt),
                   jnp.asarray(n_real), jnp.asarray(pos_all, jnp.int32), vis)
     toks, n = np.asarray(toks), np.asarray(n)

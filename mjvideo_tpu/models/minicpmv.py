@@ -343,7 +343,8 @@ def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
-                 has_vision: bool, eos: int, kv_quant: bool = False):
+                 has_vision: bool, eos: int, kv_quant: bool = False,
+                 attn_impl: str = "auto"):
     """ONE compiled (prefill + while-loop decode) program per
     (config, prompt bucket, max_new) — judge calls with different captions
     reuse the same executable.  Params go through jit ARGUMENTS (a closure
@@ -377,7 +378,8 @@ def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
         # activations never enter attention.
         slots, mask = prefill_slot_mask(Tb, max_len, n_real)
         hidden, cache = decoder_forward_cached(
-            llm, cfg.text, embeds, cache, slots, mask)
+            llm, cfg.text, embeds, cache, slots, mask,
+            attn_impl=attn_impl)
         logits0 = lm_logits(params, last_real_token(hidden, n_real))[:, 0]
 
         def step(params, tok, i, cache):
@@ -398,7 +400,7 @@ def greedy_generate_batch(
     items,  # sequence of (input_ids (1,T), pixel_values) per row
     max_new_tokens: int = 16,
     eos_token_id: Optional[int] = None,
-    attn_impl: str = "auto",  # kept for API compat; cached path picks
+    attn_impl: str = "auto",  # vision tower AND cached prefill backend
     vision_embeds=None,  # optional per-row precomputed (F, Q, C) embeds
     kv_quant: bool = False,  # int8 KV cache (ops/quant.py:quantize_kv)
 ) -> List[List[int]]:
@@ -426,7 +428,7 @@ def greedy_generate_batch(
             list(vision_embeds))
 
     gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision, int(eos),
-                       kv_quant=kv_quant)
+                       kv_quant=kv_quant, attn_impl=attn_impl)
     toks, n = gen(params, jnp.asarray(ids), jnp.asarray(n_real), vis)
     toks, n = np.asarray(toks), np.asarray(n)
     return [[int(t) for t in toks[b, : n[b]]] for b in range(len(items))]

@@ -555,7 +555,8 @@ def lm_logits(params, cfg: Qwen2VLConfig, hidden: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
-                 has_vision: bool, eos: int, kv_quant: bool = False):
+                 has_vision: bool, eos: int, kv_quant: bool = False,
+                 attn_impl: str = "auto"):
     """ONE compiled (prefill + while-loop decode) program per
     (config, prompt bucket, max_new); params and the per-call M-RoPE
     tables go through jit ARGUMENTS (a closure would inline the weight
@@ -590,7 +591,8 @@ def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
         slots, mask = prefill_slot_mask(Tb, max_len, n_real)
         hidden, cache = decoder_forward_cached(
             lm, cfg.text, embeds, cache, slots, mask,
-            rope_override=(cos_all[:, :Tb], sin_all[:, :Tb]))
+            rope_override=(cos_all[:, :Tb], sin_all[:, :Tb]),
+            attn_impl=attn_impl)
         logits0 = lm_logits(params, cfg,
                             last_real_token(hidden, n_real))[:, 0]
 
@@ -618,7 +620,7 @@ def greedy_generate_batch(
             #              pixel_patches, grid) per row
     max_new_tokens: int = 16,
     eos_token_id: int = 151645,  # <|im_end|>
-    attn_impl: str = "auto",  # kept for API compat
+    attn_impl: str = "auto",  # vision tower AND cached prefill backend
     vision_embeds=None,  # optional per-row precomputed vision embeds
     kv_quant: bool = False,  # int8 KV cache (ops/quant.py:quantize_kv)
 ) -> List[List[int]]:
@@ -664,7 +666,8 @@ def greedy_generate_batch(
             [jnp.reshape(v, (-1, v.shape[-1])) for v in vision_embeds])
 
     gen = _generate_fn(cfg, Tb, max_new_tokens, has_vision,
-                       int(eos_token_id), kv_quant=kv_quant)
+                       int(eos_token_id), kv_quant=kv_quant,
+                       attn_impl=attn_impl)
     toks, n = gen(params, jnp.asarray(ids), jnp.asarray(n_real), vis,
                   cos_all, sin_all)
     toks, n = np.asarray(toks), np.asarray(n)

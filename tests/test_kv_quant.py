@@ -178,3 +178,59 @@ def test_judge_kv_quant_wiring(chat, tmp_path):
     j = InternVLJudge(cfg.chat, params, _Tok(), kv_quant=True)
     assert j._gc().kv_quant is True
     assert InternVLJudge(cfg.chat, params, _Tok())._gc().kv_quant is False
+
+
+# ---------------------------------------------------------- flash prefill
+
+def test_flash_prefill_matches_xla_cached(chat):
+    """Cached generation with ``attn_impl="flash"`` (empty-cache prefill
+    through the Pallas kernel, interpret mode off-TPU) must reproduce the
+    cache-windowed XLA path's tokens, incl. a left-padded row."""
+    cfg, params = chat
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, 50, size=(2, 8)).astype(np.int32)
+    am = np.ones_like(ids)
+    ids[1, :2], am[1, :2] = 0, 0
+    gc = GenerationConfig(max_new_tokens=5, eos_token_id=-1, pad_token_id=0)
+    out_x = generate(params, cfg.chat, jnp.asarray(ids), jnp.asarray(am),
+                     generation_config=gc, attn_impl="xla")
+    out_f = generate(params, cfg.chat, jnp.asarray(ids), jnp.asarray(am),
+                     generation_config=gc, attn_impl="flash")
+    assert np.array_equal(np.asarray(out_x), np.asarray(out_f))
+
+
+def test_flash_prefill_hidden_matches_cache_window(chat):
+    """Prefill hidden states: fresh-token flash == whole-cache XLA bias."""
+    cfg, params = chat
+    lm, llm = params["language_model"], cfg.chat.llm
+    rng = np.random.default_rng(5)
+    T, extra = 8, 4
+    ids = rng.integers(1, 50, size=(1, T)).astype(np.int32)
+    emb = dec.embed_tokens(lm, jnp.asarray(ids))
+    slots = jnp.arange(T)[None]
+    mask = jnp.pad(jnp.ones((1, T), jnp.int32), ((0, 0), (0, extra)))
+    h_x, c_x = decoder_forward_cached(
+        lm, llm, emb, init_kv_cache(llm, 1, T + extra, dtype=jnp.float32),
+        slots, mask, attn_impl="xla")
+    h_f, c_f = decoder_forward_cached(
+        lm, llm, emb, init_kv_cache(llm, 1, T + extra, dtype=jnp.float32),
+        slots, mask, attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_x),
+                               atol=2e-5, rtol=1e-5)
+    # The cache write is identical regardless of the attention backend.
+    np.testing.assert_allclose(np.asarray(c_f.k), np.asarray(c_x.k),
+                               atol=1e-6)
+
+
+def test_cogvlm2_flash_prefill_matches_xla(cog_tiny):
+    from mjvideo_tpu.models.cogvlm2 import greedy_generate_batch
+
+    cfg, params = cog_tiny
+    rng = np.random.default_rng(1)
+    items = [_cog_item(cfg, rng, 2, [7, 8, 9]),
+             _cog_item(cfg, rng, 2, [9, 8, 7, 6])]
+    out_x = greedy_generate_batch(params, cfg, items, max_new_tokens=4,
+                                  eos_token_id=-1, attn_impl="xla")
+    out_f = greedy_generate_batch(params, cfg, items, max_new_tokens=4,
+                                  eos_token_id=-1, attn_impl="flash")
+    assert out_x == out_f
