@@ -74,30 +74,37 @@ def scatter_kv(k_cache, v_cache, k_scale, v_scale, k, v,
     safely reuse a right-padded prompt's pad slots (the scatter is
     additive; an unmasked pad write would corrupt).  When the cache is
     int8 (``k_scale is not None``) the fresh vectors quantize per
-    (slot, head) first; the one-hot einsum runs in fp32, where int8
-    values and their masked sums are exact, and each slot is written at
-    most once so the int8 add cannot overflow.
+    (slot, head) first; masked int8 values add exactly, and each slot
+    is written at most once per call so the int8 add cannot overflow.
+
+    Implementation: an indexed ``.at[rows, slots].add`` scatter, NOT a
+    one-hot einsum — the einsum costs O(S * max_len * Hkv * D) FLOPs
+    and materializes a full new cache buffer on EVERY call (for decode,
+    ~3x the cache's HBM traffic per layer per step: read + write the
+    whole cache for the add, read again for attention).  XLA lowers the
+    scatter onto the loop-carried cache buffer in place, so only the
+    written rows move.  Additive semantics are preserved exactly:
+    indices within a call are unique (prefill slots are distinct,
+    decode writes one fresh slot per row).
     """
     write_ok = jnp.take_along_axis(cache_mask, position_ids, axis=1)  # (B, S)
+    rows = jnp.arange(k_cache.shape[0])[:, None]  # (B, 1) -> bcast (B, S)
     quant = k_scale is not None
-    oh_dtype = jnp.float32 if quant else k.dtype
-    oh = jax.nn.one_hot(position_ids, k_cache.shape[1], dtype=oh_dtype)
-    oh = oh * write_ok[:, :, None].astype(oh_dtype)
     if quant:
         kq, ks = quantize_kv(k)
         vq, vs = quantize_kv(v)
-        # (B, S, max_len) x (B, S, Hkv, D) -> (B, max_len, Hkv, D)
-        k_cache = k_cache + jnp.einsum(
-            "bsm,bshd->bmhd", oh, kq.astype(jnp.float32)).astype(jnp.int8)
-        v_cache = v_cache + jnp.einsum(
-            "bsm,bshd->bmhd", oh, vq.astype(jnp.float32)).astype(jnp.int8)
-        k_scale = k_scale + jnp.einsum("bsm,bsh->bmh", oh, ks)
-        v_scale = v_scale + jnp.einsum("bsm,bsh->bmh", oh, vs)
+        ok8 = write_ok[:, :, None].astype(jnp.int8)
+        k_cache = k_cache.at[rows, position_ids].add(kq * ok8[..., None])
+        v_cache = v_cache.at[rows, position_ids].add(vq * ok8[..., None])
+        okf = write_ok.astype(jnp.float32)[:, :, None]
+        k_scale = k_scale.at[rows, position_ids].add(ks * okf)
+        v_scale = v_scale.at[rows, position_ids].add(vs * okf)
     else:
-        k_cache = k_cache + jnp.einsum("bsm,bshd->bmhd", oh,
-                                       k.astype(k_cache.dtype))
-        v_cache = v_cache + jnp.einsum("bsm,bshd->bmhd", oh,
-                                       v.astype(v_cache.dtype))
+        ok = write_ok[:, :, None, None].astype(k_cache.dtype)
+        k_cache = k_cache.at[rows, position_ids].add(
+            k.astype(k_cache.dtype) * ok)
+        v_cache = v_cache.at[rows, position_ids].add(
+            v.astype(v_cache.dtype) * ok)
     return k_cache, v_cache, k_scale, v_scale
 
 
