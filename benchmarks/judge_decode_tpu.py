@@ -16,15 +16,6 @@ sys.path.insert(0, ".")
 import numpy as np  # noqa: E402
 
 
-def greedy_generate_one(params, cfg, ids, pos, patches, grid, args):
-    from mjvideo_tpu.models.qwen2vl import greedy_generate_batch
-
-    return greedy_generate_batch(
-        params, cfg, [(ids, pos, patches, grid)],
-        max_new_tokens=args.new_tokens, eos_token_id=-1,
-        kv_quant=args.kv_quant)[0]
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--new-tokens", type=int, default=24)
@@ -50,6 +41,7 @@ def main():
         Qwen2VLConfig,
         build_video_prompt_ids,
         get_rope_index,
+        greedy_generate,
         init_qwen2vl_params,
         qwen2vl_forward,
     )
@@ -83,10 +75,14 @@ def main():
 
     # cached generation, end to end (vision + prefill + steps)
     t0 = time.perf_counter()
-    toks = greedy_generate_one(params, cfg, ids, pos, patches, grid, args)
+    toks = greedy_generate(params, cfg, ids, pos, pixel_patches=patches,
+                           grid=grid, max_new_tokens=args.new_tokens,
+                           eos_token_id=-1, kv_quant=args.kv_quant)
     compile_and_first = time.perf_counter() - t0
     t0 = time.perf_counter()
-    toks = greedy_generate_one(params, cfg, ids, pos, patches, grid, args)
+    toks = greedy_generate(params, cfg, ids, pos, pixel_patches=patches,
+                           grid=grid, max_new_tokens=args.new_tokens,
+                           eos_token_id=-1, kv_quant=args.kv_quant)
     cached = time.perf_counter() - t0
     print(f"cached decode: {cached*1e3:8.1f} ms total "
           f"({len(toks)} tokens, warm; first incl. compile "

@@ -167,7 +167,7 @@ def _make_judge(args):
         params = import_minicpmv_params(state, mcfg, dtype=jnp.bfloat16)
         return MiniCPMVJudge(mcfg, params, tok,
                              num_segments=args.num_segments, quant=args.quant,
-                            kv_quant=args.kv_quant)
+                             kv_quant=args.kv_quant)
     if args.judge == "cogvlm2":
         from ..models.cogvlm2 import (
             cogvlm2_config_from_hf,

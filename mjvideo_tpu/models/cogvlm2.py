@@ -560,11 +560,10 @@ def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
     v = qkv[..., Hq * hd + Hkv * hd:].reshape(B, S, Hkv, hd)
     q, k = apply_rope(q, k, cos, sin, rope_pos)
 
-    k_cache, v_cache, k_scale, v_scale = scatter_kv(
+    k_cache, v_cache, k_scale, v_scale, write_ok = scatter_kv(
         k_cache, v_cache, k_scale, v_scale, k, v, slots, cache_mask)
 
     if S > 1 and attn_impl != "xla":
-        write_ok = jnp.take_along_axis(cache_mask, slots, axis=1)
         attn = multi_head_attention(
             q, k, v, attention_mask=write_ok, causal=True,
             impl=attn_impl).reshape(B, S, Hq * hd)
@@ -730,13 +729,14 @@ def greedy_generate(
     pixel_values=None,
     max_new_tokens: int = 16,
     eos_token_id: Optional[int] = None,
-    attn_impl: str = "auto",  # kept for API compat
+    attn_impl: str = "auto",  # vision tower AND cached prefill backend
+    kv_quant: bool = False,  # int8 KV cache (ops/quant.py:quantize_kv)
 ) -> List[int]:
     """Single-prompt greedy decode (see ``greedy_generate_batch``)."""
     return greedy_generate_batch(
         params, cfg, [(input_ids, token_type_ids, pixel_values)],
         max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-        attn_impl=attn_impl)[0]
+        attn_impl=attn_impl, kv_quant=kv_quant)[0]
 
 
 @functools.partial(jax.jit, static_argnums=(1,),

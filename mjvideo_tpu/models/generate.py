@@ -86,6 +86,10 @@ def scatter_kv(k_cache, v_cache, k_scale, v_scale, k, v,
     written rows move.  Additive semantics are preserved exactly:
     indices within a call are unique (prefill slots are distinct,
     decode writes one fresh slot per row).
+
+    Returns the updated cache arrays plus ``write_ok`` (B, S) — each new
+    token's slot validity — so callers' attention masks use the exact
+    mask the write used.
     """
     write_ok = jnp.take_along_axis(cache_mask, position_ids, axis=1)  # (B, S)
     rows = jnp.arange(k_cache.shape[0])[:, None]  # (B, 1) -> bcast (B, S)
@@ -105,7 +109,7 @@ def scatter_kv(k_cache, v_cache, k_scale, v_scale, k, v,
             k.astype(k_cache.dtype) * ok)
         v_cache = v_cache.at[rows, position_ids].add(
             v.astype(v_cache.dtype) * ok)
-    return k_cache, v_cache, k_scale, v_scale
+    return k_cache, v_cache, k_scale, v_scale, write_ok
 
 
 def read_kv(k_cache, v_cache, k_scale, v_scale, dtype):
@@ -151,7 +155,7 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
     # through apply_rope's 3D branch; 2D tables gather by the cache slot.
     q, k = apply_rope(q, k, cos, sin, position_ids if cos.ndim == 2 else None)
 
-    k_cache, v_cache, k_scale, v_scale = scatter_kv(
+    k_cache, v_cache, k_scale, v_scale, write_ok = scatter_kv(
         k_cache, v_cache, k_scale, v_scale, k, v, position_ids, cache_mask)
 
     if S > 1 and attn_impl != "xla":
@@ -160,7 +164,6 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
         # paths and never read — last_real_token / EOS slotting).
         from ..ops.attention import multi_head_attention
 
-        write_ok = jnp.take_along_axis(cache_mask, position_ids, axis=1)
         attn = multi_head_attention(q, k, v, attention_mask=write_ok,
                                     causal=True, impl=attn_impl)
     else:

@@ -681,13 +681,14 @@ def greedy_generate(
     pixel_patches=None, grid=None,
     max_new_tokens: int = 16,
     eos_token_id: int = 151645,  # <|im_end|>
-    attn_impl: str = "auto",  # kept for API compat
+    attn_impl: str = "auto",  # vision tower AND cached prefill backend
+    kv_quant: bool = False,  # int8 KV cache (ops/quant.py:quantize_kv)
 ) -> List[int]:
     """Single-prompt greedy decode (see ``greedy_generate_batch``)."""
     return greedy_generate_batch(
         params, cfg, [(input_ids, position_ids, pixel_patches, grid)],
         max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
-        attn_impl=attn_impl)[0]
+        attn_impl=attn_impl, kv_quant=kv_quant)[0]
 
 
 _jit_vision = jax.jit(
