@@ -448,3 +448,45 @@ def test_tp_sharded_phi3_reward_matches_single_device():
         np.asarray(out.score), np.asarray(single.score), atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(out.rewards), np.asarray(single.rewards), atol=1e-4)
+
+
+def test_tp_sharded_cached_generation_matches_single_device():
+    """The cached decode loop (prefill + while-loop steps) under dp x tp.
+
+    Multi-chip judge serving shards the backbone by the Megatron rules;
+    the KV cache is created INSIDE the jit, so GSPMD must propagate the
+    head sharding from the qkv projections through the cache scatter,
+    the attention reads, and the while_loop carry.  Tokens must equal
+    the single-device decode — for the dense bf16 cache AND the int8
+    (kv_quant) cache, whose scale arrays add a second carried buffer.
+    """
+    from mjvideo_tpu.models.generate import GenerationConfig, generate
+    from mjvideo_tpu.models.internvl import init_chat_params
+
+    cfg = tiny_test_config()
+    ch = cfg.chat
+    params = init_chat_params(jax.random.PRNGKey(1), ch, with_lm_head=True)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 50, size=(2, 9)).astype(np.int32)
+    am = np.ones_like(ids)
+    ids[1, :2], am[1, :2] = 0, 0  # left-padded row
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shard_params(params, mesh, tp=True)
+    wq_spec = p_sh["language_model"]["layers"]["attention"]["wq"][
+        "kernel"].sharding.spec
+    assert "model" in str(wq_spec)
+
+    for kv_quant in (False, True):
+        gc = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                              pad_token_id=0, kv_quant=kv_quant)
+        single = generate(params, ch, jnp.asarray(ids), jnp.asarray(am),
+                          generation_config=gc)
+
+        @jax.jit
+        def gen(p, i, m):
+            return generate(p, ch, i, m, generation_config=gc)
+
+        sharded = gen(p_sh, jnp.asarray(ids), jnp.asarray(am))
+        assert np.array_equal(np.asarray(single), np.asarray(sharded)), \
+            f"kv_quant={kv_quant}"
