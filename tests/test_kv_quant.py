@@ -234,3 +234,31 @@ def test_cogvlm2_flash_prefill_matches_xla(cog_tiny):
     out_f = greedy_generate_batch(params, cfg, items, max_new_tokens=4,
                                   eos_token_id=-1, attn_impl="flash")
     assert out_x == out_f
+
+
+def test_internvl_judge_ask_e2e_kv_quant(chat, tmp_path):
+    """Full judge path on a real (synthetic) video: decode frames ->
+    vision embeds -> chat generation, with the int8 cache vs bf16 —
+    identical answer strings at tiny dims."""
+    import cv2
+
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.judges import InternVLJudge
+
+    cfg, params = chat
+    video = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                        (48, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(16):
+        w.write(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+    w.release()
+
+    tok = ByteTokenizer()
+    answers = [
+        InternVLJudge(cfg.chat, params, tok, num_segments=2,
+                      max_new_tokens=6, kv_quant=kvq).ask(
+            "Rate this video.", str(video))
+        for kvq in (False, True)
+    ]
+    assert isinstance(answers[0], str) and answers[0] == answers[1]
