@@ -256,7 +256,8 @@ class InternVLJudge:
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, attn_impl: Optional[str] = None,
-                 quant: Optional[str] = None, kv_quant: bool = False):
+                 quant: Optional[str] = None, kv_quant: bool = False,
+                 prefix_cache: bool = True, suffix_bucket: int = 128):
         self.cfg = cfg  # ChatConfig
         self.kv_quant = kv_quant
         self.params = _maybe_quantize(params, quant)  # chat params WITH lm head
@@ -265,6 +266,20 @@ class InternVLJudge:
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl or "auto"
         self._prep = _video_prep_cache(self._encode_video)
+        # Prefix KV caching: the rubric loop asks ~34 questions per video
+        # whose prompts share system + all image tokens (the bulk of the
+        # prompt) and differ only in the trailing question, so the shared
+        # prefix prefills ONCE per video and each question prefills only
+        # its suffix (models/generate.py: PrefixState).  Exactness is
+        # guarded token-by-token: if the tokenizer merges across the
+        # prefix/question boundary, or the suffix exceeds
+        # ``suffix_bucket``, the call falls back to the full prompt.
+        self.prefix_cache = prefix_cache
+        self.suffix_bucket = suffix_bucket
+        import functools
+
+        self._pstate = functools.lru_cache(maxsize=4)(self._prefix_state)
+        self._pids = functools.lru_cache(maxsize=4)(self._prefix_ids)
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -288,10 +303,134 @@ class InternVLJudge:
         return GenerationConfig(max_new_tokens=self.max_new_tokens,
                                 temperature=0.0, kv_quant=self.kv_quant)
 
+    # ---------------------------------------------------- prefix caching
+
+    def _eos_pad(self):
+        from ..data.conversation import get_template
+
+        template = get_template(self.cfg.template)
+        eos = self.tokenizer.convert_tokens_to_ids(template.sep.strip())
+        pad = getattr(self.tokenizer, "pad_token_id", None) \
+            or self.cfg.llm.pad_token_id
+        return eos, pad
+
+    def _prefix_ids(self, npl: tuple):
+        """Token ids of the prompt text shared by EVERY question about a
+        video with this tile layout: render two prompts with maximally
+        different sentinel captions and keep the common string prefix."""
+        from ..data.prompts import build_video_question, prepare_chat_input
+
+        texts = [
+            prepare_chat_input(
+                self.cfg, self.tokenizer, build_video_question(s, len(npl)),
+                num_patches_list=list(npl), require_gating=False,
+            ).prompt
+            for s in ("0", "Z")
+        ]
+        n = min(len(texts[0]), len(texts[1]))
+        i = 0
+        while i < n and texts[0][i] == texts[1][i]:
+            i += 1
+        enc = self.tokenizer(texts[0][:i])
+        return tuple(int(t) for t in enc["input_ids"])
+
+    def _suffix_split(self, prompt: str, npl: tuple):
+        """(suffix token ids) or None when prefix reuse would be inexact:
+        the tokenizer merged across the boundary, or the suffix exceeds
+        the bucket the cached state was sized for."""
+        from ..data.prompts import build_video_question, prepare_chat_input
+
+        prefix_ids = self._pids(npl)
+        chat_in = prepare_chat_input(
+            self.cfg, self.tokenizer,
+            build_video_question(prompt, len(npl)),
+            num_patches_list=list(npl), require_gating=False,
+        )
+        full = [int(t) for t in chat_in.input_ids[0]]
+        P = len(prefix_ids)
+        if tuple(full[:P]) != prefix_ids:
+            return None
+        suffix = full[P:]
+        if not suffix or len(suffix) > self.suffix_bucket:
+            return None
+        return suffix
+
+    def _prefix_state(self, video_path: str):
+        """Prefill the shared prefix once per video (LRU-cached)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.generate import (
+            prefill_prefix_jitted,
+            round_up_bucket,
+        )
+
+        vis, npl = self._prep(video_path)
+        prefix_ids = self._pids(tuple(npl))
+        _, pad = self._eos_pad()
+        P = len(prefix_ids)
+        Pb = round_up_bucket(P)
+        ids = np.full((1, Pb), pad, np.int32)
+        ids[0, :P] = prefix_ids
+        mask = np.zeros((1, Pb), np.int32)
+        mask[0, :P] = 1
+        return prefill_prefix_jitted(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
+            max_len=Pb + self.suffix_bucket + self.max_new_tokens,
+            vision_embeds=vis, attn_impl=self.attn_impl,
+            kv_quant=self.kv_quant,
+        )
+
+    def _ask_prefix(self, prompt: str, video_paths) -> Optional[List[str]]:
+        """Suffix-only generation against cached prefixes; None = caller
+        must fall back to the full-prompt path."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.generate import (
+            generate_from_prefix_jitted,
+            stack_prefix_states,
+        )
+
+        npls = [tuple(self._prep(p)[1]) for p in video_paths]
+        if len(set(npls)) != 1:
+            return None  # different tile layouts -> different prefixes
+        suffix = self._suffix_split(prompt, npls[0])
+        if suffix is None:
+            return None
+        states = [self._pstate(p) for p in video_paths]
+        state = states[0] if len(states) == 1 else \
+            stack_prefix_states(states)
+        eos, pad = self._eos_pad()
+        B, Sb = len(video_paths), self.suffix_bucket
+        sids = np.full((B, Sb), pad, np.int32)
+        sids[:, : len(suffix)] = suffix
+        smask = np.zeros((B, Sb), np.int32)
+        smask[:, : len(suffix)] = 1
+        gc = self._gc()._replace(eos_token_id=eos, pad_token_id=pad)
+        out = np.asarray(generate_from_prefix_jitted(
+            self.params, self.cfg, state, jnp.asarray(sids),
+            jnp.asarray(smask), generation_config=gc,
+        ))
+        responses = []
+        for row in out:
+            toks = [int(t) for t in row]
+            if eos in toks:
+                toks = toks[: toks.index(eos)]
+            responses.append(self.tokenizer.decode(toks) if hasattr(
+                self.tokenizer, "decode") else toks)
+        return responses
+
+    # ------------------------------------------------------- public API
+
     def ask(self, prompt: str, video_path: str) -> str:
         from ..data.prompts import build_video_question
         from ..models.generate import chat
 
+        if self.prefix_cache:
+            resp = self._ask_prefix(prompt, [video_path])
+            if resp is not None:
+                return resp[0]
         vis, num_patches_list = self._prep(video_path)
         question = build_video_question(prompt, len(num_patches_list))
         response, _ = chat(
@@ -309,6 +448,10 @@ class InternVLJudge:
         from ..data.prompts import build_video_question
         from ..models.generate import batch_chat
 
+        if self.prefix_cache:
+            resp = self._ask_prefix(prompt, list(video_paths))
+            if resp is not None:
+                return resp
         preps = [self._prep(p) for p in video_paths]
         questions = [build_video_question(prompt, len(npl))
                      for _, npl in preps]

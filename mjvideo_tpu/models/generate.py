@@ -420,18 +420,27 @@ def generate(
         hidden, last_idx[:, None, None], axis=1
     )[:, 0]
     logits = dec.lm_logits(lm, last_hidden)
+    # Generated token i lives at per-row slot start+i, which is both its
+    # cache slot and its RoPE position: it continues the prompt's
+    # slot-indexed positions seamlessly for left-padded rows (start == T)
+    # and right-padded rows (start == n_real; the pad slots hold no K/V
+    # thanks to the masked cache writes above).
+    return _decode_from_logits(lm, llm_cfg, gc, logits, cache, cache_mask0,
+                               last_idx + 1, rng)
+
+
+def _decode_from_logits(lm, llm_cfg: LLMConfig, gc: GenerationConfig,
+                        logits, cache, cache_mask, start, rng):
+    """Sample-and-extend loop shared by ``generate`` and
+    ``generate_from_prefix``: ``logits`` (B, V) for the last real prompt
+    token, ``start`` (B,) the first free cache slot per row."""
+    B = logits.shape[0]
     rng, key = jax.random.split(rng)
     next_tok = _sample(logits, gc, key)
 
     out0 = jnp.full((B, gc.max_new_tokens), gc.pad_token_id, jnp.int32)
     out0 = out0.at[:, 0].set(next_tok.astype(jnp.int32))
     finished0 = next_tok == gc.eos_token_id
-    # Generated token i lives at per-row slot start+i, which is both its
-    # cache slot and its RoPE position: it continues the prompt's
-    # slot-indexed positions seamlessly for left-padded rows (start == T)
-    # and right-padded rows (start == n_real; the pad slots hold no K/V
-    # thanks to the masked cache writes above).
-    start = last_idx + 1  # (B,)
     rows = jnp.arange(B)
 
     def cond(state):
@@ -455,9 +464,135 @@ def generate(
         finished = finished | (nxt == gc.eos_token_id)
         return step + 1, out, cache, finished, mask, rng
 
-    state = (0, out0, cache, finished0, cache_mask0, rng)
+    state = (0, out0, cache, finished0, cache_mask, rng)
     _, out, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return out
+
+
+class PrefixState(NamedTuple):
+    """A prompt prefix prefilled once, continued by many suffixes.
+
+    The judge workload asks ~34 rubric questions per video
+    (``eval/judges.py: run_fine_grained_benchmark``); every prompt
+    shares system + "Frame{i}: <image>..." — the image tokens dominate
+    (e.g. 2048 of ~2112) — and differs only in the trailing question.
+    Prefill that shared prefix ONCE into a cache sized for the longest
+    suffix + decode budget, then each question prefills only its suffix
+    (``generate_from_prefix``).  The reference re-runs the full prompt
+    per question (swift ``inference``); prefix caching is the standard
+    production-serving answer.  Fields: ``cache`` with slots
+    [0, n_prefix) filled, ``cache_mask`` (B, max_len) marking them, and
+    ``n_prefix`` (B,) real prefix lengths (prefixes are right-padded).
+    """
+
+    cache: KVCache
+    cache_mask: jnp.ndarray
+    n_prefix: jnp.ndarray
+
+
+def prefill_prefix(
+    params, cfg: ChatConfig,
+    input_ids: jnp.ndarray,  # (B, P) RIGHT-padded prefix tokens
+    attention_mask: jnp.ndarray,  # (B, P)
+    max_len: int,  # P + longest-suffix bucket + max_new_tokens
+    pixel_values: Optional[jnp.ndarray] = None,
+    vision_embeds: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+    kv_quant: bool = False,
+) -> PrefixState:
+    """Prefill a shared prompt prefix (no logits; the prefix never ends
+    a prompt).  The prefix enters an EMPTY cache, so the flash prefill
+    path applies; suffix continuations must NOT (see
+    ``generate_from_prefix``)."""
+    lm = params["language_model"]
+    B, P = input_ids.shape
+    embeds = dec.embed_tokens(lm, input_ids)
+    if vision_embeds is None and pixel_values is not None:
+        vision_embeds = extract_feature(params, cfg, pixel_values,
+                                        attn_impl=attn_impl, remat=False)
+    if vision_embeds is not None:
+        embeds = scatter_image_embeds(
+            embeds, input_ids, vision_embeds, cfg.img_context_token_id
+        )
+    slot_ids = jnp.broadcast_to(jnp.arange(P)[None], (B, P))
+    cache = init_kv_cache(cfg.llm, B, max_len, dtype=embeds.dtype,
+                          quant=kv_quant)
+    cache_mask = jnp.pad(attention_mask, ((0, 0), (0, max_len - P)))
+    _, cache = decoder_forward_cached(
+        lm, cfg.llm, embeds, cache, slot_ids, cache_mask,
+        attn_impl=attn_impl,
+    )
+    return PrefixState(cache, cache_mask,
+                       jnp.sum(attention_mask, axis=-1).astype(jnp.int32))
+
+
+def generate_from_prefix(
+    params, cfg: ChatConfig,
+    state: PrefixState,
+    suffix_ids: jnp.ndarray,  # (B, S) RIGHT-padded suffix tokens
+    suffix_mask: jnp.ndarray,  # (B, S)
+    generation_config: GenerationConfig = GenerationConfig(),
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Continue a cached prefix with a per-question suffix, then decode.
+
+    The suffix occupies slots [n_prefix, n_prefix + s_real) — contiguous
+    with the prefix, so RoPE positions and causality are IDENTICAL to
+    prefilling the whole prompt at once.  Suffix attention must read the
+    non-empty cache, hence the windowed ``attn_impl="xla"`` path (the
+    flash prefill's empty-cache contract does not hold here); suffixes
+    are short, so the S x max_len bias is cheap.  ``kv_quant`` is
+    inherited from the state's cache dtype.
+    """
+    gc = generation_config
+    lm = params["language_model"]
+    B, S = suffix_ids.shape
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    emb = dec.embed_tokens(lm, suffix_ids)
+    slots = state.n_prefix[:, None] + jnp.arange(S)[None]  # (B, S)
+    rows = jnp.arange(B)[:, None]
+    # Mark the suffix's real slots valid (disjoint from prefix slots and
+    # currently zero, so the add is a set).
+    cache_mask = state.cache_mask.at[rows, slots].add(
+        suffix_mask.astype(state.cache_mask.dtype))
+    hidden, cache = decoder_forward_cached(
+        lm, cfg.llm, emb, state.cache, slots, cache_mask, attn_impl="xla"
+    )
+    s_real = jnp.sum(suffix_mask, axis=-1)  # right-padded suffix
+    last_hidden = jnp.take_along_axis(
+        hidden, (s_real - 1)[:, None, None], axis=1
+    )[:, 0]
+    logits = dec.lm_logits(lm, last_hidden)
+    return _decode_from_logits(lm, cfg.llm, gc, logits, cache, cache_mask,
+                               state.n_prefix + s_real, rng)
+
+
+prefill_prefix_jitted = jax.jit(
+    prefill_prefix, static_argnums=(1,),
+    static_argnames=("max_len", "attn_impl", "kv_quant"))
+
+generate_from_prefix_jitted = jax.jit(
+    generate_from_prefix, static_argnums=(1,),
+    static_argnames=("generation_config",))
+
+
+def stack_prefix_states(states) -> PrefixState:
+    """Batch B=1 prefix states into one (e.g. a preference pair's two
+    videos) — rows are independent, so concatenation on the batch axis
+    is exact.  All states must share max_len (same bucket)."""
+    def cat(axis):
+        def go(*xs):
+            return None if xs[0] is None else jnp.concatenate(xs, axis=axis)
+        return go
+
+    caches = [s.cache for s in states]
+    cache = jax.tree.map(cat(1), *caches)  # (L, B, ...) arrays
+    return PrefixState(
+        cache=cache,
+        cache_mask=jnp.concatenate([s.cache_mask for s in states], axis=0),
+        n_prefix=jnp.concatenate([s.n_prefix for s in states], axis=0),
+    )
 
 
 # One executable per (cfg, generation_config, attn_impl, shapes): callers

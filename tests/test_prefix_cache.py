@@ -1,0 +1,150 @@
+"""Prefix KV caching: suffix-only generation must be exact vs the full
+prompt, and the InternVL judge's rubric loop must produce identical
+answers with and without the cached prefix (incl. the guarded fallbacks).
+
+The reference re-runs the full prompt for each of the ~34 rubric
+questions per video (swift ``inference`` per call); prefix caching is
+capability on top — exactness is the bar.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjvideo_tpu.configs import tiny_test_config
+from mjvideo_tpu.models.generate import (
+    GenerationConfig,
+    generate,
+    generate_from_prefix,
+    prefill_prefix,
+    stack_prefix_states,
+)
+from mjvideo_tpu.models.internvl import init_chat_params
+
+
+@pytest.fixture(scope="module")
+def chat():
+    cfg = tiny_test_config()
+    params = init_chat_params(jax.random.PRNGKey(1), cfg.chat,
+                              with_lm_head=True)
+    return cfg, params
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_split_prefill_matches_full_prompt(chat, kv_quant):
+    """prefix prefill + suffix continuation == one full-prompt generate,
+    with bucketed (right-padded) prefix AND suffix."""
+    cfg, params = chat
+    ch = cfg.chat
+    rng = np.random.default_rng(0)
+    full = rng.integers(1, 50, size=(1, 14)).astype(np.int32)
+    am = np.ones_like(full)
+    gc = GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=0,
+                          kv_quant=kv_quant)
+    ref = np.asarray(generate(params, ch, jnp.asarray(full),
+                              jnp.asarray(am), generation_config=gc))
+
+    P = 9
+    pre = np.pad(full[:, :P], ((0, 0), (0, 1)))  # bucket 9 -> 10
+    pam = np.pad(am[:, :P], ((0, 0), (0, 1)))
+    suf = np.pad(full[:, P:], ((0, 0), (0, 2)))  # bucket 5 -> 7
+    sam = np.pad(am[:, P:], ((0, 0), (0, 2)))
+    st = prefill_prefix(params, ch, jnp.asarray(pre), jnp.asarray(pam),
+                        max_len=10 + 7 + gc.max_new_tokens,
+                        kv_quant=kv_quant)
+    out = np.asarray(generate_from_prefix(
+        params, ch, st, jnp.asarray(suf), jnp.asarray(sam),
+        generation_config=gc))
+    assert np.array_equal(ref, out)
+
+
+def test_stacked_prefix_pair_matches_per_row(chat):
+    """judge_pair's shape: two videos' B=1 prefix states stacked, one
+    shared question suffix — rows must equal their standalone decodes."""
+    cfg, params = chat
+    ch = cfg.chat
+    rng = np.random.default_rng(1)
+    gc = GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=0)
+    fulls = [rng.integers(1, 50, size=(1, 14)).astype(np.int32)
+             for _ in range(2)]
+    # shared suffix (same question), different prefixes (the videos)
+    fulls[1][:, 9:] = fulls[0][:, 9:]
+    refs, states = [], []
+    for f in fulls:
+        am = np.ones_like(f)
+        refs.append(np.asarray(generate(params, ch, jnp.asarray(f),
+                                        jnp.asarray(am),
+                                        generation_config=gc)))
+        pre = np.pad(f[:, :9], ((0, 0), (0, 1)))
+        pam = np.pad(am[:, :9], ((0, 0), (0, 1)))
+        states.append(prefill_prefix(
+            params, ch, jnp.asarray(pre), jnp.asarray(pam),
+            max_len=10 + 7 + gc.max_new_tokens))
+    st = stack_prefix_states(states)
+    suf = np.concatenate([np.pad(f[:, 9:], ((0, 0), (0, 2)))
+                          for f in fulls])
+    sam = np.tile(np.pad(np.ones((1, 5), np.int32), ((0, 0), (0, 2))),
+                  (2, 1))
+    out = np.asarray(generate_from_prefix(
+        params, ch, st, jnp.asarray(suf), jnp.asarray(sam),
+        generation_config=gc))
+    assert np.array_equal(out[0:1], refs[0])
+    assert np.array_equal(out[1:2], refs[1])
+
+
+# ------------------------------------------------------- judge integration
+
+def _write_video(path, seed, frames=12, size=48):
+    import cv2
+
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                        (size, size))
+    rng = np.random.default_rng(seed)
+    for _ in range(frames):
+        w.write(rng.integers(0, 255, (size, size, 3), dtype=np.uint8))
+    w.release()
+
+
+@pytest.fixture(scope="module")
+def judge_setup(chat, tmp_path_factory):
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+
+    cfg, params = chat
+    root = tmp_path_factory.mktemp("vids")
+    v1, v2 = root / "a.mp4", root / "b.mp4"
+    _write_video(v1, 0)
+    _write_video(v2, 1)
+    return cfg, params, ByteTokenizer(), str(v1), str(v2)
+
+
+def _mk(judge_setup, **kw):
+    from mjvideo_tpu.eval.judges import InternVLJudge
+
+    cfg, params, tok, v1, v2 = judge_setup
+    return InternVLJudge(cfg.chat, params, tok, num_segments=2,
+                         max_new_tokens=6, **kw), v1, v2
+
+
+def test_judge_ask_prefix_cached_matches_full(judge_setup):
+    j_on, v1, _ = _mk(judge_setup, prefix_cache=True)
+    j_off, _, _ = _mk(judge_setup, prefix_cache=False)
+    for q in ("Rate the coherence.", "Rate the alignment of this video."):
+        assert j_on.ask(q, v1) == j_off.ask(q, v1)
+    # second question reused the cached prefix state
+    assert j_on._pstate.cache_info().hits >= 1
+
+
+def test_judge_ask_batch_prefix_cached_matches_full(judge_setup):
+    j_on, v1, v2 = _mk(judge_setup, prefix_cache=True)
+    j_off, _, _ = _mk(judge_setup, prefix_cache=False)
+    q = "Which is better?"
+    assert j_on.ask_batch(q, [v1, v2]) == j_off.ask_batch(q, [v1, v2])
+
+
+def test_judge_prefix_fallback_when_suffix_exceeds_bucket(judge_setup):
+    j_tiny, v1, _ = _mk(judge_setup, prefix_cache=True, suffix_bucket=4)
+    j_off, _, _ = _mk(judge_setup, prefix_cache=False)
+    q = "A question much longer than four tokens for certain."
+    assert j_tiny._ask_prefix(q, [v1]) is None  # guard triggers
+    assert j_tiny.ask(q, v1) == j_off.ask(q, v1)  # fallback exact
