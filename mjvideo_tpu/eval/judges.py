@@ -476,7 +476,8 @@ class Qwen2VLJudge(_GreedyLocalJudge):
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, max_pixels: int = 360 * 420,
                  attn_impl: Optional[str] = None,
-                 quant: Optional[str] = None, kv_quant: bool = False):
+                 quant: Optional[str] = None, kv_quant: bool = False,
+                 prefix_cache: bool = True, suffix_bucket: int = 128):
         self.cfg = cfg  # Qwen2VLConfig
         self.kv_quant = kv_quant
         self.params = _maybe_quantize(params, quant)
@@ -486,6 +487,88 @@ class Qwen2VLJudge(_GreedyLocalJudge):
         self.max_pixels = max_pixels
         self.attn_impl = attn_impl or "auto"
         self._prep = _video_prep_cache(self._encode_video)
+        # Prefix KV caching (see InternVLJudge): the ChatML prefix
+        # (system + user header + the whole vision block) is identical
+        # for every question about a video and split exactly by
+        # construction (build_video_prompt_prefix_suffix), so it
+        # prefills once per video; M-RoPE tables for all slots are part
+        # of the cached state (question suffixes are text-only, so
+        # their positions continue the prefix deterministically).
+        self.prefix_cache = prefix_cache
+        self.suffix_bucket = suffix_bucket
+        import functools
+
+        self._pstate = functools.lru_cache(maxsize=4)(self._prefix_state)
+
+    def _prefix_state(self, video_path: str):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.generate import round_up_bucket
+        from ..models.qwen2vl import (
+            _prefix_fn,
+            build_video_prompt_prefix_suffix,
+            get_rope_index,
+            mrope_cos_sin,
+        )
+
+        vis, grid = self._prep(video_path)
+        prefix, _ = build_video_prompt_prefix_suffix(
+            self.tokenizer, self.cfg, grid, "")
+        P = len(prefix)
+        Pb = round_up_bucket(P)
+        max_len = Pb + self.suffix_bucket + self.max_new_tokens
+        ids = np.full((1, Pb), self.cfg.text.pad_token_id, np.int64)
+        ids[0, :P] = prefix
+        pos_p, _ = get_rope_index(ids[:, :P], [grid], self.cfg)  # (3, 1, P)
+        pos_all = np.zeros((3, 1, max_len), np.int64)
+        pos_all[:, 0, :P] = pos_p[:, 0]
+        pos_all[:, 0, P:] = pos_p.max() + 1 + np.arange(max_len - P)
+        cos_all, sin_all = mrope_cos_sin(jnp.asarray(pos_all), self.cfg)
+        fn = _prefix_fn(self.cfg, Pb, max_len, self.kv_quant,
+                        self.attn_impl)
+        cache, mask = fn(self.params, jnp.asarray(ids, jnp.int32),
+                         jnp.asarray([P], jnp.int32),
+                         jnp.reshape(vis, (-1, vis.shape[-1])),
+                         cos_all, sin_all)
+        return cache, mask, P, max_len, cos_all, sin_all
+
+    def _ask_prefix(self, prompt: str, video_paths) -> Optional[List[str]]:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.qwen2vl import (
+            _suffix_fn,
+            build_video_prompt_prefix_suffix,
+        )
+
+        grids = [self._prep(p)[1] for p in video_paths]
+        if len(set(grids)) != 1:
+            return None  # different grids -> different prefixes
+        _, suffix = build_video_prompt_prefix_suffix(
+            self.tokenizer, self.cfg, grids[0], prompt)
+        if not suffix or len(suffix) > self.suffix_bucket:
+            return None
+        states = [self._pstate(p) for p in video_paths]
+        P, max_len = states[0][2], states[0][3]
+        cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                             *[s[0] for s in states])
+        mask = jnp.concatenate([s[1] for s in states], axis=0)
+        cos_all = jnp.concatenate([s[4] for s in states], axis=0)
+        sin_all = jnp.concatenate([s[5] for s in states], axis=0)
+        B, Sb = len(video_paths), self.suffix_bucket
+        sids = np.full((B, Sb), self.cfg.text.pad_token_id, np.int32)
+        sids[:, : len(suffix)] = suffix
+        fn = _suffix_fn(self.cfg, Sb, self.max_new_tokens, max_len,
+                        int(self.cfg.im_end_token_id))
+        toks, n = fn(self.params, cache, mask,
+                     jnp.full((B,), P, jnp.int32), jnp.asarray(sids),
+                     jnp.full((B,), len(suffix), jnp.int32),
+                     cos_all, sin_all)
+        toks, n = np.asarray(toks), np.asarray(n)
+        return [self._decode([int(t) for t in toks[b, : n[b]]])
+                for b in range(B)]
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -514,6 +597,10 @@ class Qwen2VLJudge(_GreedyLocalJudge):
             greedy_generate_batch,
         )
 
+        if self.prefix_cache:
+            resp = self._ask_prefix(prompt, list(video_paths))
+            if resp is not None:
+                return resp
         preps = [self._prep(p) for p in video_paths]
         items = []
         for _, grid in preps:

@@ -614,6 +614,98 @@ def _generate_fn(cfg: Qwen2VLConfig, Tb: int, max_new: int,
     return gen
 
 
+@functools.lru_cache(maxsize=8)
+def _prefix_fn(cfg: Qwen2VLConfig, Pb: int, max_len: int,
+               kv_quant: bool, attn_impl: str):
+    """Compiled prefix prefill: the vision block + headers enter an empty
+    cache once per video (no logits — the prefix never ends a prompt)."""
+    from .generate import (
+        decoder_forward_cached,
+        init_kv_cache,
+        prefill_slot_mask,
+    )
+
+    @jax.jit
+    def fn(params, ids, n_real, vis, cos_all, sin_all):
+        lm = params["language_model"]
+        B = ids.shape[0]
+        embeds = dec.embed_tokens(lm, ids)
+        marker = jnp.logical_or(ids == cfg.image_token_id,
+                                ids == cfg.video_token_id)
+        embeds = scatter_image_embeds(
+            embeds, jnp.where(marker, cfg.video_token_id, 0), vis[None],
+            cfg.video_token_id)
+        cache = init_kv_cache(cfg.text, B, max_len,
+                              dtype=lm["tok_embeddings"].dtype,
+                              quant=kv_quant)
+        slots, mask = prefill_slot_mask(Pb, max_len, n_real)
+        _, cache = decoder_forward_cached(
+            lm, cfg.text, embeds, cache, slots, mask,
+            rope_override=(cos_all[:, :Pb], sin_all[:, :Pb]),
+            attn_impl=attn_impl)
+        return cache, mask
+
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def _suffix_fn(cfg: Qwen2VLConfig, Sb: int, max_new: int, max_len: int,
+               eos: int):
+    """Compiled suffix continuation + decode against a cached prefix.
+
+    Suffix slots are [n_prefix, n_prefix + s_real) — contiguous with the
+    prefix, so M-RoPE positions (gathered from the precomputed per-video
+    tables) and slot causality equal the one-shot prompt.  Attention must
+    read the non-empty cache, hence ``attn_impl="xla"`` (the flash
+    prefill's empty-cache contract does not hold mid-cache)."""
+    from .generate import (
+        decoder_forward_cached,
+        greedy_decode_batch,
+        last_real_token,
+        step_slot_mask,
+    )
+
+    @jax.jit
+    def fn(params, cache, pmask, n_prefix, sids, s_real, cos_all, sin_all):
+        lm = params["language_model"]
+        B = sids.shape[0]
+        emb = dec.embed_tokens(lm, sids)
+        slots = n_prefix[:, None] + jnp.arange(Sb)[None]  # (B, Sb)
+        span = jnp.arange(max_len)[None]
+        valid = (span >= n_prefix[:, None]) \
+            & (span < (n_prefix + s_real)[:, None])
+        mask = jnp.maximum(pmask, valid.astype(pmask.dtype))
+        idx = jnp.broadcast_to(slots[:, :, None],
+                               (B, Sb, cos_all.shape[-1]))
+        rope = (jnp.take_along_axis(cos_all, idx, axis=1),
+                jnp.take_along_axis(sin_all, idx, axis=1))
+        hidden, cache = decoder_forward_cached(
+            lm, cfg.text, emb, cache, slots, mask, rope_override=rope,
+            attn_impl="xla")
+        logits0 = lm_logits(params, cfg,
+                            last_real_token(hidden, s_real))[:, 0]
+        n_total = n_prefix + s_real
+
+        def step(params, tok, i, cache):
+            e = dec.embed_tokens(params["language_model"], tok[:, None])
+            # prefix + suffix occupy the contiguous [0, n_total), so the
+            # standard step mask [0, n_total + i + 1) is exact.
+            s, m = step_slot_mask(max_len, n_total, i)
+            gidx = (n_total + i)[:, None, None]
+            gidx = jnp.broadcast_to(gidx, (B, 1, cos_all.shape[-1]))
+            c = jnp.take_along_axis(cos_all, gidx, axis=1)
+            sn = jnp.take_along_axis(sin_all, gidx, axis=1)
+            h, cache = decoder_forward_cached(
+                params["language_model"], cfg.text, e, cache, s, m,
+                rope_override=(c, sn))
+            return lm_logits(params, cfg, h)[:, 0], cache
+
+        return greedy_decode_batch(step, params, logits0, cache, max_new,
+                                   eos)
+
+    return fn
+
+
 def greedy_generate_batch(
     params, cfg: Qwen2VLConfig,
     items,  # sequence of (input_ids (1,T), position_ids (3,1,T),
@@ -759,12 +851,17 @@ def preprocess_video_frames(
     return patches.reshape(gt * gh * gw, cfg.patch_dim), (gt, gh, gw)
 
 
-def build_video_prompt_ids(
+def build_video_prompt_prefix_suffix(
     tokenizer, cfg: Qwen2VLConfig, grid: Tuple[int, int, int], prompt: str,
-) -> np.ndarray:
-    """ChatML ids for one video + text prompt (Qwen2-VL chat template):
-    system, then <|vision_start|> video_pad x (t*h*w/m^2) <|vision_end|>
-    followed by the text."""
+) -> Tuple[list, list]:
+    """The ChatML video prompt split at the question boundary.
+
+    The prefix (system + user header + the whole vision block) is
+    IDENTICAL for every question about a video with this grid, and the
+    pieces are encoded separately before concatenation — so the split
+    is exact by construction, with no BPE merge across the boundary.
+    ``build_video_prompt_ids`` is their concatenation; the prefix-KV
+    judge path prefills the prefix once per video."""
     m2 = cfg.vision.spatial_merge_size**2
     n_video = (grid[0] * grid[1] * grid[2]) // m2
 
@@ -774,14 +871,27 @@ def build_video_prompt_ids(
         return encode_text(tokenizer, s)
 
     nl = enc("\n")
-    ids = (
+    prefix = (
         [cfg.im_start_token_id] + enc("system") + nl
         + enc("You are a helpful assistant.") + [cfg.im_end_token_id] + nl
         + [cfg.im_start_token_id] + enc("user") + nl
         + [cfg.vision_start_token_id]
         + [cfg.video_token_id] * n_video
         + [cfg.vision_end_token_id]
-        + enc(prompt) + [cfg.im_end_token_id] + nl
+    )
+    suffix = (
+        enc(prompt) + [cfg.im_end_token_id] + nl
         + [cfg.im_start_token_id] + enc("assistant") + nl
     )
-    return np.asarray([ids], np.int32)
+    return prefix, suffix
+
+
+def build_video_prompt_ids(
+    tokenizer, cfg: Qwen2VLConfig, grid: Tuple[int, int, int], prompt: str,
+) -> np.ndarray:
+    """ChatML ids for one video + text prompt (Qwen2-VL chat template):
+    system, then <|vision_start|> video_pad x (t*h*w/m^2) <|vision_end|>
+    followed by the text."""
+    prefix, suffix = build_video_prompt_prefix_suffix(
+        tokenizer, cfg, grid, prompt)
+    return np.asarray([prefix + suffix], np.int32)

@@ -148,3 +148,49 @@ def test_judge_prefix_fallback_when_suffix_exceeds_bucket(judge_setup):
     q = "A question much longer than four tokens for certain."
     assert j_tiny._ask_prefix(q, [v1]) is None  # guard triggers
     assert j_tiny.ask(q, v1) == j_off.ask(q, v1)  # fallback exact
+
+
+# --------------------------------------------------------------- qwen2vl
+
+def test_qwen2vl_prefix_suffix_split_is_the_full_prompt():
+    from test_batched_generate import qwen_tiny as _qt  # noqa: F811
+
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.models.qwen2vl import (
+        build_video_prompt_ids,
+        build_video_prompt_prefix_suffix,
+    )
+
+    cfg, _ = _qt.__wrapped__()
+    tok = ByteTokenizer()
+    grid = (2, 4, 4)
+    pre, suf = build_video_prompt_prefix_suffix(tok, cfg, grid, "Rate it.")
+    full = build_video_prompt_ids(tok, cfg, grid, "Rate it.")
+    assert pre + suf == [int(t) for t in full[0]]
+    # the prefix is question-independent
+    pre2, _ = build_video_prompt_prefix_suffix(tok, cfg, grid, "Other?")
+    assert pre2 == pre
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_qwen2vl_judge_prefix_matches_full(tmp_path, kv_quant):
+    from test_batched_generate import qwen_tiny as _qt  # noqa: F811
+
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.judges import Qwen2VLJudge
+
+    cfg, params = _qt.__wrapped__()
+    v1, v2 = tmp_path / "a.mp4", tmp_path / "b.mp4"
+    _write_video(v1, 0, size=32)
+    _write_video(v2, 1, size=32)
+    kw = dict(num_segments=2, max_new_tokens=5, attn_impl="xla",
+              kv_quant=kv_quant, max_pixels=32 * 32)
+    j_on = Qwen2VLJudge(cfg, params, ByteTokenizer(), prefix_cache=True,
+                        **kw)
+    j_off = Qwen2VLJudge(cfg, params, ByteTokenizer(), prefix_cache=False,
+                         **kw)
+    for q in ("Rate the coherence.", "Rate the alignment."):
+        assert j_on.ask(q, str(v1)) == j_off.ask(q, str(v1))
+    assert j_on.ask_batch("Which wins?", [str(v1), str(v2)]) == \
+        j_off.ask_batch("Which wins?", [str(v1), str(v2)])
+    assert j_on._pstate.cache_info().hits >= 1
