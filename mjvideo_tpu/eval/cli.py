@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "decode-bound serving, no activation error); "
                         "'int4-wo' = weight-only int4, group-128 scales "
                         "(fits 26B-class judges on one 16GB chip)")
+    p.add_argument("--no-prefix-cache", action="store_true",
+                   help="disable per-video prefix KV caching in the "
+                        "local judges (on by default: the shared "
+                        "system+vision prompt prefix prefills once per "
+                        "video; exactness-guarded with a full-prompt "
+                        "fallback)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache for judge generation: per-slot-"
                         "per-head scales halve cache HBM — what bounds "
@@ -152,7 +158,8 @@ def _make_judge(args):
         params = import_qwen2vl_params(state, qcfg, dtype=jnp.bfloat16)
         return Qwen2VLJudge(qcfg, params, tok,
                             num_segments=args.num_segments, quant=args.quant,
-                            kv_quant=args.kv_quant)
+                            kv_quant=args.kv_quant,
+                            prefix_cache=not args.no_prefix_cache)
     if args.judge == "minicpm-v":
         from ..models.minicpmv import (
             import_minicpmv_params,
@@ -167,7 +174,8 @@ def _make_judge(args):
         params = import_minicpmv_params(state, mcfg, dtype=jnp.bfloat16)
         return MiniCPMVJudge(mcfg, params, tok,
                              num_segments=args.num_segments, quant=args.quant,
-                             kv_quant=args.kv_quant)
+                             kv_quant=args.kv_quant,
+                            prefix_cache=not args.no_prefix_cache)
     if args.judge == "cogvlm2":
         from ..models.cogvlm2 import (
             cogvlm2_config_from_hf,
@@ -182,7 +190,8 @@ def _make_judge(args):
         params = import_cogvlm2_params(state, ccfg, dtype=jnp.bfloat16)
         return CogVLM2Judge(ccfg, params, tok,
                             num_segments=args.num_segments, quant=args.quant,
-                            kv_quant=args.kv_quant)
+                            kv_quant=args.kv_quant,
+                            prefix_cache=not args.no_prefix_cache)
     # internvl-chat: our own backbone as the judge
     from ..configs import load_config
     from ..utils.checkpoint import import_chat_params, load_safetensors_dir
@@ -191,7 +200,8 @@ def _make_judge(args):
     state = load_safetensors_dir(path)
     params = import_chat_params(state, cfg, jnp.bfloat16, with_lm_head=True)
     return InternVLJudge(cfg, params, tok, num_segments=args.num_segments,
-                         quant=args.quant, kv_quant=args.kv_quant)
+                         quant=args.quant, kv_quant=args.kv_quant,
+                         prefix_cache=not args.no_prefix_cache)
 
 
 def main(argv=None) -> None:

@@ -630,7 +630,8 @@ class MiniCPMVJudge(_GreedyLocalJudge):
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, attn_impl: Optional[str] = None,
-                 quant: Optional[str] = None, kv_quant: bool = False):
+                 quant: Optional[str] = None, kv_quant: bool = False,
+                 prefix_cache: bool = True, suffix_bucket: int = 128):
         self.cfg = cfg  # MiniCPMVConfig
         self.kv_quant = kv_quant
         self.params = _maybe_quantize(params, quant)
@@ -639,6 +640,73 @@ class MiniCPMVJudge(_GreedyLocalJudge):
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl or "auto"
         self._prep = _video_prep_cache(self._encode_video)
+        # Prefix KV caching (see InternVLJudge): headers + every frame's
+        # resampler block prefill once per video; the split is exact at
+        # the segment level (models/minicpmv.py:
+        # build_video_prompt_prefix_suffix).
+        self.prefix_cache = prefix_cache
+        self.suffix_bucket = suffix_bucket
+        import functools
+
+        self._pstate = functools.lru_cache(maxsize=4)(self._prefix_state)
+
+    def _prefix_state(self, video_path: str):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.generate import round_up_bucket
+        from ..models.minicpmv import (
+            _prefix_fn,
+            build_video_prompt_prefix_suffix,
+        )
+
+        vis, n_frames = self._prep(video_path)
+        prefix, _ = build_video_prompt_prefix_suffix(
+            self.tokenizer, self.cfg, n_frames, "")
+        P = len(prefix)
+        Pb = round_up_bucket(P)
+        max_len = Pb + self.suffix_bucket + self.max_new_tokens
+        ids = np.full((1, Pb), self.cfg.text.pad_token_id, np.int32)
+        ids[0, :P] = prefix
+        fn = _prefix_fn(self.cfg, Pb, max_len, self.kv_quant,
+                        self.attn_impl)
+        cache, mask = fn(self.params, jnp.asarray(ids),
+                         jnp.asarray([P], jnp.int32), vis)
+        return cache, mask, P, max_len
+
+    def _ask_prefix(self, prompt: str, video_paths) -> Optional[List[str]]:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.minicpmv import (
+            _suffix_fn,
+            build_video_prompt_prefix_suffix,
+        )
+
+        n_frames = [self._prep(p)[1] for p in video_paths]
+        if len(set(n_frames)) != 1:
+            return None
+        _, suffix = build_video_prompt_prefix_suffix(
+            self.tokenizer, self.cfg, n_frames[0], prompt)
+        if not suffix or len(suffix) > self.suffix_bucket:
+            return None
+        states = [self._pstate(p) for p in video_paths]
+        P, max_len = states[0][2], states[0][3]
+        cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                             *[s[0] for s in states])
+        mask = jnp.concatenate([s[1] for s in states], axis=0)
+        B, Sb = len(video_paths), self.suffix_bucket
+        sids = np.full((B, Sb), self.cfg.text.pad_token_id, np.int32)
+        sids[:, : len(suffix)] = suffix
+        fn = _suffix_fn(self.cfg, Sb, self.max_new_tokens, max_len,
+                        int(self.cfg.im_end_token_id))
+        toks, n = fn(self.params, cache, mask,
+                     jnp.full((B,), P, jnp.int32), jnp.asarray(sids),
+                     jnp.full((B,), len(suffix), jnp.int32))
+        toks, n = np.asarray(toks), np.asarray(n)
+        return [self._decode([int(t) for t in toks[b, : n[b]]])
+                for b in range(B)]
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -664,6 +732,10 @@ class MiniCPMVJudge(_GreedyLocalJudge):
             greedy_generate_batch,
         )
 
+        if self.prefix_cache:
+            resp = self._ask_prefix(prompt, list(video_paths))
+            if resp is not None:
+                return resp
         preps = [self._prep(p) for p in video_paths]
         items = [(build_video_prompt_ids(self.tokenizer, self.cfg,
                                          n_frames, prompt), None)
@@ -689,7 +761,8 @@ class CogVLM2Judge(_GreedyLocalJudge):
 
     def __init__(self, cfg, params, tokenizer, num_segments: int = 8,
                  max_new_tokens: int = 64, attn_impl: Optional[str] = None,
-                 quant: Optional[str] = None, kv_quant: bool = False):
+                 quant: Optional[str] = None, kv_quant: bool = False,
+                 prefix_cache: bool = True, suffix_bucket: int = 128):
         self.cfg = cfg  # CogVLM2Config
         self.kv_quant = kv_quant
         self.params = _maybe_quantize(params, quant)
@@ -698,6 +771,85 @@ class CogVLM2Judge(_GreedyLocalJudge):
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl or "auto"
         self._prep = _video_prep_cache(self._encode_video)
+        # Prefix KV caching (see InternVLJudge): [bos] + the vision block
+        # (198 slots/frame — the bulk of the prompt) prefill once per
+        # video; the templated question text is the suffix, encoded on
+        # its own exactly as the one-shot path does.
+        self.prefix_cache = prefix_cache
+        self.suffix_bucket = suffix_bucket
+        import functools
+
+        self._pstate = functools.lru_cache(maxsize=4)(self._prefix_state)
+
+    def _prefix_state(self, video_path: str):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.cogvlm2 import (
+            LANGUAGE_TOKEN_TYPE,
+            VISION_TOKEN_TYPE,
+            _prefix_fn,
+            build_position_ids,
+            build_video_prompt_prefix_suffix,
+        )
+        from ..models.generate import round_up_bucket
+
+        vis, n_frames = self._prep(video_path)
+        prefix, _ = build_video_prompt_prefix_suffix(
+            self.tokenizer, self.cfg, n_frames, "")
+        P = len(prefix)
+        Pb = round_up_bucket(P)
+        max_len = Pb + self.suffix_bucket + self.max_new_tokens
+        ids = np.full((1, Pb), self.cfg.pad_token_id, np.int32)
+        ids[0, :P] = prefix
+        tt = np.full((1, Pb), LANGUAGE_TOKEN_TYPE, np.int32)
+        tt[0, 1:P] = VISION_TOKEN_TYPE  # [bos] + vision block
+        pos_prefix = build_position_ids(tt[:, :P])  # (1, P)
+        pos_all = np.zeros((1, max_len), np.int32)
+        pos_all[0, :P] = pos_prefix[0]
+        pos_all[0, P:] = pos_prefix.max() + 1 + np.arange(max_len - P)
+        fn = _prefix_fn(self.cfg, Pb, max_len, self.kv_quant,
+                        self.attn_impl)
+        cache, mask = fn(self.params, jnp.asarray(ids), jnp.asarray(tt),
+                         jnp.asarray([P], jnp.int32),
+                         jnp.reshape(vis, (-1, vis.shape[-1])),
+                         jnp.asarray(pos_all[:, :Pb]))
+        return cache, mask, P, max_len, jnp.asarray(pos_all)
+
+    def _ask_prefix(self, prompt: str, video_paths) -> Optional[List[str]]:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.cogvlm2 import (
+            _suffix_fn,
+            build_video_prompt_prefix_suffix,
+        )
+
+        n_frames = [self._prep(p)[1] for p in video_paths]
+        if len(set(n_frames)) != 1:
+            return None
+        _, suffix = build_video_prompt_prefix_suffix(
+            self.tokenizer, self.cfg, n_frames[0], prompt)
+        if not suffix or len(suffix) > self.suffix_bucket:
+            return None
+        states = [self._pstate(p) for p in video_paths]
+        P, max_len = states[0][2], states[0][3]
+        cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                             *[s[0] for s in states])
+        mask = jnp.concatenate([s[1] for s in states], axis=0)
+        pos_all = jnp.concatenate([s[4] for s in states], axis=0)
+        B, Sb = len(video_paths), self.suffix_bucket
+        sids = np.full((B, Sb), self.cfg.pad_token_id, np.int32)
+        sids[:, : len(suffix)] = suffix
+        fn = _suffix_fn(self.cfg, Sb, self.max_new_tokens, max_len,
+                        int(self.cfg.eos_token_id))
+        toks, n = fn(self.params, cache, mask,
+                     jnp.full((B,), P, jnp.int32), jnp.asarray(sids),
+                     jnp.full((B,), len(suffix), jnp.int32), pos_all)
+        toks, n = np.asarray(toks), np.asarray(n)
+        return [self._decode([int(t) for t in toks[b, : n[b]]])
+                for b in range(B)]
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -725,6 +877,10 @@ class CogVLM2Judge(_GreedyLocalJudge):
             greedy_generate_batch,
         )
 
+        if self.prefix_cache:
+            resp = self._ask_prefix(prompt, list(video_paths))
+            if resp is not None:
+                return resp
         preps = [self._prep(p) for p in video_paths]
         items = []
         for _, n_frames in preps:

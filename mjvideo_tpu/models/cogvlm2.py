@@ -669,6 +669,83 @@ def _generate_fn(cfg: CogVLM2Config, Tb: int, max_new: int,
     return gen
 
 
+@functools.lru_cache(maxsize=8)
+def _prefix_fn(cfg: CogVLM2Config, Pb: int, max_len: int,
+               kv_quant: bool, attn_impl: str):
+    """Compiled prefix prefill: [bos] + the vision block enter an empty
+    cache once per video.  ``pos_p`` carries the shared-vision RoPE
+    positions of the prefix slots (``build_position_ids``)."""
+    from .generate import init_kv_cache, prefill_slot_mask
+
+    @jax.jit
+    def fn(params, ids, tt, n_real, vis, pos_p):
+        lm = params["language_model"]
+        B = ids.shape[0]
+        embeds = dec.embed_tokens(lm, ids)
+        marker = (tt == VISION_TOKEN_TYPE).astype(jnp.int32)
+        embeds = scatter_image_embeds(embeds, marker, vis, 1)
+        cache_t = init_kv_cache(cfg.text, B, max_len,
+                                dtype=lm["tok_embeddings"].dtype,
+                                quant=kv_quant)
+        slots, mask = prefill_slot_mask(Pb, max_len, n_real)
+        vm = (tt == VISION_TOKEN_TYPE).astype(embeds.dtype)[..., None]
+        _, cache = _cogvlm2_forward_cached(
+            params, cfg, embeds, tuple(cache_t), slots, pos_p, mask, vm,
+            attn_impl=attn_impl)
+        return cache, mask
+
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def _suffix_fn(cfg: CogVLM2Config, Sb: int, max_new: int, max_len: int,
+               eos: int):
+    """Compiled suffix continuation + decode against a cached prefix.
+
+    Suffix tokens are all language-type; their RoPE positions continue
+    the prefix's shared-vision scheme sequentially (gathered from the
+    cached per-video ``pos_all``).  Windowed attention — the flash
+    prefill's empty-cache contract does not hold mid-cache."""
+    from .generate import (
+        greedy_decode_batch,
+        last_real_token,
+        step_slot_mask,
+    )
+
+    @jax.jit
+    def fn(params, cache, pmask, n_prefix, sids, s_real, pos_all):
+        lm = params["language_model"]
+        B = sids.shape[0]
+        emb = dec.embed_tokens(lm, sids)
+        slots = n_prefix[:, None] + jnp.arange(Sb)[None]
+        span = jnp.arange(max_len)[None]
+        valid = (span >= n_prefix[:, None]) \
+            & (span < (n_prefix + s_real)[:, None])
+        mask = jnp.maximum(pmask, valid.astype(pmask.dtype))
+        rope_pos = jnp.take_along_axis(pos_all, slots, axis=1)
+        vm = jnp.zeros((B, Sb, 1), emb.dtype)  # suffix = language
+        hidden, cache = _cogvlm2_forward_cached(
+            params, cfg, emb, cache, slots, rope_pos, mask, vm,
+            attn_impl="xla")
+        logits0 = lm_logits(params, last_real_token(hidden, s_real))[:, 0]
+        n_total = n_prefix + s_real
+
+        def step(params, tok, i, cache):
+            e = dec.embed_tokens(params["language_model"], tok[:, None])
+            s, m = step_slot_mask(max_len, n_total, i)
+            idx = (jnp.atleast_1d(n_total) + i)[:, None]
+            rp = jnp.take_along_axis(pos_all, idx, axis=1)
+            vmd = jnp.zeros((B, 1, 1), e.dtype)
+            h, cache = _cogvlm2_forward_cached(
+                params, cfg, e, cache, s, rp, m, vmd)
+            return lm_logits(params, h)[:, 0], cache
+
+        return greedy_decode_batch(step, params, logits0, cache, max_new,
+                                   eos)
+
+    return fn
+
+
 def greedy_generate_batch(
     params, cfg: CogVLM2Config,
     items,  # sequence of (input_ids (1,T), token_type_ids (1,T),
@@ -799,3 +876,25 @@ def build_video_prompt_ids(
     tt = [LANGUAGE_TOKEN_TYPE] + [VISION_TOKEN_TYPE] * n_vis \
         + [LANGUAGE_TOKEN_TYPE] * len(text_ids)
     return (np.asarray([ids], np.int32), np.asarray([tt], np.int32))
+
+
+def build_video_prompt_prefix_suffix(
+    tokenizer, cfg: CogVLM2Config, n_frames: int, prompt: str,
+    template_version: str = "chat",
+):
+    """The prompt split at the vision/text boundary, exactly: the prefix
+    is [bos] + the vision placeholder block (question-independent and
+    the bulk of the prompt — 198 slots/frame), the suffix is the whole
+    templated question text, BPE-encoded on its own exactly as
+    ``build_video_prompt_ids`` does (the text run starts fresh after the
+    vision block, so no merge can cross the boundary).  Returns
+    (prefix_ids, suffix_ids) as plain lists; token types are implied
+    (prefix = [LANG] + VISION x n_vis, suffix = all LANG)."""
+    from ..data.judge_templates import cogvlm2_history_to_prompt
+    from ..data.prompts import encode_text
+
+    n_vis = n_frames * cfg.vision.tokens_per_frame
+    prefix = [cfg.bos_token_id] + [cfg.pad_token_id] * n_vis
+    suffix = encode_text(tokenizer, cogvlm2_history_to_prompt(
+        prompt, None, template_version))
+    return prefix, suffix

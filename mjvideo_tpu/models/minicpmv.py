@@ -395,6 +395,76 @@ def _generate_fn(cfg: MiniCPMVConfig, Tb: int, max_new: int,
     return gen
 
 
+@functools.lru_cache(maxsize=8)
+def _prefix_fn(cfg: MiniCPMVConfig, Pb: int, max_len: int,
+               kv_quant: bool, attn_impl: str):
+    """Compiled prefix prefill (headers + all resampler blocks) into an
+    empty cache, once per video.  Standard RoPE: positions ARE the
+    slots, so no tables need caching (cf. qwen2vl._prefix_fn)."""
+    from .generate import (
+        decoder_forward_cached,
+        init_kv_cache,
+        prefill_slot_mask,
+    )
+
+    @jax.jit
+    def fn(params, ids, n_real, vis):
+        llm = params["llm"]
+        embeds = dec.embed_tokens(llm, ids)
+        embeds = scatter_image_embeds(embeds, ids, vis, cfg.unk_token_id)
+        cache = init_kv_cache(cfg.text, ids.shape[0], max_len,
+                              dtype=llm["tok_embeddings"].dtype,
+                              quant=kv_quant)
+        slots, mask = prefill_slot_mask(Pb, max_len, n_real)
+        _, cache = decoder_forward_cached(
+            llm, cfg.text, embeds, cache, slots, mask,
+            attn_impl=attn_impl)
+        return cache, mask
+
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def _suffix_fn(cfg: MiniCPMVConfig, Sb: int, max_new: int, max_len: int,
+               eos: int):
+    """Compiled suffix continuation + decode against a cached prefix
+    (suffix slots contiguous at [n_prefix, n_prefix + s_real); windowed
+    attention — the flash prefill's empty-cache contract does not hold
+    mid-cache)."""
+    from .generate import (
+        decoder_forward_cached,
+        greedy_decode_batch,
+        last_real_token,
+        step_slot_mask,
+    )
+
+    @jax.jit
+    def fn(params, cache, pmask, n_prefix, sids, s_real):
+        llm = params["llm"]
+        emb = dec.embed_tokens(llm, sids)
+        slots = n_prefix[:, None] + jnp.arange(Sb)[None]
+        span = jnp.arange(max_len)[None]
+        valid = (span >= n_prefix[:, None]) \
+            & (span < (n_prefix + s_real)[:, None])
+        mask = jnp.maximum(pmask, valid.astype(pmask.dtype))
+        hidden, cache = decoder_forward_cached(
+            llm, cfg.text, emb, cache, slots, mask, attn_impl="xla")
+        logits0 = lm_logits(params, last_real_token(hidden, s_real))[:, 0]
+        n_total = n_prefix + s_real
+
+        def step(params, tok, i, cache):
+            e = dec.embed_tokens(params["llm"], tok[:, None])
+            s, m = step_slot_mask(max_len, n_total, i)
+            h, cache = decoder_forward_cached(
+                params["llm"], cfg.text, e, cache, s, m)
+            return lm_logits(params, h)[:, 0], cache
+
+        return greedy_decode_batch(step, params, logits0, cache, max_new,
+                                   eos)
+
+    return fn
+
+
 def greedy_generate_batch(
     params, cfg: MiniCPMVConfig,
     items,  # sequence of (input_ids (1,T), pixel_values) per row
@@ -499,21 +569,11 @@ def preprocess_video_frames(
     return np.stack(out)
 
 
-def build_video_prompt_ids(
-    tokenizer, cfg: MiniCPMVConfig, n_frames: int, prompt: str,
-) -> np.ndarray:
-    """ChatML ids for an n-frame video + text prompt.
-
-    Token layout pinned by ``data/judge_templates.py`` (transcribed from
-    the published MiniCPM-V-2.6 chat/processor sources, the code swift's
-    ``minicpm_v_v2_6_chat`` template delegates to): each frame renders as
-    ``<image>`` + ``<unk>`` x num_queries + ``</image>``, frames and the
-    query are ``'\n'``-joined, wrapped in a system-less ChatML turn.
-    Special-token ids resolve from the tokenizer when possible, falling
-    back to the config defaults; text runs are BPE-encoded exactly at the
-    boundaries where an HF tokenizer splits on special tokens.
-    """
-    from ..data.judge_templates import minicpm_video_segments
+def _segment_renderer(tokenizer, cfg: MiniCPMVConfig):
+    """(kind, value) segments -> token ids, with special-token ids
+    resolved from the tokenizer when possible (config defaults
+    otherwise) and text runs BPE-encoded exactly at the boundaries
+    where an HF tokenizer splits on special tokens."""
     from ..data.prompts import encode_text
 
     def tid(tok_str, default):
@@ -535,11 +595,53 @@ def build_video_prompt_ids(
         "</image>": tid("</image>", cfg.image_end_token_id),
         "<unk>": tid("<unk>", cfg.unk_token_id),
     }
-    ids: List[int] = []
-    for kind, value in minicpm_video_segments(
-            n_frames, prompt, cfg.resampler.num_queries):
-        if kind == "special":
-            ids.append(special[value])
-        else:
-            ids += encode_text(tokenizer, value)
-    return np.asarray([ids], np.int32)
+
+    def render(segs) -> List[int]:
+        ids: List[int] = []
+        for kind, value in segs:
+            if kind == "special":
+                ids.append(special[value])
+            else:
+                ids += encode_text(tokenizer, value)
+        return ids
+
+    return render
+
+
+def build_video_prompt_ids(
+    tokenizer, cfg: MiniCPMVConfig, n_frames: int, prompt: str,
+) -> np.ndarray:
+    """ChatML ids for an n-frame video + text prompt.
+
+    Token layout pinned by ``data/judge_templates.py`` (transcribed from
+    the published MiniCPM-V-2.6 chat/processor sources, the code swift's
+    ``minicpm_v_v2_6_chat`` template delegates to): each frame renders as
+    ``<image>`` + ``<unk>`` x num_queries + ``</image>``, frames and the
+    query are ``'\n'``-joined, wrapped in a system-less ChatML turn.
+    """
+    from ..data.judge_templates import minicpm_video_segments
+
+    render = _segment_renderer(tokenizer, cfg)
+    return np.asarray([render(minicpm_video_segments(
+        n_frames, prompt, cfg.resampler.num_queries))], np.int32)
+
+
+def build_video_prompt_prefix_suffix(
+    tokenizer, cfg: MiniCPMVConfig, n_frames: int, prompt: str,
+) -> Tuple[List[int], List[int]]:
+    """The video prompt split at the question boundary, exactly.
+
+    ``minicpm_video_segments`` ends with the fixed tail
+    [("text", "\\n" + query), ("special", im_end), ("text", "\\n")] — the
+    query binds to the preceding newline in ONE BPE run, so the
+    segment-level split (everything before that tail = prefix) is exact:
+    each side encodes independently and concatenates to the whole-prompt
+    tokenization.  The prefix (headers + every frame's resampler block)
+    is question-independent, so the prefix-KV judge path prefills it
+    once per video."""
+    from ..data.judge_templates import minicpm_video_segments
+
+    segs = minicpm_video_segments(n_frames, prompt,
+                                  cfg.resampler.num_queries)
+    render = _segment_renderer(tokenizer, cfg)
+    return render(segs[:-5]), render(segs[-5:])

@@ -194,3 +194,85 @@ def test_qwen2vl_judge_prefix_matches_full(tmp_path, kv_quant):
     assert j_on.ask_batch("Which wins?", [str(v1), str(v2)]) == \
         j_off.ask_batch("Which wins?", [str(v1), str(v2)])
     assert j_on._pstate.cache_info().hits >= 1
+
+
+# ----------------------------------------------------- minicpmv / cogvlm2
+
+def test_minicpmv_prefix_suffix_split_is_the_full_prompt():
+    from test_batched_generate import minicpm_tiny as _mt  # noqa: F811
+
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.models.minicpmv import (
+        build_video_prompt_ids,
+        build_video_prompt_prefix_suffix,
+    )
+
+    cfg, _ = _mt.__wrapped__()
+    tok = ByteTokenizer()
+    pre, suf = build_video_prompt_prefix_suffix(tok, cfg, 2, "Rate it.")
+    full = build_video_prompt_ids(tok, cfg, 2, "Rate it.")
+    assert pre + suf == [int(t) for t in full[0]]
+    assert build_video_prompt_prefix_suffix(tok, cfg, 2, "Other?")[0] == pre
+
+
+def test_cogvlm2_prefix_suffix_split_is_the_full_prompt():
+    from test_batched_generate import cog_tiny as _ct  # noqa: F811
+
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.models.cogvlm2 import (
+        build_video_prompt_ids,
+        build_video_prompt_prefix_suffix,
+    )
+
+    cfg, _ = _ct.__wrapped__()
+    tok = ByteTokenizer()
+    pre, suf = build_video_prompt_prefix_suffix(tok, cfg, 2, "Rate it.")
+    ids, tt = build_video_prompt_ids(tok, cfg, 2, "Rate it.")
+    assert pre + suf == [int(t) for t in ids[0]]
+    # token types: prefix = [LANG] + VISION block, suffix all LANG
+    assert list(tt[0][: len(pre)]) == [0] + [1] * (len(pre) - 1)
+    assert all(t == 0 for t in tt[0][len(pre):])
+
+
+def test_minicpmv_judge_prefix_matches_full(tmp_path):
+    from test_batched_generate import minicpm_tiny as _mt  # noqa: F811
+
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.judges import MiniCPMVJudge
+
+    cfg, params = _mt.__wrapped__()
+    v1, v2 = tmp_path / "a.mp4", tmp_path / "b.mp4"
+    _write_video(v1, 0, size=56)
+    _write_video(v2, 1, size=56)
+    kw = dict(num_segments=2, max_new_tokens=5, attn_impl="xla")
+    j_on = MiniCPMVJudge(cfg, params, ByteTokenizer(), prefix_cache=True,
+                         **kw)
+    j_off = MiniCPMVJudge(cfg, params, ByteTokenizer(),
+                          prefix_cache=False, **kw)
+    for q in ("Rate the coherence.", "Rate the alignment."):
+        assert j_on.ask(q, str(v1)) == j_off.ask(q, str(v1))
+    assert j_on.ask_batch("Which wins?", [str(v1), str(v2)]) == \
+        j_off.ask_batch("Which wins?", [str(v1), str(v2)])
+    assert j_on._pstate.cache_info().hits >= 1
+
+
+def test_cogvlm2_judge_prefix_matches_full(tmp_path):
+    from test_batched_generate import cog_tiny as _ct  # noqa: F811
+
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.judges import CogVLM2Judge
+
+    cfg, params = _ct.__wrapped__()
+    v1, v2 = tmp_path / "a.mp4", tmp_path / "b.mp4"
+    _write_video(v1, 0, size=28)
+    _write_video(v2, 1, size=28)
+    kw = dict(num_segments=2, max_new_tokens=5, attn_impl="xla")
+    j_on = CogVLM2Judge(cfg, params, ByteTokenizer(), prefix_cache=True,
+                        **kw)
+    j_off = CogVLM2Judge(cfg, params, ByteTokenizer(), prefix_cache=False,
+                         **kw)
+    for q in ("Rate the coherence.", "Rate the alignment."):
+        assert j_on.ask(q, str(v1)) == j_off.ask(q, str(v1))
+    assert j_on.ask_batch("Which wins?", [str(v1), str(v2)]) == \
+        j_off.ask_batch("Which wins?", [str(v1), str(v2)])
+    assert j_on._pstate.cache_info().hits >= 1
