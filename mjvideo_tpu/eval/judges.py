@@ -231,7 +231,9 @@ def _maybe_quantize(params, quant):
 class _GreedyLocalJudge:
     """Shared tail for the batched local judges (Qwen2-VL / MiniCPM-V /
     CogVLM2): strip the stop token named by ``_eos_attr`` off each decoded
-    row and route single ``ask`` through ``ask_batch``."""
+    row, route single ``ask`` through ``ask_batch``, and run the shared
+    prefix-KV machinery (the per-family ``_ask_prefix`` supplies only the
+    split function and the compiled-suffix factory)."""
 
     _eos_attr = "im_end_token_id"
 
@@ -243,6 +245,47 @@ class _GreedyLocalJudge:
 
     def ask(self, prompt: str, video_path: str) -> str:
         return self.ask_batch(prompt, [video_path])[0]
+
+    def _shared_suffix(self, prompt: str, video_paths, split_fn):
+        """The question suffix if prefix reuse applies to every row:
+        all videos must share one prefix shape (the ``_prep`` key —
+        grid / frame count), and the suffix must fit its bucket."""
+        keys = [self._prep(p)[1] for p in video_paths]
+        if len(set(keys)) != 1:
+            return None
+        _, suffix = split_fn(keys[0], prompt)
+        if not suffix or len(suffix) > self.suffix_bucket:
+            return None
+        return suffix
+
+    def _run_prefix_suffix(self, video_paths, suffix, pad_id, make_fn,
+                           n_extras: int = 0):
+        """Stack the videos' cached prefix states, bucket the suffix,
+        run the compiled suffix+decode executable, decode the rows.
+        ``make_fn(max_len)`` builds the per-family executable;
+        ``n_extras`` = per-family position tables stored in the state
+        after (cache, mask, P, max_len)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        states = [self._pstate(p) for p in video_paths]
+        P, max_len = states[0][2], states[0][3]
+        cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                             *[s[0] for s in states])
+        mask = jnp.concatenate([s[1] for s in states], axis=0)
+        extras = [jnp.concatenate([s[4 + i] for s in states], axis=0)
+                  for i in range(n_extras)]
+        B, Sb = len(video_paths), self.suffix_bucket
+        sids = np.full((B, Sb), pad_id, np.int32)
+        sids[:, : len(suffix)] = suffix
+        toks, n = make_fn(max_len)(
+            self.params, cache, mask, jnp.full((B,), P, jnp.int32),
+            jnp.asarray(sids), jnp.full((B,), len(suffix), jnp.int32),
+            *extras)
+        toks, n = np.asarray(toks), np.asarray(n)
+        return [self._decode([int(t) for t in toks[b, : n[b]]])
+                for b in range(B)]
 
 
 class InternVLJudge:
@@ -278,8 +321,13 @@ class InternVLJudge:
         self.suffix_bucket = suffix_bucket
         import functools
 
-        self._pstate = functools.lru_cache(maxsize=4)(self._prefix_state)
+        # maxsize=2: the benchmarks alternate a preference PAIR's two
+        # videos; each state pins a full-length KV cache in HBM.
+        self._pstate = functools.lru_cache(maxsize=2)(self._prefix_state)
         self._pids = functools.lru_cache(maxsize=4)(self._prefix_ids)
+        # The rubric loop repeats the same ~34 questions across videos;
+        # the split re-tokenizes the full expanded prompt, so cache it.
+        self._split = functools.lru_cache(maxsize=64)(self._suffix_split)
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -395,7 +443,7 @@ class InternVLJudge:
         npls = [tuple(self._prep(p)[1]) for p in video_paths]
         if len(set(npls)) != 1:
             return None  # different tile layouts -> different prefixes
-        suffix = self._suffix_split(prompt, npls[0])
+        suffix = self._split(prompt, npls[0])
         if suffix is None:
             return None
         states = [self._pstate(p) for p in video_paths]
@@ -498,7 +546,9 @@ class Qwen2VLJudge(_GreedyLocalJudge):
         self.suffix_bucket = suffix_bucket
         import functools
 
-        self._pstate = functools.lru_cache(maxsize=4)(self._prefix_state)
+        # maxsize=2: the benchmarks alternate a preference PAIR's two
+        # videos; each state pins a full-length KV cache in HBM.
+        self._pstate = functools.lru_cache(maxsize=2)(self._prefix_state)
 
     def _prefix_state(self, video_path: str):
         import jax.numpy as jnp
@@ -534,41 +584,23 @@ class Qwen2VLJudge(_GreedyLocalJudge):
         return cache, mask, P, max_len, cos_all, sin_all
 
     def _ask_prefix(self, prompt: str, video_paths) -> Optional[List[str]]:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
         from ..models.qwen2vl import (
             _suffix_fn,
             build_video_prompt_prefix_suffix,
         )
 
-        grids = [self._prep(p)[1] for p in video_paths]
-        if len(set(grids)) != 1:
-            return None  # different grids -> different prefixes
-        _, suffix = build_video_prompt_prefix_suffix(
-            self.tokenizer, self.cfg, grids[0], prompt)
-        if not suffix or len(suffix) > self.suffix_bucket:
+        suffix = self._shared_suffix(
+            prompt, video_paths,
+            lambda grid, q: build_video_prompt_prefix_suffix(
+                self.tokenizer, self.cfg, grid, q))
+        if suffix is None:
             return None
-        states = [self._pstate(p) for p in video_paths]
-        P, max_len = states[0][2], states[0][3]
-        cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
-                             *[s[0] for s in states])
-        mask = jnp.concatenate([s[1] for s in states], axis=0)
-        cos_all = jnp.concatenate([s[4] for s in states], axis=0)
-        sin_all = jnp.concatenate([s[5] for s in states], axis=0)
-        B, Sb = len(video_paths), self.suffix_bucket
-        sids = np.full((B, Sb), self.cfg.text.pad_token_id, np.int32)
-        sids[:, : len(suffix)] = suffix
-        fn = _suffix_fn(self.cfg, Sb, self.max_new_tokens, max_len,
-                        int(self.cfg.im_end_token_id))
-        toks, n = fn(self.params, cache, mask,
-                     jnp.full((B,), P, jnp.int32), jnp.asarray(sids),
-                     jnp.full((B,), len(suffix), jnp.int32),
-                     cos_all, sin_all)
-        toks, n = np.asarray(toks), np.asarray(n)
-        return [self._decode([int(t) for t in toks[b, : n[b]]])
-                for b in range(B)]
+        return self._run_prefix_suffix(
+            video_paths, suffix, self.cfg.text.pad_token_id,
+            lambda max_len: _suffix_fn(
+                self.cfg, self.suffix_bucket, self.max_new_tokens,
+                max_len, int(self.cfg.im_end_token_id)),
+            n_extras=2)  # cached per-video M-RoPE cos/sin tables
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -648,7 +680,9 @@ class MiniCPMVJudge(_GreedyLocalJudge):
         self.suffix_bucket = suffix_bucket
         import functools
 
-        self._pstate = functools.lru_cache(maxsize=4)(self._prefix_state)
+        # maxsize=2: the benchmarks alternate a preference PAIR's two
+        # videos; each state pins a full-length KV cache in HBM.
+        self._pstate = functools.lru_cache(maxsize=2)(self._prefix_state)
 
     def _prefix_state(self, video_path: str):
         import jax.numpy as jnp
@@ -675,38 +709,22 @@ class MiniCPMVJudge(_GreedyLocalJudge):
         return cache, mask, P, max_len
 
     def _ask_prefix(self, prompt: str, video_paths) -> Optional[List[str]]:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
         from ..models.minicpmv import (
             _suffix_fn,
             build_video_prompt_prefix_suffix,
         )
 
-        n_frames = [self._prep(p)[1] for p in video_paths]
-        if len(set(n_frames)) != 1:
+        suffix = self._shared_suffix(
+            prompt, video_paths,
+            lambda n_frames, q: build_video_prompt_prefix_suffix(
+                self.tokenizer, self.cfg, n_frames, q))
+        if suffix is None:
             return None
-        _, suffix = build_video_prompt_prefix_suffix(
-            self.tokenizer, self.cfg, n_frames[0], prompt)
-        if not suffix or len(suffix) > self.suffix_bucket:
-            return None
-        states = [self._pstate(p) for p in video_paths]
-        P, max_len = states[0][2], states[0][3]
-        cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
-                             *[s[0] for s in states])
-        mask = jnp.concatenate([s[1] for s in states], axis=0)
-        B, Sb = len(video_paths), self.suffix_bucket
-        sids = np.full((B, Sb), self.cfg.text.pad_token_id, np.int32)
-        sids[:, : len(suffix)] = suffix
-        fn = _suffix_fn(self.cfg, Sb, self.max_new_tokens, max_len,
-                        int(self.cfg.im_end_token_id))
-        toks, n = fn(self.params, cache, mask,
-                     jnp.full((B,), P, jnp.int32), jnp.asarray(sids),
-                     jnp.full((B,), len(suffix), jnp.int32))
-        toks, n = np.asarray(toks), np.asarray(n)
-        return [self._decode([int(t) for t in toks[b, : n[b]]])
-                for b in range(B)]
+        return self._run_prefix_suffix(
+            video_paths, suffix, self.cfg.text.pad_token_id,
+            lambda max_len: _suffix_fn(
+                self.cfg, self.suffix_bucket, self.max_new_tokens,
+                max_len, int(self.cfg.im_end_token_id)))
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -779,7 +797,9 @@ class CogVLM2Judge(_GreedyLocalJudge):
         self.suffix_bucket = suffix_bucket
         import functools
 
-        self._pstate = functools.lru_cache(maxsize=4)(self._prefix_state)
+        # maxsize=2: the benchmarks alternate a preference PAIR's two
+        # videos; each state pins a full-length KV cache in HBM.
+        self._pstate = functools.lru_cache(maxsize=2)(self._prefix_state)
 
     def _prefix_state(self, video_path: str):
         import jax.numpy as jnp
@@ -817,39 +837,23 @@ class CogVLM2Judge(_GreedyLocalJudge):
         return cache, mask, P, max_len, jnp.asarray(pos_all)
 
     def _ask_prefix(self, prompt: str, video_paths) -> Optional[List[str]]:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
         from ..models.cogvlm2 import (
             _suffix_fn,
             build_video_prompt_prefix_suffix,
         )
 
-        n_frames = [self._prep(p)[1] for p in video_paths]
-        if len(set(n_frames)) != 1:
+        suffix = self._shared_suffix(
+            prompt, video_paths,
+            lambda n_frames, q: build_video_prompt_prefix_suffix(
+                self.tokenizer, self.cfg, n_frames, q))
+        if suffix is None:
             return None
-        _, suffix = build_video_prompt_prefix_suffix(
-            self.tokenizer, self.cfg, n_frames[0], prompt)
-        if not suffix or len(suffix) > self.suffix_bucket:
-            return None
-        states = [self._pstate(p) for p in video_paths]
-        P, max_len = states[0][2], states[0][3]
-        cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
-                             *[s[0] for s in states])
-        mask = jnp.concatenate([s[1] for s in states], axis=0)
-        pos_all = jnp.concatenate([s[4] for s in states], axis=0)
-        B, Sb = len(video_paths), self.suffix_bucket
-        sids = np.full((B, Sb), self.cfg.pad_token_id, np.int32)
-        sids[:, : len(suffix)] = suffix
-        fn = _suffix_fn(self.cfg, Sb, self.max_new_tokens, max_len,
-                        int(self.cfg.eos_token_id))
-        toks, n = fn(self.params, cache, mask,
-                     jnp.full((B,), P, jnp.int32), jnp.asarray(sids),
-                     jnp.full((B,), len(suffix), jnp.int32), pos_all)
-        toks, n = np.asarray(toks), np.asarray(n)
-        return [self._decode([int(t) for t in toks[b, : n[b]]])
-                for b in range(B)]
+        return self._run_prefix_suffix(
+            video_paths, suffix, self.cfg.pad_token_id,
+            lambda max_len: _suffix_fn(
+                self.cfg, self.suffix_bucket, self.max_new_tokens,
+                max_len, int(self.cfg.eos_token_id)),
+            n_extras=1)  # cached shared-vision position ids
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp

@@ -581,13 +581,10 @@ def stack_prefix_states(states) -> PrefixState:
     """Batch B=1 prefix states into one (e.g. a preference pair's two
     videos) — rows are independent, so concatenation on the batch axis
     is exact.  All states must share max_len (same bucket)."""
-    def cat(axis):
-        def go(*xs):
-            return None if xs[0] is None else jnp.concatenate(xs, axis=axis)
-        return go
-
+    # (jax.tree.map never visits None nodes — the dense cache's None
+    # scales pass through structurally.)
     caches = [s.cache for s in states]
-    cache = jax.tree.map(cat(1), *caches)  # (L, B, ...) arrays
+    cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *caches)
     return PrefixState(
         cache=cache,
         cache_mask=jnp.concatenate([s.cache_mask for s in states], axis=0),
