@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-epochs", type=int, default=1)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--gradient-accumulation-steps", type=int, default=1,
+                   help="mean micro-batch grads, apply the optimizer "
+                        "every k steps (reference defaults: 8 for "
+                        "stages 1-2, 4 for stage 3)")
     p.add_argument("--mse", action="store_true", default=None)
     p.add_argument("--no-mse", dest="mse", action="store_false")
     p.add_argument("--beta", type=float, default=1.0)
@@ -156,6 +160,7 @@ def main(argv=None) -> None:
         remat={"none": False, "full": True,
                "dots": "dots"}[args.remat_policy],
         optimizer=args.optimizer,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
     )
     trainer = Trainer(cfg, params, tc)
 

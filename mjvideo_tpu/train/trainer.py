@@ -50,6 +50,13 @@ class TrainConfig:
     total_steps: int = 1000
     schedule: str = "linear"  # HF Trainer default: linear decay w/ warmup
     max_grad_norm: float = 1.0
+    # Mean micro-batch gradients, apply the optimizer every k calls —
+    # HF Trainer semantics (criteria/aspect_train.py default 8,
+    # overall_train.py default 4): effective batch = batch x k without
+    # the activation memory of the big batch.  optax.MultiSteps holds
+    # the running-mean gradient (one extra trainable-params-sized
+    # buffer); the LR schedule counts OPTIMIZER steps, as HF does.
+    gradient_accumulation_steps: int = 1
     mse: Optional[bool] = None  # None = the stage's script default
     beta: float = 1.0
     attn_impl: str = "auto"
@@ -126,10 +133,14 @@ def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
         inner,
     )
     mask = trainable_mask(params, tc.stage)
-    return optax.multi_transform(
+    out = optax.multi_transform(
         {"train": opt, "freeze": optax.set_to_zero()},
         jax.tree.map(lambda t: "train" if t else "freeze", mask),
     )
+    if tc.gradient_accumulation_steps > 1:
+        out = optax.MultiSteps(
+            out, every_k_schedule=tc.gradient_accumulation_steps)
+    return out
 
 
 def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:

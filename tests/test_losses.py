@@ -188,3 +188,56 @@ def test_stage_freeze_policies():
     # reward_transform_matrix is never trainable (moe_reward.py:163-166)
     for s in (1, 2, 3):
         assert "reward_transform_matrix" not in L.STAGES[s].trainable_paths
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """k micro-steps with MultiSteps == one step on the concatenated
+    batch (the stage losses are batch means, so mean-of-means is exact),
+    and params must not move before the k-th micro-step — HF Trainer's
+    gradient_accumulation_steps semantics (criteria_train.py:34)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mjvideo_tpu.configs import tiny_test_config
+    from mjvideo_tpu.models.reward import init_reward_params
+    from mjvideo_tpu.train.trainer import (
+        TrainConfig,
+        make_optimizer,
+        make_train_step,
+    )
+    from test_train_eval import _tiny_batch
+
+    cfg = tiny_test_config()
+    params = init_reward_params(jax.random.PRNGKey(0), cfg)
+    b1 = _tiny_batch(cfg, rng=np.random.default_rng(0))
+    b2 = _tiny_batch(cfg, rng=np.random.default_rng(1))
+    full = {k: jnp.concatenate([jnp.asarray(b1[k]), jnp.asarray(b2[k])])
+            for k in b1}
+
+    def fresh():
+        # the train step donates (params, opt_state) — copy per use
+        return jax.tree.map(jnp.copy, params)
+
+    kw = dict(stage=1, learning_rate=1e-3, total_steps=4, schedule="none",
+              attn_impl="xla", remat=False)
+    tc_full = TrainConfig(**kw)
+    opt_f = make_optimizer(tc_full, params)
+    step_f = make_train_step(cfg, tc_full, opt_f)
+    p_full, _, m_full = step_f(fresh(), opt_f.init(fresh()), full)
+
+    tc_acc = TrainConfig(gradient_accumulation_steps=2, **kw)
+    opt_a = make_optimizer(tc_acc, params)
+    step_a = make_train_step(cfg, tc_acc, opt_a)
+    p_mid, st, _ = step_a(fresh(), opt_a.init(fresh()), b1)
+    # No update until the accumulation window closes.
+    deltas = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          p_mid, params)
+    assert max(jax.tree.leaves(deltas)) == 0.0
+    p_acc, _, _ = step_a(p_mid, st, b2)
+
+    rel = [
+        float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-12))
+        for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_full))
+    ]
+    assert max(rel) < 5e-5, max(rel)
