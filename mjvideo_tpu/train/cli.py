@@ -15,6 +15,20 @@ import json
 import os
 
 
+# The reference stage scripts' training defaults
+# (criteria/aspect/overall_train.py argparse blocks): lr 3e-5, cosine
+# schedule, weight decay 0.1, 3 epochs for every stage; warmup and
+# accumulation differ per stage.
+REFERENCE_STAGE_DEFAULTS = {
+    1: dict(learning_rate=3e-5, weight_decay=0.1, schedule="cosine",
+            num_epochs=3, warmup_steps=25, gradient_accumulation_steps=8),
+    2: dict(learning_rate=3e-5, weight_decay=0.1, schedule="cosine",
+            num_epochs=3, warmup_steps=50, gradient_accumulation_steps=8),
+    3: dict(learning_rate=3e-5, weight_decay=0.1, schedule="cosine",
+            num_epochs=3, warmup_steps=5, gradient_accumulation_steps=4),
+}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="MJ-Video TPU trainer")
     p.add_argument("--stage", type=int, choices=(1, 2, 3), required=True,
@@ -45,14 +59,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="N-worker video decode pool (reference: 12-thread "
                         "prefetch, dataset.py:299-309); 0 = in-line decode")
     p.add_argument("--max-length", type=int, default=3072)
-    p.add_argument("--learning-rate", type=float, default=1e-6)
-    p.add_argument("--num-epochs", type=int, default=1)
+    # Hyperparameter defaults of None resolve per stage to the REFERENCE
+    # training scripts' defaults (REFERENCE_STAGE_DEFAULTS below), so a
+    # bare `--stage N` run trains with the reference recipe.
+    p.add_argument("--learning-rate", type=float, default=None,
+                   help="default: 3e-5, every reference stage script")
+    p.add_argument("--weight-decay", type=float, default=None,
+                   help="default: 0.1 (criteria_train.py:40)")
+    p.add_argument("--schedule", choices=("linear", "cosine", "none"),
+                   default=None,
+                   help="LR schedule; default: cosine "
+                        "(lr_scheduler_type, criteria_train.py:37)")
+    p.add_argument("--num-epochs", type=int, default=None,
+                   help="default: 3 (num_train_epochs)")
     p.add_argument("--max-steps", type=int, default=None)
-    p.add_argument("--warmup-steps", type=int, default=0)
-    p.add_argument("--gradient-accumulation-steps", type=int, default=1,
+    p.add_argument("--warmup-steps", type=int, default=None,
+                   help="default: 25/50/5 for stage 1/2/3")
+    p.add_argument("--gradient-accumulation-steps", type=int, default=None,
                    help="mean micro-batch grads, apply the optimizer "
-                        "every k steps (reference defaults: 8 for "
-                        "stages 1-2, 4 for stage 3)")
+                        "every k steps; default: 8/8/4 for stage 1/2/3")
     p.add_argument("--mse", action="store_true", default=None)
     p.add_argument("--no-mse", dest="mse", action="store_false")
     p.add_argument("--beta", type=float, default=1.0)
@@ -140,13 +165,21 @@ def main(argv=None) -> None:
         max_length=args.max_length,
     )
 
+    for k, v in REFERENCE_STAGE_DEFAULTS[args.stage].items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
     total = args.max_steps or steps_per_epoch * args.num_epochs
+    accum = args.gradient_accumulation_steps
     tc = TrainConfig(
         stage=args.stage,
         learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        schedule=args.schedule,
         warmup_steps=args.warmup_steps,
-        total_steps=total,
+        # the LR schedule counts OPTIMIZER steps (HF semantics); the
+        # training loop below counts micro steps
+        total_steps=max(total // accum, 1),
         mse=args.mse,
         beta=args.beta,
         attn_impl=attn,
@@ -160,7 +193,7 @@ def main(argv=None) -> None:
         remat={"none": False, "full": True,
                "dots": "dots"}[args.remat_policy],
         optimizer=args.optimizer,
-        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        gradient_accumulation_steps=accum,
     )
     trainer = Trainer(cfg, params, tc)
 

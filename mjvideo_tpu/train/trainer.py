@@ -37,7 +37,11 @@ from .losses import STAGES
 @dataclass
 class TrainConfig:
     stage: int = 1
-    learning_rate: float = 1e-6  # reference default lr (criteria_train.py:22)
+    # Conservative programmatic default; the train CLI resolves unset
+    # hyperparameters to the REFERENCE stage scripts' defaults instead
+    # (lr 3e-5 / cosine / wd 0.1 / warmup 25-50-5 / accum 8-8-4 —
+    # cli.REFERENCE_STAGE_DEFAULTS).
+    learning_rate: float = 1e-6
     weight_decay: float = 0.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999

@@ -289,3 +289,29 @@ def test_eval_cli_byte_tokenizer_end_to_end_hermetic(tmp_path, capsys):
     res_q = _json.loads(out_q[out_q.index("{"):])
     assert "accuracy" in res_q or "count" in res_q, res_q
     assert (tmp_path / "res_q.jsonl").exists()
+
+
+def test_train_cli_stage_defaults_match_reference():
+    """Unset hyperparameters resolve to the REFERENCE stage scripts'
+    defaults (criteria/aspect/overall_train.py argparse blocks); explicit
+    flags win."""
+    from mjvideo_tpu.train.cli import REFERENCE_STAGE_DEFAULTS, build_parser
+
+    assert REFERENCE_STAGE_DEFAULTS[1]["warmup_steps"] == 25
+    assert REFERENCE_STAGE_DEFAULTS[2]["warmup_steps"] == 50
+    assert REFERENCE_STAGE_DEFAULTS[3]["warmup_steps"] == 5
+    assert REFERENCE_STAGE_DEFAULTS[1]["gradient_accumulation_steps"] == 8
+    assert REFERENCE_STAGE_DEFAULTS[3]["gradient_accumulation_steps"] == 4
+    for st in (1, 2, 3):
+        d = REFERENCE_STAGE_DEFAULTS[st]
+        assert d["learning_rate"] == 3e-5
+        assert d["weight_decay"] == 0.1
+        assert d["schedule"] == "cosine"
+        assert d["num_epochs"] == 3
+
+    a = build_parser().parse_args(["--stage", "1", "--train-json", "x"])
+    for k in REFERENCE_STAGE_DEFAULTS[1]:
+        assert getattr(a, k) is None  # unset -> resolved in main()
+    a = build_parser().parse_args(["--stage", "1", "--train-json", "x",
+                                   "--learning-rate", "1e-6"])
+    assert a.learning_rate == 1e-6
