@@ -204,10 +204,13 @@ def main(argv=None) -> None:
     for epoch in range(args.num_epochs):
         stream = prefetch(batched(dataset, collator, args.batch_size))
         last = trainer.train(stream, max_steps=total)
-        print(f"epoch {epoch}: {last}")
+        # save_strategy='epoch' is the reference default
+        # (criteria_train.py:30) — checkpoint_every adds the 'steps' mode
+        # on top; keep_checkpoints prunes both.
+        path = trainer.save()
+        print(f"epoch {epoch}: {last} -> {path}")
         if trainer.step >= total:
             break
-    path = trainer.save()
     print(f"final checkpoint: {path}")
 
 

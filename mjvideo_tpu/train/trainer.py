@@ -387,7 +387,11 @@ class Trainer:
         save_pytree(os.path.join(path, "params"), jax.device_get(self.params))
         save_pytree(os.path.join(path, "opt_state"),
                     jax.device_get(self.opt_state))
-        self._saved.append(path)
+        # A step can save twice (checkpoint_every hit + epoch end); a
+        # duplicate prune-list entry would let the rotation delete a
+        # path that is also the newest checkpoint.
+        if path not in self._saved:
+            self._saved.append(path)
         while len(self._saved) > self.tc.keep_checkpoints:
             import shutil
 
