@@ -201,6 +201,15 @@ def main(argv=None) -> None:
     with open(os.path.join(args.output_dir, "train_args.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
 
+    eval_dataset = None
+    if args.eval_json:
+        eval_dataset = PreferencePairDataset(
+            args.eval_json, tokenizer, cfg.chat, root=args.video_root,
+            num_segments=args.num_segments, overall=(args.stage == 3),
+            gating_pattern=gating_pattern,
+            decode_workers=args.decode_workers,
+        )
+
     for epoch in range(args.num_epochs):
         stream = prefetch(batched(dataset, collator, args.batch_size))
         last = trainer.train(stream, max_steps=total)
@@ -209,6 +218,15 @@ def main(argv=None) -> None:
         # on top; keep_checkpoints prunes both.
         path = trainer.save()
         print(f"epoch {epoch}: {last} -> {path}")
+        if eval_dataset is not None:
+            # eval_strategy='epoch' (criteria_train.py:32): preference
+            # accuracy + per-dimension criteria/aspect metrics on the
+            # held-out set, logged to the metrics JSONL.
+            metrics = trainer.evaluate(
+                batched(eval_dataset, collator, args.batch_size))
+            trainer.log({"eval": metrics, "step": trainer.step,
+                         "epoch": epoch})
+            print(f"epoch {epoch} eval: {metrics}")
         if trainer.step >= total:
             break
     print(f"final checkpoint: {path}")
