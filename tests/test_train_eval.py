@@ -521,3 +521,39 @@ def test_score_fn_with_params_matches_closure_variant(cfg, params):
 
     g = grad_step(params, frames)
     assert bool(jnp.any(g != 0)) and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_resume_mid_accumulation_window_is_bit_exact(cfg, params, tmp_path):
+    """A checkpoint can land on a half-full gradient-accumulation window;
+    the MultiSteps accumulator lives in opt_state, so resume must carry
+    the running-mean gradient and the mini-step counter — train(3 micro)
+    + save + resume + train(3) == train(6) bit-for-bit at k=2."""
+    from mjvideo_tpu.train.trainer import TrainConfig, Trainer
+
+    all_b = [jax.device_get(_tiny_batch(cfg, rng=np.random.default_rng(200 + i)))
+             for i in range(6)]
+
+    def make(dirname):
+        tc = TrainConfig(stage=1, attn_impl="xla", learning_rate=1e-3,
+                         total_steps=3, gradient_accumulation_steps=2,
+                         checkpoint_every=10**9, log_every=1,
+                         mesh_data_axis=1, mesh_model_axis=1,
+                         checkpoint_dir=str(tmp_path / dirname))
+        return Trainer(cfg, jax.tree.map(lambda a: a.copy(), params), tc)
+
+    tr_a = make("a")
+    tr_a.train(iter(all_b))
+
+    tr_b = make("b")
+    tr_b.train(iter(all_b[:3]))  # 3 micro steps = 1.5 windows
+    st = jax.device_get(tr_b.opt_state)
+    assert int(st.mini_step) == 1, "checkpoint must be mid-window"
+    tr_b.save()
+    tr_c = make("b")
+    assert tr_c.resume_latest() is not None and tr_c.step == 3
+    assert int(jax.device_get(tr_c.opt_state).mini_step) == 1
+    tr_c.train(iter(all_b[3:]))
+
+    for a, c in zip(jax.tree.leaves(jax.device_get(tr_a.params)),
+                    jax.tree.leaves(jax.device_get(tr_c.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
