@@ -23,6 +23,8 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--new-tokens", type=int, default=24)
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache: halves per-step cache HBM reads")
     ap.add_argument("--quant", default="int8",
                     choices=["int8", "int8-wo", "int4-wo"],
                     help="serving quantization for the 7B tree (bf16 at "
@@ -96,11 +98,13 @@ def main():
     t0 = time.perf_counter()
     toks = greedy_generate(params, cfg, ids, pos, pixel_patches=patches,
                            grid=grid, max_new_tokens=args.new_tokens,
+                           kv_quant=args.kv_quant,
                            eos_token_id=-1)
     first = time.perf_counter() - t0
     t0 = time.perf_counter()
     toks = greedy_generate(params, cfg, ids, pos, pixel_patches=patches,
                            grid=grid, max_new_tokens=args.new_tokens,
+                           kv_quant=args.kv_quant,
                            eos_token_id=-1)
     warm = time.perf_counter() - t0
     print(f"7B {args.quant} cached decode, single chip: "
