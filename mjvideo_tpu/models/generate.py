@@ -342,6 +342,7 @@ class GenerationConfig(NamedTuple):
     eos_token_id: int = 2
     temperature: float = 0.0  # 0 = greedy
     top_p: float = 1.0
+    top_k: int = 0  # 0 = off; HF do_sample defaults to top_k=50
     pad_token_id: int = 2
     # int8 KV cache (per-slot-per-head scales): halves cache HBM, for
     # long-video judge decode.  Opt-in; accuracy ladder in docs/PERF.md.
@@ -353,6 +354,11 @@ def _sample(logits: jnp.ndarray, gc: GenerationConfig, key) -> jnp.ndarray:
     if gc.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
     logits = logits / gc.temperature
+    if gc.top_k > 0:
+        # Keep the k highest logits (HF do_sample default top_k=50);
+        # kth value via top_k is O(V log k) and static-shaped.
+        kth = jax.lax.top_k(logits, gc.top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -1e30, logits)
     if gc.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)

@@ -281,3 +281,31 @@ def test_greedy_decode_eos_and_count_semantics():
 
     toks, n = run_noeos(first)
     assert int(n) == 3 and np.asarray(toks)[:3].tolist() == [5, 7, 2]
+
+
+def test_top_k_sampling_restricts_support(cfg, params):
+    """top_k masks everything below the k-th logit; with k=1 sampling
+    degenerates to greedy regardless of temperature."""
+    from mjvideo_tpu.models.generate import GenerationConfig, _sample
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    greedy = np.asarray(jnp.argmax(logits, axis=-1))
+    k1 = GenerationConfig(temperature=1.0, top_k=1)
+    for seed in range(3):
+        toks = np.asarray(_sample(logits, k1, jax.random.PRNGKey(seed)))
+        np.testing.assert_array_equal(toks, greedy)
+    # k=8: every sample stays inside the top-8 set
+    k8 = GenerationConfig(temperature=1.0, top_k=8)
+    top8 = np.argsort(np.asarray(logits), axis=-1)[:, -8:]
+    for seed in range(5):
+        toks = np.asarray(_sample(logits, k8, jax.random.PRNGKey(seed)))
+        assert all(t in row for t, row in zip(toks, top8))
+    # generation path smoke: top_k composes with top_p under jit
+    ids = rng.integers(1, 50, size=(1, 6)).astype(np.int32)
+    out = generate(params, cfg.chat, jnp.asarray(ids),
+                   jnp.asarray(np.ones_like(ids)),
+                   generation_config=GenerationConfig(
+                       max_new_tokens=4, eos_token_id=-1, pad_token_id=0,
+                       temperature=0.8, top_k=50, top_p=0.9))
+    assert np.asarray(out).shape == (1, 4)
