@@ -130,20 +130,29 @@ def _make_judge(args):
 
     import jax.numpy as jnp
 
-    from transformers import AutoTokenizer
-
     path = args.judge_model
-    # InternVL's tokenizer needs the slow class; Llama-3/Qwen2-family judge
-    # checkpoints often ship ONLY a fast tokenizer (tokenizer.json), where
-    # use_fast=False raises before the judge is constructed.
-    try:
-        tok = AutoTokenizer.from_pretrained(
-            args.tokenizer or path, trust_remote_code=True, use_fast=False
-        )
-    except (ValueError, OSError):
-        tok = AutoTokenizer.from_pretrained(
-            args.tokenizer or path, trust_remote_code=True
-        )
+    if args.byte_tokenizer:
+        # hermetic mode, same as the scorer path: offline smoke tests of
+        # the full judge pipeline without an HF tokenizer on disk
+        from ..data.prompts import ByteTokenizer
+
+        tok = ByteTokenizer()
+    else:
+        from transformers import AutoTokenizer
+
+        # InternVL's tokenizer needs the slow class; Llama-3/Qwen2-family
+        # judge checkpoints often ship ONLY a fast tokenizer
+        # (tokenizer.json), where use_fast=False raises before the judge
+        # is constructed.
+        try:
+            tok = AutoTokenizer.from_pretrained(
+                args.tokenizer or path, trust_remote_code=True,
+                use_fast=False
+            )
+        except (ValueError, OSError):
+            tok = AutoTokenizer.from_pretrained(
+                args.tokenizer or path, trust_remote_code=True
+            )
     if args.judge == "qwen2-vl":
         from ..models.qwen2vl import (
             import_qwen2vl_params,
@@ -194,9 +203,14 @@ def _make_judge(args):
                             prefix_cache=not args.no_prefix_cache)
     # internvl-chat: our own backbone as the judge
     from ..configs import load_config
+    from ..data.prompts import rebase_img_context_id
     from ..utils.checkpoint import import_chat_params, load_safetensors_dir
 
-    cfg = load_config(f"{path}/config.json").chat
+    # the reference's load-time id assignment (README.md:105); without it
+    # a tokenizer whose <IMG_CONTEXT> id differs from the config would
+    # fail prepare_chat_input's scatter-id guard
+    cfg = rebase_img_context_id(load_config(f"{path}/config.json").chat,
+                                tok)
     state = load_safetensors_dir(path)
     params = import_chat_params(state, cfg, jnp.bfloat16, with_lm_head=True)
     return InternVLJudge(cfg, params, tok, num_segments=args.num_segments,

@@ -315,3 +315,53 @@ def test_train_cli_stage_defaults_match_reference():
     a = build_parser().parse_args(["--stage", "1", "--train-json", "x",
                                    "--learning-rate", "1e-6"])
     assert a.learning_rate == 1e-6
+
+
+def test_eval_cli_judge_end_to_end_hermetic(tmp_path, capsys):
+    """The full judge CLI path offline: export a tiny chat checkpoint ->
+    `--judge internvl-chat --byte-tokenizer --benchmark overall` over
+    sample data -> metrics JSON.  Exercises prefix caching + kv-quant
+    through the CLI (both exactness-guarded paths)."""
+    import json
+    import subprocess
+    import sys
+
+    import jax
+
+    from mjvideo_tpu.configs import reward_config_to_hf
+    from mjvideo_tpu.models.internvl import init_chat_params
+    from mjvideo_tpu.utils.export import export_chat, save_safetensors
+
+    sample = tmp_path / "data"
+    r = subprocess.run(
+        [sys.executable, "examples/make_sample_data.py", "--out",
+         str(sample), "--pairs", "2"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+
+    cfg = tiny_test_config()
+    params = init_chat_params(jax.random.PRNGKey(0), cfg.chat,
+                              with_lm_head=True)
+    ckpt = tmp_path / "judge_ckpt"
+    ckpt.mkdir()
+    save_safetensors(export_chat(params, cfg.chat),
+                     str(ckpt / "model.safetensors"))
+    with open(ckpt / "config.json", "w") as f:
+        json.dump(reward_config_to_hf(cfg), f)
+
+    from mjvideo_tpu.eval import cli as ecli
+
+    ecli.main([
+        "--benchmark", "overall", "--byte-tokenizer",
+        "--judge", "internvl-chat", "--judge-model", str(ckpt),
+        "--kv-quant",
+        "--data-json", str(sample / "pairs.json"),
+        "--video-root", str(sample / "videos"),
+        "--num-segments", "2",
+        "--results", str(tmp_path / "res.jsonl"),
+    ])
+    out = capsys.readouterr().out
+    res = json.loads(out[out.index("{"):])
+    assert "accuracy" in res or "count" in res, res
+    assert (tmp_path / "res.jsonl").exists()
