@@ -436,10 +436,18 @@ def generate(
 
 
 def _decode_from_logits(lm, llm_cfg: LLMConfig, gc: GenerationConfig,
-                        logits, cache, cache_mask, start, rng):
+                        logits, cache, cache_mask, start, rng,
+                        return_state: bool = False):
     """Sample-and-extend loop shared by ``generate`` and
     ``generate_from_prefix``: ``logits`` (B, V) for the last real prompt
-    token, ``start`` (B,) the first free cache slot per row."""
+    token, ``start`` (B,) the first free cache slot per row.
+
+    ``return_state=True`` also returns the final (cache, cache_mask) so
+    a session can continue the conversation (``ChatSession``).  For B=1
+    the loop exits the step after EOS, so every slot the mask marks
+    holds a kept token's K/V; with B > 1, rows that finish early keep
+    writing pad K/V into marked slots until ALL rows finish — resuming
+    such a cache would attend to pad garbage, so sessions are B=1."""
     B = logits.shape[0]
     rng, key = jax.random.split(rng)
     next_tok = _sample(logits, gc, key)
@@ -471,7 +479,9 @@ def _decode_from_logits(lm, llm_cfg: LLMConfig, gc: GenerationConfig,
         return step + 1, out, cache, finished, mask, rng
 
     state = (0, out0, cache, finished0, cache_mask, rng)
-    _, out, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    _, out, cache, _, mask, _ = jax.lax.while_loop(cond, body, state)
+    if return_state:
+        return out, cache, mask
     return out
 
 
@@ -539,8 +549,11 @@ def generate_from_prefix(
     suffix_mask: jnp.ndarray,  # (B, S)
     generation_config: GenerationConfig = GenerationConfig(),
     rng: Optional[jax.Array] = None,
+    return_state: bool = False,
 ) -> jnp.ndarray:
     """Continue a cached prefix with a per-question suffix, then decode.
+    ``return_state=True`` also returns the post-decode (cache, mask) for
+    multi-turn continuation (see ``_decode_from_logits``; B=1 only).
 
     The suffix occupies slots [n_prefix, n_prefix + s_real) — contiguous
     with the prefix, so RoPE positions and causality are IDENTICAL to
@@ -571,7 +584,8 @@ def generate_from_prefix(
     )[:, 0]
     logits = dec.lm_logits(lm, last_hidden)
     return _decode_from_logits(lm, cfg.llm, gc, logits, cache, cache_mask,
-                               state.n_prefix + s_real, rng)
+                               state.n_prefix + s_real, rng,
+                               return_state=return_state)
 
 
 prefill_prefix_jitted = jax.jit(
@@ -580,7 +594,7 @@ prefill_prefix_jitted = jax.jit(
 
 generate_from_prefix_jitted = jax.jit(
     generate_from_prefix, static_argnums=(1,),
-    static_argnames=("generation_config",))
+    static_argnames=("generation_config", "return_state"))
 
 
 def stack_prefix_states(states) -> PrefixState:
@@ -845,3 +859,130 @@ def chat(
     response = tokenizer.decode(toks) if hasattr(tokenizer, "decode") else toks
     new_history = (history or []) + [(question, response)]
     return response, new_history
+
+
+class ChatSession:
+    """Multi-turn chat that keeps the conversation's KV across turns.
+
+    ``chat(history=...)`` — like the reference's
+    ``InternVLChatModel.chat`` (``modeling_internvl_chat.py:264-334``) —
+    re-prefills the ENTIRE conversation every turn, so turn t pays
+    O(conversation length) prefill again.  A session instead treats each
+    turn as a suffix continuation of the cached conversation: the new
+    user turn's tokens (plus the previous answer's final token, whose
+    K/V decode never wrote) prefill at the next free slots, and the
+    decode loop's own cache writes persist for the turn after.
+
+    Exactness is guarded token-by-token: each turn re-renders the full
+    conversation through ``prepare_chat_input`` and compares its token
+    prefix against what the cache holds; if the tokenizer merges across
+    a turn boundary (re-tokenized answer text != generated tokens), the
+    session re-prefills from scratch — same answers, just slower.  B=1
+    only (see ``_decode_from_logits``).  Vision enters on the first turn.
+    """
+
+    def __init__(self, params, cfg: ChatConfig, tokenizer,
+                 max_len: int = 2048,
+                 generation_config: GenerationConfig = GenerationConfig(),
+                 attn_impl: str = "auto", kv_quant: bool = False,
+                 suffix_bucket: int = 128):
+        from ..data.conversation import get_template
+
+        self.params, self.cfg, self.tokenizer = params, cfg, tokenizer
+        template = get_template(cfg.template)
+        eos = tokenizer.convert_tokens_to_ids(template.sep.strip())
+        pad = getattr(tokenizer, "pad_token_id", None) or cfg.llm.pad_token_id
+        self.gc = generation_config._replace(eos_token_id=eos,
+                                             pad_token_id=pad)
+        self.max_len = max_len
+        self.attn_impl = attn_impl
+        self.kv_quant = kv_quant
+        self.suffix_bucket = suffix_bucket
+        self.history: list = []
+        self._state: Optional[PrefixState] = None
+        self._cached: list = []   # token ids whose K/V are in the cache
+        self._pending: list = []  # generated tail whose K/V is not yet
+
+    def _render(self, question, num_patches_list):
+        from ..data.prompts import prepare_chat_input
+
+        chat_in = prepare_chat_input(
+            self.cfg, self.tokenizer, question,
+            num_patches_list=num_patches_list, history=self.history,
+            require_gating=False,
+        )
+        return [int(t) for t in chat_in.input_ids[0]]
+
+    def _fresh_prefill(self, full_ids, pixel_values, vision_embeds):
+        """(Re)build the session cache: flash-prefill everything but the
+        last prompt token (empty cache -> flash path applies), which
+        becomes the first suffix token."""
+        import numpy as np
+
+        P = len(full_ids) - 1
+        Pb = round_up_bucket(max(P, 1))
+        if Pb + self.suffix_bucket + self.gc.max_new_tokens > self.max_len:
+            raise ValueError(
+                f"conversation ({P} tokens) exceeds the session max_len "
+                f"{self.max_len}; raise max_len at session start")
+        ids = np.full((1, Pb), self.gc.pad_token_id, np.int32)
+        ids[0, :P] = full_ids[:P]
+        mask = np.zeros((1, Pb), np.int32)
+        mask[0, :P] = 1
+        self._state = prefill_prefix_jitted(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
+            max_len=self.max_len,
+            pixel_values=pixel_values, vision_embeds=vision_embeds,
+            attn_impl=self.attn_impl, kv_quant=self.kv_quant,
+        )
+        self._cached = list(full_ids[:P])
+        self._pending = [full_ids[P]]
+
+    def ask(self, question: str, pixel_values=None, vision_embeds=None,
+            num_patches_list=None) -> str:
+        import numpy as np
+
+        if num_patches_list is None and pixel_values is not None:
+            num_patches_list = [pixel_values.shape[0]]
+        if num_patches_list is None and vision_embeds is not None:
+            num_patches_list = [vision_embeds.shape[0]]
+        if self.history and num_patches_list is not None:
+            raise ValueError("vision enters on the FIRST turn only")
+
+        full_ids = self._render(question, num_patches_list)
+        known = self._cached + self._pending
+        if self._state is None or full_ids[: len(known)] != known:
+            # first turn, or the tokenizer merged across a turn boundary
+            self._fresh_prefill(full_ids, pixel_values, vision_embeds)
+            known = self._cached + self._pending
+        suffix = self._pending + full_ids[len(known):]
+        Sb = round_up_bucket(len(suffix), self.suffix_bucket)
+        if (len(self._cached) + Sb + self.gc.max_new_tokens
+                > self.max_len):
+            raise ValueError(
+                f"turn needs {len(self._cached) + Sb} prompt slots "
+                f"+ {self.gc.max_new_tokens} decode slots; raise max_len")
+        sids = np.full((1, Sb), self.gc.pad_token_id, np.int32)
+        sids[0, : len(suffix)] = suffix
+        smask = np.zeros((1, Sb), np.int32)
+        smask[0, : len(suffix)] = 1
+        out, cache, mask = generate_from_prefix_jitted(
+            self.params, self.cfg, self._state, jnp.asarray(sids),
+            jnp.asarray(smask), generation_config=self.gc,
+            return_state=True,
+        )
+        toks = [int(t) for t in np.asarray(out[0])]
+        if self.gc.eos_token_id in toks:
+            toks = toks[: toks.index(self.gc.eos_token_id) + 1]
+        # K/V now present for the suffix + every generated token but the
+        # last (sampled, never re-embedded); it leads the next suffix.
+        self._cached += suffix + toks[:-1]
+        self._pending = toks[-1:]
+        self._state = PrefixState(cache, mask,
+                                  jnp.asarray([len(self._cached)],
+                                              jnp.int32))
+        answer = toks[:-1] if toks[-1] == self.gc.eos_token_id else toks
+        response = (self.tokenizer.decode(answer)
+                    if hasattr(self.tokenizer, "decode") else answer)
+        self.history.append((question, response))
+        return response

@@ -276,3 +276,53 @@ def test_cogvlm2_judge_prefix_matches_full(tmp_path):
     assert j_on.ask_batch("Which wins?", [str(v1), str(v2)]) == \
         j_off.ask_batch("Which wins?", [str(v1), str(v2)])
     assert j_on._pstate.cache_info().hits >= 1
+
+
+# ------------------------------------------------------------ ChatSession
+
+def test_chat_session_matches_chat_with_history(chat):
+    """Multi-turn session (suffix continuation over one persistent cache)
+    must reproduce chat()'s re-prefill-everything answers turn by turn,
+    including a vision first turn."""
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.models.generate import (
+        ChatSession,
+        GenerationConfig,
+        chat as chat_fn,
+    )
+
+    cfg, params = chat
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(0)
+    pix = jnp.asarray(rng.normal(
+        size=(1, cfg.chat.image_size, cfg.chat.image_size, 3)
+    ).astype(np.float32))
+    gc = GenerationConfig(max_new_tokens=6, temperature=0.0)
+    questions = ["<image>\nDescribe the image.", "Why?", "Anything else?"]
+
+    sess = ChatSession(params, cfg.chat, tok, max_len=512,
+                       generation_config=gc, attn_impl="xla")
+    hist = None
+    for i, q in enumerate(questions):
+        ref, hist = chat_fn(params, cfg.chat, tok, q,
+                            pixel_values=pix if i == 0 else None,
+                            num_patches_list=[1] if i == 0 else None,
+                            history=hist, generation_config=gc,
+                            attn_impl="xla")
+        got = sess.ask(q, pixel_values=pix if i == 0 else None,
+                       num_patches_list=[1] if i == 0 else None)
+        assert got == ref, (i, got, ref)
+    assert len(sess.history) == 3
+
+
+def test_chat_session_capacity_guard(chat):
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.models.generate import ChatSession, GenerationConfig
+
+    cfg, params = chat
+    sess = ChatSession(params, cfg.chat, ByteTokenizer(), max_len=64,
+                       generation_config=GenerationConfig(max_new_tokens=6),
+                       attn_impl="xla")
+    with pytest.raises(ValueError, match="max_len"):
+        sess.ask("a question far too long for a sixty-four slot cache "
+                 "to ever hold together with its decode budget")
