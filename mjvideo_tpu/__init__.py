@@ -34,6 +34,9 @@ _LAZY = {
     "TrainConfig": ("mjvideo_tpu.train.trainer", "TrainConfig"),
     "make_mesh": ("mjvideo_tpu.parallel.mesh", "make_mesh"),
     "load_video": ("mjvideo_tpu.data.video", "load_video"),
+    "ChatSession": ("mjvideo_tpu.models.generate", "ChatSession"),
+    "GenerationConfig": ("mjvideo_tpu.models.generate", "GenerationConfig"),
+    "chat": ("mjvideo_tpu.models.generate", "chat"),
 }
 
 
