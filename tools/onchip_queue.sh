@@ -11,7 +11,7 @@ timeout 2400 python bench.py > /tmp/q1_bench_bf16.log 2>&1
 # 2. int8-vit bench
 BENCH_QUANT=int8-vit timeout 2400 python bench.py > /tmp/q2_bench_int8vit.log 2>&1
 # 3. int8-vit full-dims parity
-QP_SCOPE=vit timeout 3600 python /tmp/quant_parity.py > /tmp/q3_parity_vit.log 2>&1
+QP_SCOPE=vit timeout 3600 python benchmarks/quant_parity_tpu.py > /tmp/q3_parity_vit.log 2>&1
 # 4. ViT attention variant A/B (tmajor vs current)
 timeout 3600 python benchmarks/vit_attn_variants.py > /tmp/q4_vit_variants.log 2>&1
 # 5. judge decode with weight-only int8
