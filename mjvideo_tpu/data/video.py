@@ -58,8 +58,13 @@ def get_frame_indices(
         return np.linspace(
             first_idx, num_frames - 1, num_segments, endpoint=False, dtype=int
         )
-    start_frame = int(bound[0] * fps)
-    end_frame = int(bound[1] * fps)
+    # Clamp the window to the clip: a negative start (bound[0] < 0) or an
+    # end past the last frame would otherwise produce out-of-range indices
+    # that decode_frames silently substitutes with its LAST decoded frame
+    # — scores computed on the wrong frames with no error.
+    start_frame = max(int(bound[0] * fps), first_idx)
+    end_frame = min(int(bound[1] * fps), num_frames - 1)
+    end_frame = max(end_frame, start_frame)
     return np.linspace(
         start_frame, end_frame, num_segments, endpoint=False, dtype=int
     )
@@ -182,7 +187,7 @@ def decode_frames(
         ok = cap.grab()
         if not ok:
             break
-        if idx in frames or idx in wanted:
+        if idx in wanted:
             ok, bgr = cap.retrieve()
             if not ok:
                 break
@@ -286,34 +291,57 @@ def load_image(
 
 def fetch_remote_video(url: str, cache_dir: str = "./video_cache") -> str:
     """HTTP / HuggingFace-datasets video download with a local cache
-    (``download_video``, ``data.py:33-54``)."""
+    (``download_video``, ``data.py:33-54``).
+
+    The cache name carries a hash of the full URL: GenAI-Bench-style
+    datasets store every model's output as `.../<model>/0001.mp4`, so a
+    basename-only key would silently serve model A's video for model B.
+    Downloads land in a temp file and rename into place atomically — a
+    dropped connection must not leave a truncated file that every later
+    run treats as a complete cached video (the rename also makes
+    concurrent prefetch workers of one URL last-writer-wins instead of
+    interleaving into one open file)."""
+    import hashlib
+
     os.makedirs(cache_dir, exist_ok=True)
-    local = os.path.join(cache_dir, os.path.basename(url.split("?")[0]))
+    clean = url.split("?")[0]
+    digest = hashlib.sha256(clean.encode()).hexdigest()[:16]
+    local = os.path.join(cache_dir,
+                         f"{digest}_{os.path.basename(clean)}")
     if os.path.exists(local):
         return local
-    if "huggingface.co/datasets" in url:
-        from huggingface_hub import hf_hub_download
+    tmp = f"{local}.part{os.getpid()}"
+    try:
+        if "huggingface.co/datasets" in url:
+            from huggingface_hub import hf_hub_download
 
-        part = url.split("datasets/")[1]
-        repo_id = part.split("/blob")[0]
-        rev_file = part.split("/blob/")[1]
-        revision = rev_file[: rev_file.find("/")]
-        filename = rev_file[rev_file.find("/") + 1:]
-        import shutil
+            part = url.split("datasets/")[1]
+            # both the web ('/blob/') and direct-download ('/resolve/')
+            # URL forms point at the same repo path
+            sep = "/blob/" if "/blob/" in part else "/resolve/"
+            repo_id = part.split(sep)[0]
+            rev_file = part.split(sep)[1]
+            revision = rev_file[: rev_file.find("/")]
+            filename = rev_file[rev_file.find("/") + 1:]
+            import shutil
 
-        got = hf_hub_download(
-            repo_id=repo_id, filename=filename, repo_type="dataset",
-            revision=revision,
-        )
-        shutil.copy(got, local)
-        return local
-    import requests
+            got = hf_hub_download(
+                repo_id=repo_id, filename=filename, repo_type="dataset",
+                revision=revision,
+            )
+            shutil.copy(got, tmp)
+        else:
+            import requests
 
-    r = requests.get(url, stream=True, timeout=60)
-    r.raise_for_status()
-    with open(local, "wb") as f:
-        for chunk in r.iter_content(chunk_size=1 << 20):
-            f.write(chunk)
+            r = requests.get(url, stream=True, timeout=60)
+            r.raise_for_status()
+            with open(tmp, "wb") as f:
+                for chunk in r.iter_content(chunk_size=1 << 20):
+                    f.write(chunk)
+        os.replace(tmp, local)  # atomic: cache holds complete files only
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return local
 
 

@@ -21,19 +21,38 @@ from .metrics import binary_dimension_metrics, genai_bench_metrics, preference_a
 from .scorer import RewardScorer
 
 
+def iter_jsonl(path: str):
+    """Parsed records of a results JSONL, skipping torn lines.
+
+    A crashed prior run can leave a truncated final line; the writer's
+    resume path already tolerates it (the item is simply re-scored), so
+    every reader of these files must tolerate it too — an unguarded
+    json.loads at the merge step would throw away a finished run at its
+    very last step."""
+    with open(path) as f:
+        for line in f:
+            try:
+                yield json.loads(line)
+            except json.JSONDecodeError:
+                pass
+
+
 class IncrementalWriter:
-    """Append-only JSONL results with resume support."""
+    """Append-only JSONL results with resume support.
+
+    ``records`` holds the prior runs' parsed rows by id so drivers can
+    reuse stored scores for seen items (the labels side of a metric is
+    recomputed from the dataset, which is cheap — only decode+score is
+    worth skipping)."""
 
     def __init__(self, path: Optional[str]):
         self.path = path
         self.done = set()
+        self.records: Dict = {}
         if path and os.path.exists(path):
-            with open(path) as f:
-                for line in f:
-                    try:
-                        self.done.add(json.loads(line).get("id"))
-                    except json.JSONDecodeError:
-                        pass
+            for r in iter_jsonl(path):
+                self.done.add(r.get("id"))
+                self.records[r.get("id")] = r
 
     def seen(self, item_id) -> bool:
         return item_id in self.done
@@ -43,6 +62,27 @@ class IncrementalWriter:
             with open(self.path, "a") as f:
                 f.write(json.dumps(record, default=float) + "\n")
         self.done.add(record.get("id"))
+
+
+def _pair_pixels(p0, p1):
+    """One concatenated pixel batch when the clips' arrays stack, else
+    the pair as-is — under ``device_preprocess`` the scorer receives raw
+    source-resolution frames, and a preference pair from two different
+    generators can disagree on shape."""
+    if p0.shape[1:] == p1.shape[1:]:
+        return np.concatenate([p0, p1], axis=0)
+    return (p0, p1)
+
+
+def _score_pair(scorer: RewardScorer, pixels, ids, gpos) -> "RewardOutput":
+    """score_batch over a pair, scoring each clip separately when the
+    raw-frame shapes differ (each then gets its own device grid)."""
+    if not isinstance(pixels, tuple):
+        return scorer.score_batch(pixels, ids, gpos)
+    outs = [scorer.score_batch(p, ids[v:v + 1], list(gpos)[v:v + 1])
+            for v, p in enumerate(pixels)]
+    return type(outs[0])(*(np.concatenate(
+        [np.asarray(f) for f in fields]) for fields in zip(*outs)))
 
 
 def evaluate_preference(
@@ -77,11 +117,11 @@ def evaluate_preference(
                 num_segments=num_segments, max_num=max_num,
             )
             yield (i, pref[0], mask[0],
-                   np.concatenate([p0, p1], axis=0), [i0, i1], [g0, g1])
+                   _pair_pixels(p0, p1), [i0, i1], [g0, g1])
 
     s0s, s1s, prefs, masks = [], [], [], []
     for i, pref, mask, pixels, ids, gpos in prefetch(prepared(), 2):
-        out = scorer.score_batch(pixels, ids, gpos)
+        out = _score_pair(scorer, pixels, ids, gpos)
         scores = np.asarray(out.score, np.float32)
         rec = {
             "id": i,
@@ -98,13 +138,11 @@ def evaluate_preference(
     # merge resumed results
     if results_path and os.path.exists(results_path):
         s0s, s1s, prefs, masks = [], [], [], []
-        with open(results_path) as f:
-            for line in f:
-                r = json.loads(line)
-                s0s.append(r["score_0"])
-                s1s.append(r["score_1"])
-                prefs.append(r["preference"])
-                masks.append(r["mask"])
+        for r in iter_jsonl(results_path):
+            s0s.append(r["score_0"])
+            s1s.append(r["score_1"])
+            prefs.append(r["preference"])
+            masks.append(r["mask"])
     return preference_accuracy(
         np.asarray(s0s), np.asarray(s1s), np.asarray(prefs), np.asarray(masks)
     )
@@ -130,6 +168,11 @@ def evaluate_aspects(
     def prepared():
         for i, item in enumerate(records):
             labels = pair_record_labels(item)
+            if writer.seen(i):
+                # resume: reuse the stored scores; labels recompute from
+                # the dataset (cheap) — only decode+score is skipped
+                yield (i, labels, None, None, None)
+                continue
             p0, i0, g0 = scorer.prepare_clip(
                 os.path.join(root, item["video_0_path"]), item["caption"],
                 num_segments=num_segments, max_num=max_num,
@@ -139,15 +182,25 @@ def evaluate_aspects(
                 num_segments=num_segments, max_num=max_num,
             )
             yield (i, labels,
-                   np.concatenate([p0, p1], axis=0), [i0, i1], [g0, g1])
+                   _pair_pixels(p0, p1), [i0, i1], [g0, g1])
 
     for i, labels, pixels, ids, gpos in prefetch(prepared(), 2):
-        out = scorer.score_batch(pixels, ids, gpos)
-        r0, r1 = (
-            {"rewards": np.asarray(out.rewards, np.float32)[b],
-             "aspect_scores": np.asarray(out.aspect_scores, np.float32)[b]}
-            for b in (0, 1)
-        )
+        if pixels is None:
+            stored = writer.records[i]
+            r0, r1 = (
+                {"rewards": np.asarray(stored[f"rewards_{b}"], np.float32),
+                 "aspect_scores": np.asarray(stored[f"aspects_{b}"],
+                                             np.float32)}
+                for b in (0, 1)
+            )
+        else:
+            out = _score_pair(scorer, pixels, ids, gpos)
+            r0, r1 = (
+                {"rewards": np.asarray(out.rewards, np.float32)[b],
+                 "aspect_scores": np.asarray(out.aspect_scores,
+                                             np.float32)[b]}
+                for b in (0, 1)
+            )
         for v, r in ((0, r0), (1, r1)):
             crit_scores.append(r["rewards"])
             crit_gt.append(labels[f"video_{v}_criteria_score"])
@@ -155,13 +208,16 @@ def evaluate_aspects(
             asp_scores.append(r["aspect_scores"])
             asp_gt.append(labels[f"video_{v}_aspect_score"])
             asp_rel.append(labels[f"video_{v}_aspect_related"])
-        writer.write({
-            "id": i,
-            "rewards_0": r0["rewards"].tolist(),
-            "rewards_1": r1["rewards"].tolist(),
-            "aspects_0": r0["aspect_scores"].tolist(),
-            "aspects_1": r1["aspect_scores"].tolist(),
-        })
+        if pixels is not None:  # resumed items are already persisted
+            writer.write({
+                "id": i,
+                "rewards_0": r0["rewards"].tolist(),
+                "rewards_1": r1["rewards"].tolist(),
+                "aspects_0": r0["aspect_scores"].tolist(),
+                "aspects_1": r1["aspect_scores"].tolist(),
+            })
+    if not crit_scores:  # empty records (e.g. everything filtered out)
+        return {"criteria": [], "aspects": []}
     return {
         "criteria": binary_dimension_metrics(
             np.stack(crit_scores), np.stack(crit_gt), np.stack(crit_rel),
@@ -207,12 +263,10 @@ def genai_driver(
     # accumulation above is the result)
     if results_path and os.path.exists(results_path):
         lefts, rights, votes = [], [], []
-        with open(results_path) as f:
-            for line in f:
-                r = json.loads(line)
-                lefts.append(r["score_left"])
-                rights.append(r["score_right"])
-                votes.append(r["vote_type"])
+        for r in iter_jsonl(results_path):
+            lefts.append(r["score_left"])
+            rights.append(r["score_right"])
+            votes.append(r["vote_type"])
     return (np.asarray(lefts, np.float64), np.asarray(rights, np.float64),
             votes)
 

@@ -441,7 +441,18 @@ def import_decoder_params(
         "layers": layers,
         "norm": {"weight": _a(final_norm, dtype)},
     }
-    if with_lm_head and (prefix + lm_head_key) in state:
+    if with_lm_head:
+        if (prefix + lm_head_key) not in state:
+            # Fail HERE, not as a KeyError('output') deep inside a jitted
+            # generation forward: a mis-prefixed/truncated checkpoint (or
+            # a tied-embedding variant routed through this importer —
+            # tied models carry their own importers, e.g. qwen2vl's)
+            # should not "load successfully" without its lm head.
+            raise KeyError(
+                f"with_lm_head=True but {prefix + lm_head_key!r} is not in "
+                f"the checkpoint ({len(state)} tensors, prefix "
+                f"{prefix!r}); pass with_lm_head=False for score-only "
+                "trees, or check the prefix")
         params["output"] = {"kernel": _k(g(lm_head_key), dtype)}
     return params
 

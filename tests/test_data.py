@@ -204,3 +204,85 @@ def test_load_video_shorter_than_segments(tmp_path):
     assert pixels.shape == (8, 56, 56, 3)
     assert npl == [1] * 8
     assert np.isfinite(pixels).all()
+
+
+def test_frame_indices_bound_clamped_to_clip():
+    """A bound window extending past the clip (negative start / end past
+    the last frame) must clamp — out-of-range indices would silently be
+    substituted with the LAST decoded frame downstream."""
+    from mjvideo_tpu.data.video import get_frame_indices
+
+    idx = get_frame_indices(30, 8, bound=(-1.0, 100.0), fps=30.0)
+    assert idx.min() >= 0 and idx.max() <= 29
+    # degenerate window (start after end) collapses, not crosses
+    idx = get_frame_indices(30, 4, bound=(5.0, 1.0), fps=30.0)
+    assert (idx >= 29).all() or (idx == idx[0]).all()
+
+
+def test_fetch_remote_video_cache_key_and_atomicity(tmp_path, monkeypatch):
+    """Distinct URLs with one basename must not collide in the cache, and
+    a failed download must leave NO cache entry (a truncated file would
+    be served as complete forever after)."""
+    import mjvideo_tpu.data.video as V
+
+    payloads = {
+        "http://x/modelA/0001.mp4": b"AAAA",
+        "http://x/modelB/0001.mp4": b"BBBB",
+        "http://x/modelA/9999.mp4": b"CCCC",
+    }
+
+    class _Resp:
+        def __init__(self, data, fail=False):
+            self.data, self.fail = data, fail
+
+        def raise_for_status(self):
+            pass
+
+        def iter_content(self, chunk_size):
+            yield self.data[:2]
+            if self.fail:
+                raise IOError("connection dropped")
+            yield self.data[2:]
+
+    class _Requests:
+        fail = False
+
+        @staticmethod
+        def get(url, stream=True, timeout=60):
+            return _Resp(payloads[url], fail=_Requests.fail)
+
+    import sys
+
+    monkeypatch.setitem(sys.modules, "requests", _Requests)
+    cache = str(tmp_path / "cache")
+    a = V.fetch_remote_video("http://x/modelA/0001.mp4", cache_dir=cache)
+    b = V.fetch_remote_video("http://x/modelB/0001.mp4", cache_dir=cache)
+    assert a != b
+    assert open(a, "rb").read() == b"AAAA"
+    assert open(b, "rb").read() == b"BBBB"
+
+    _Requests.fail = True
+    import pytest
+
+    with pytest.raises(IOError):
+        V.fetch_remote_video("http://x/modelA/9999.mp4", cache_dir=cache)
+    import os
+
+    leftovers = [f for f in os.listdir(cache) if "9999" in f]
+    assert leftovers == [], leftovers
+
+
+def test_iter_jsonl_skips_torn_lines(tmp_path):
+    import json
+
+    from mjvideo_tpu.eval.preference import IncrementalWriter, iter_jsonl
+
+    path = tmp_path / "res.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({"id": 0, "score_0": 1.0}) + "\n")
+        f.write('{"id": 1, "score_0"')  # torn final line (crashed writer)
+    rows = list(iter_jsonl(str(path)))
+    assert [r["id"] for r in rows] == [0]
+    w = IncrementalWriter(str(path))
+    assert w.seen(0) and not w.seen(1)
+    assert w.records[0]["score_0"] == 1.0

@@ -557,3 +557,70 @@ def test_resume_mid_accumulation_window_is_bit_exact(cfg, params, tmp_path):
     for a, c in zip(jax.tree.leaves(jax.device_get(tr_a.params)),
                     jax.tree.leaves(jax.device_get(tr_c.params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_evaluate_aspects_resume_skips_scoring(cfg, params, tmp_path):
+    """Crash-resume for the aspect eval: the second run must reuse stored
+    scores (no re-decode/re-score), append NO duplicate rows, and return
+    the same metrics as the uninterrupted run."""
+    import json
+
+    from mjvideo_tpu.eval.preference import evaluate_aspects
+    from mjvideo_tpu.eval.scorer import RewardScorer
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+
+    video = tmp_path / "v.mp4"
+    _write_test_video(video, n_frames=8, size=64)
+    criteria = {f"c{i}": (i % 3) for i in range(28)}
+    aspects = {f"a{i}": 1 for i in range(5)}
+    records = [{
+        "caption": "a test clip",
+        "video_0_path": "v.mp4", "video_1_path": "v.mp4",
+        "video_0_label": criteria, "video_1_label": criteria,
+        "video_0_overall_score": aspects, "video_1_overall_score": aspects,
+        "video_0_total_score": 1, "video_1_total_score": 2,
+        "category_preference": {f"a{i}": "Same" for i in range(5)},
+        "overall_preference": "Video 1 better",
+    } for _ in range(2)]
+
+    tok = ByteTokenizer()
+    scorer = RewardScorer(
+        cfg, params, tok, attn_impl="xla", dtype=jnp.float32,
+        length_buckets=(1024,), gating_pattern=tok.gating_pattern())
+    res = tmp_path / "aspects.jsonl"
+    full = evaluate_aspects(scorer, records, root=str(tmp_path),
+                            num_segments=2, results_path=str(res))
+    n_rows = sum(1 for _ in open(res))
+    assert n_rows == 2
+
+    calls = {"n": 0}
+    orig = scorer.score_batch
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    scorer.score_batch = counting
+    again = evaluate_aspects(scorer, records, root=str(tmp_path),
+                             num_segments=2, results_path=str(res))
+    assert calls["n"] == 0, "resume must not re-score seen items"
+    assert sum(1 for _ in open(res)) == 2, "no duplicate rows"
+    assert json.dumps(again, default=float) == json.dumps(full,
+                                                          default=float)
+
+
+def test_import_decoder_missing_lm_head_fails_loudly(cfg):
+    import pytest
+
+    from mjvideo_tpu.models.internvl import init_chat_params
+    from mjvideo_tpu.utils.checkpoint import import_chat_params
+    from mjvideo_tpu.utils.export import export_chat
+
+    params = init_chat_params(jax.random.PRNGKey(0), cfg.chat,
+                              with_lm_head=False)
+    state = export_chat(params, cfg.chat)
+    with pytest.raises(KeyError, match="with_lm_head"):
+        import_chat_params(state, cfg.chat, with_lm_head=True)
+    # score-only import still works
+    tree = import_chat_params(state, cfg.chat, with_lm_head=False)
+    assert "output" not in tree["language_model"]
