@@ -135,3 +135,58 @@ def shard_params(params: Any, mesh: Mesh, tp: bool = True):
 def shard_batch(batch: Any, mesh: Mesh):
     """Shard every array in a batch dict along its leading (batch) axis."""
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def zero1_opt_shardings(opt_state, params: Any, mesh: Mesh, tp: bool = True):
+    """ZeRO-1 shardings for an optimizer-state pytree.
+
+    Under pure data parallelism the params replicate, so every param-shaped
+    optimizer buffer (Adam mu/nu, ``optax.MultiSteps`` gradient accumulator)
+    replicates too — at 2B scale that is ~8 GB of fp32 moments PER CHIP that
+    could instead be split 8 ways over the ``data`` axis (ZeRO stage 1,
+    Rajbhandari et al.).  The GSPMD way needs no gather/scatter code: give
+    each moment leaf a sharding over ``data`` (on top of any tensor-parallel
+    axes it inherits from its param) and pin the train step's
+    ``out_shardings``; XLA shards the elementwise optimizer update and
+    inserts the update all-gather into the (replicated) params on its own.
+
+    A leaf is sharded iff its pytree path ends with a parameter's path AND
+    the shapes match — this walks arbitrary optax wrapper nesting (chain /
+    multi_transform / MultiSteps) without knowing the state types, and
+    leaves non-param-shaped state (schedule counts, adafactor row/col
+    factors) replicated.  The extra ``data`` axis goes on the largest
+    not-yet-sharded dimension divisible by the data-axis size.
+    """
+    data_size = mesh.shape["data"]
+    base = param_shardings(params, mesh, tp)
+    by_path = []
+    for (ppath, leaf), (_, shd) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(base),
+    ):
+        by_path.append((_path_str(ppath), leaf.shape, shd.spec))
+    # Longest param path first so e.g. 'mlp1/2/kernel' wins over '2/kernel'.
+    by_path.sort(key=lambda t: -len(t[0]))
+
+    def extend(shape, spec) -> P:
+        full = list(spec) + [None] * (len(shape) - len(spec))
+        best = -1
+        for i, (dim, ax) in enumerate(zip(shape, full)):
+            if ax is None and dim % data_size == 0 and (
+                best < 0 or dim > shape[best]
+            ):
+                best = i
+        if best >= 0:
+            full[best] = "data"
+        return P(*full)
+
+    def one(path, leaf):
+        if data_size > 1 and hasattr(leaf, "shape"):
+            s = _path_str(path)
+            for ppath, pshape, pspec in by_path:
+                if (s == ppath or s.endswith("/" + ppath)) \
+                        and tuple(leaf.shape) == tuple(pshape):
+                    return NamedSharding(mesh, extend(leaf.shape, pspec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(one, opt_state)

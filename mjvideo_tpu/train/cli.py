@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-total-limit", type=int, default=3)
     p.add_argument("--bf16-adam-mu", action="store_true",
                    help="store Adam first moments in bf16 (halves opt memory)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard optimizer moments over the data mesh "
+                        "axis (optimizer memory / dp degree)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="hermetic smoke mode: tiny config + byte tokenizer")
@@ -193,6 +196,7 @@ def main(argv=None) -> None:
         remat={"none": False, "full": True,
                "dots": "dots"}[args.remat_policy],
         optimizer=args.optimizer,
+        zero1=args.zero1,
         gradient_accumulation_steps=accum,
     )
     trainer = Trainer(cfg, params, tc)

@@ -68,6 +68,11 @@ class TrainConfig:
     # outputs, recompute only norm/attention glue) — ops/remat.py
     remat: object = True
     optimizer: str = "adamw"  # 'adamw' (reference) | 'adafactor' (low-mem)
+    # ZeRO-1: shard param-shaped optimizer buffers (Adam mu/nu, the
+    # accumulation buffer) over the 'data' mesh axis instead of
+    # replicating them — optimizer memory / dp_degree, update math
+    # unchanged (parallel/mesh.py: zero1_opt_shardings).
+    zero1: bool = False
     log_every: int = 10
     checkpoint_every: int = 500
     checkpoint_dir: str = "./checkpoints"
@@ -187,10 +192,17 @@ def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
     return loss_fn
 
 
-def make_train_step(cfg: RewardConfig, tc: TrainConfig, optimizer) -> Callable:
+def make_train_step(cfg: RewardConfig, tc: TrainConfig, optimizer,
+                    out_shardings=None) -> Callable:
+    """``out_shardings``, when given, is the full output-triple sharding
+    pytree ``(param_shardings, opt_state_shardings, metric_shardings)`` —
+    pinned so ZeRO-1 moment shards stay sharded across steps instead of
+    being re-replicated by sharding propagation."""
     loss_fn = make_loss_fn(cfg, tc)
+    jit_kw = {"out_shardings": out_shardings} if out_shardings is not None \
+        else {}
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(jax.jit, donate_argnums=(0, 1), **jit_kw)
     def train_step(params, opt_state, batch, rng=None):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -226,8 +238,21 @@ class Trainer:
         self.mesh = mesh
         self.params = shard_params(params, self.mesh)
         self.optimizer = make_optimizer(tc, self.params)
-        self.opt_state = self.optimizer.init(self.params)
-        self.step_fn = make_train_step(cfg, tc, self.optimizer)
+        self.opt_state = self._place_opt_state(self.optimizer.init(self.params))
+        out_shardings = None
+        if tc.zero1 and self.mesh.shape["data"] > 1:
+            from jax.sharding import PartitionSpec as _P
+
+            from ..parallel.mesh import param_shardings, zero1_opt_shardings
+
+            rep = jax.sharding.NamedSharding(self.mesh, _P())
+            out_shardings = (
+                param_shardings(self.params, self.mesh),
+                zero1_opt_shardings(self.opt_state, self.params, self.mesh),
+                {"loss": rep, "grad_norm": rep},
+            )
+        self.step_fn = make_train_step(cfg, tc, self.optimizer,
+                                       out_shardings=out_shardings)
         self.step = 0
         vis = cfg.chat.vision
         self._needs_vit_rng = vis.drop_path_rate > 0.0 or vis.dropout > 0.0
@@ -246,6 +271,18 @@ class Trainer:
                     os.path.join(tc.checkpoint_dir, "tb"))
             except ImportError:
                 pass
+
+    def _place_opt_state(self, opt_state):
+        """Apply ZeRO-1 data-axis sharding to the optimizer state (no-op
+        unless ``tc.zero1`` and the mesh has >1 data shard)."""
+        if not self.tc.zero1 or self.mesh.shape["data"] <= 1:
+            return opt_state
+        from ..parallel.mesh import zero1_opt_shardings
+
+        return jax.device_put(
+            opt_state,
+            zero1_opt_shardings(opt_state, self.params, self.mesh),
+        )
 
     def log(self, record: Dict[str, Any]) -> None:
         with open(self._metrics_path, "a") as f:
@@ -366,11 +403,13 @@ class Trainer:
 
         self.params = _shard(params, self.mesh)
         if opt_state is None:
-            self.opt_state = self.optimizer.init(self.params)
+            self.opt_state = self._place_opt_state(
+                self.optimizer.init(self.params))
         else:
             # Re-place the restored host opt_state with the same shardings a
-            # fresh init would have (mu/nu follow the param shardings).
-            template = self.optimizer.init(self.params)
+            # fresh init would have (mu/nu follow the param shardings, then
+            # the ZeRO-1 data-axis split if enabled).
+            template = self._place_opt_state(self.optimizer.init(self.params))
             self.opt_state = jax.tree.map(
                 lambda t, x: jax.device_put(x, t.sharding),
                 template, opt_state,
