@@ -30,7 +30,7 @@ def fwd(params, pix, ids, mask, gpos):
     return o.rewards, o.aspect_scores, o.score
 
 diffs = []
-for seed in range(3):
+for seed in range(int(_os.environ.get("QP_SEEDS", 3))):
     rng = np.random.default_rng(seed)
     pix = jnp.asarray(rng.normal(size=(batch*frames, c.vision.image_size, c.vision.image_size, 3)), jnp.bfloat16)
     ids = np.full((batch, T), 11, np.int64); ids[:, 8:8+n_img] = c.img_context_token_id
