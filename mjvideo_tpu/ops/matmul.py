@@ -31,8 +31,10 @@ def dot(x: jnp.ndarray, kernel) -> jnp.ndarray:
     """x @ kernel with fp32 accumulation, result cast back to x.dtype.
 
     ``kernel`` may be a plain array, an ``ops.quant.QuantKernel`` (w8a8
-    serving mode) or a ``WOQuantKernel`` (weight-only w8a16 for the
-    decode-bound regime); every model family routes its dense matmuls
+    serving mode), a ``WOQuantKernel`` (weight-only w8a16 for the
+    decode-bound regime) or an ``ops.lora.LoraKernel`` (frozen base +
+    trainable low-rank delta; its base recurses here, so QLoRA
+    compositions work); every model family routes its dense matmuls
     here, so the dispatch covers them all."""
     from .quant import QuantKernel, WOQuantKernel, dot_q8, dot_wo
 
@@ -40,6 +42,10 @@ def dot(x: jnp.ndarray, kernel) -> jnp.ndarray:
         return dot_q8(x, kernel)
     if isinstance(kernel, WOQuantKernel):
         return dot_wo(x, kernel)
+    from .lora import LoraKernel, dot_lora
+
+    if isinstance(kernel, LoraKernel):
+        return dot_lora(x, kernel)
     from .quant4 import Q4Kernel, dot_q4
 
     if isinstance(kernel, Q4Kernel):
@@ -58,6 +64,10 @@ def dot_f32(x: jnp.ndarray, kernel) -> jnp.ndarray:
         return dot_q8_f32(x, kernel)
     if isinstance(kernel, WOQuantKernel):
         return dot_wo_f32(x, kernel)
+    from .lora import LoraKernel, dot_lora_f32
+
+    if isinstance(kernel, LoraKernel):
+        return dot_lora_f32(x, kernel)
     from .quant4 import Q4Kernel, dot_q4_f32
 
     if isinstance(kernel, Q4Kernel):

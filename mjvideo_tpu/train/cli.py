@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard optimizer moments over the data mesh "
                         "axis (optimizer memory / dp degree)")
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help="rank > 0 trains low-rank LoRA adapters on the LLM "
+                        "instead of full weights (ops/lora.py)")
+    p.add_argument("--lora-alpha", type=float, default=None,
+                   help="LoRA scale numerator (default: rank, i.e. scale 1)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="hermetic smoke mode: tiny config + byte tokenizer")
@@ -135,7 +140,21 @@ def main(argv=None) -> None:
         )
 
     if args.warm_start:
-        params = warm_start(params, args.warm_start)
+        try:
+            params = warm_start(params, args.warm_start)
+        except Exception:
+            if args.lora_rank <= 0:
+                raise
+            # The previous stage trained with LoRA: its checkpoint tree is
+            # LoraKernel-wrapped, so wrap BEFORE restoring (the Trainer's
+            # own apply_lora is idempotent and the restore overwrites the
+            # freshly-initialized adapters).
+            from ..ops.lora import apply_lora
+
+            params = apply_lora(
+                params, jax.random.PRNGKey(args.lora_rank),
+                args.lora_rank, alpha=args.lora_alpha)
+            params = warm_start(params, args.warm_start)
 
     tok_path = args.tokenizer or args.model_path
     if tok_path:
@@ -197,6 +216,8 @@ def main(argv=None) -> None:
                "dots": "dots"}[args.remat_policy],
         optimizer=args.optimizer,
         zero1=args.zero1,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
         gradient_accumulation_steps=accum,
     )
     trainer = Trainer(cfg, params, tc)

@@ -73,6 +73,12 @@ class TrainConfig:
     # replicating them — optimizer memory / dp_degree, update math
     # unchanged (parallel/mesh.py: zero1_opt_shardings).
     zero1: bool = False
+    # LoRA (ops/lora.py): rank > 0 wraps the LLM attention/MLP kernels in
+    # LoraKernel nodes; the backbone then trains ONLY the low-rank a/b
+    # adapters (heads/gates keep their per-stage policy), shrinking
+    # trainable state + optimizer moments from GBs to MBs.
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None  # None = rank (scale 1.0)
     log_every: int = 10
     checkpoint_every: int = 500
     checkpoint_dir: str = "./checkpoints"
@@ -94,13 +100,25 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def trainable_mask(params, stage: int):
-    """Pytree of bools: True = trained this stage (losses.STAGES policies)."""
+def trainable_mask(params, stage: int, lora: bool = False):
+    """Pytree of bools: True = trained this stage (losses.STAGES policies).
+
+    Wrapper-node fields: anything under a ``.w`` field (a LoraKernel's
+    frozen base, possibly itself a quant-kernel dict) is never trainable.
+    In LoRA mode the backbone (``model/...``) trains ONLY the ``.a``/
+    ``.b`` adapter fields; heads and gates keep the stage policy.
+    """
     prefixes = STAGES[stage].trainable_paths
 
     def one(path, _):
         s = _path_str(path)
-        return any(s.startswith(p) for p in prefixes)
+        if not any(s.startswith(p) for p in prefixes):
+            return False
+        if "/.w" in s:
+            return False
+        if lora and s.startswith("model/"):
+            return s.endswith("/.a") or s.endswith("/.b")
+        return True
 
     return jax.tree_util.tree_map_with_path(one, params)
 
@@ -141,7 +159,7 @@ def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
         optax.clip_by_global_norm(tc.max_grad_norm),
         inner,
     )
-    mask = trainable_mask(params, tc.stage)
+    mask = trainable_mask(params, tc.stage, lora=tc.lora_rank > 0)
     out = optax.multi_transform(
         {"train": opt, "freeze": optax.set_to_zero()},
         jax.tree.map(lambda t: "train" if t else "freeze", mask),
@@ -165,7 +183,7 @@ def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
     stage_loss = STAGES[tc.stage].loss_fn
 
     def loss_fn(raw_params, batch, vit_rng=None):
-        mask = trainable_mask(raw_params, tc.stage)
+        mask = trainable_mask(raw_params, tc.stage, lora=tc.lora_rank > 0)
         params = jax.tree.map(
             lambda p, t: p if t else jax.lax.stop_gradient(p),
             raw_params, mask,
@@ -204,7 +222,16 @@ def make_train_step(cfg: RewardConfig, tc: TrainConfig, optimizer,
 
     @functools.partial(jax.jit, donate_argnums=(0, 1), **jit_kw)
     def train_step(params, opt_state, batch, rng=None):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        # allow_int: quantized frozen bases (QLoRA int8 leaves) are valid
+        # non-differentiable inputs; their float0 grads become fp32 zeros,
+        # which the frozen optax partition turns into no-ops that XLA
+        # dead-code-eliminates under jit.
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+            params, batch, rng)
+        grads = jax.tree.map(
+            lambda g, p: jnp.zeros(p.shape, jnp.float32)
+            if g.dtype == jax.dtypes.float0 else g,
+            grads, params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
@@ -226,6 +253,15 @@ class Trainer:
     ):
         self.cfg = cfg
         self.tc = tc
+        if tc.lora_rank > 0:
+            from ..ops.lora import apply_lora
+
+            # Idempotent: an already-wrapped tree (warm start from a LoRA
+            # checkpoint) passes through unchanged.
+            params = apply_lora(
+                params, jax.random.PRNGKey(tc.lora_rank), tc.lora_rank,
+                alpha=tc.lora_alpha,
+            )
         if mesh is None:
             import jax as _jax
 
@@ -408,10 +444,19 @@ class Trainer:
         else:
             # Re-place the restored host opt_state with the same shardings a
             # fresh init would have (mu/nu follow the param shardings, then
-            # the ZeRO-1 data-axis split if enabled).
+            # the ZeRO-1 data-axis split if enabled).  Template leaves that
+            # eager-init left on one device (e.g. the schedule ``count``
+            # scalar) are normalized to mesh-replicated — committing them
+            # single-device would conflict with the mesh-placed params at
+            # the next step.
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
             template = self._place_opt_state(self.optimizer.init(self.params))
+            rep = NamedSharding(self.mesh, _P())
             self.opt_state = jax.tree.map(
-                lambda t, x: jax.device_put(x, t.sharding),
+                lambda t, x: jax.device_put(
+                    x, t.sharding if isinstance(t.sharding, NamedSharding)
+                    else rep),
                 template, opt_state,
             )
         self.step = best[0]

@@ -558,13 +558,16 @@ def restore_pytree(path: str, like: Optional[Any] = None) -> Any:
     """Restore a pytree saved by ``save_pytree``.
 
     Without ``like``, orbax returns registered-dataclass nodes as plain
-    dicts; QuantKernel leaves of a w8a8 tree (``ops/quant.py``) are
-    revived so a restored serving checkpoint keeps its int8 dispatch."""
+    dicts; QuantKernel leaves of a w8a8 tree (``ops/quant.py``) and
+    LoraKernel leaves of an adapter tree (``ops/lora.py``) are revived so
+    a restored checkpoint keeps its matmul dispatch."""
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
         if like is None:
+            from ..ops.lora import revive_lora_kernels
             from ..ops.quant import revive_quant_kernels
 
-            return revive_quant_kernels(ckptr.restore(os.path.abspath(path)))
+            return revive_quant_kernels(
+                revive_lora_kernels(ckptr.restore(os.path.abspath(path))))
         return ckptr.restore(os.path.abspath(path), like)
