@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of full weights (ops/lora.py)")
     p.add_argument("--lora-alpha", type=float, default=None,
                    help="LoRA scale numerator (default: rank, i.e. scale 1)")
+    p.add_argument("--async-checkpoint", action="store_true",
+                   help="overlap checkpoint disk writes with training "
+                        "(orbax async commit)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="hermetic smoke mode: tiny config + byte tokenizer")
@@ -218,6 +221,7 @@ def main(argv=None) -> None:
         zero1=args.zero1,
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
+        async_checkpoint=args.async_checkpoint,
         gradient_accumulation_steps=accum,
     )
     trainer = Trainer(cfg, params, tc)
@@ -254,6 +258,10 @@ def main(argv=None) -> None:
             print(f"epoch {epoch} eval: {metrics}")
         if trainer.step >= total:
             break
+    if args.async_checkpoint:
+        from ..utils.checkpoint import wait_for_saves
+
+        wait_for_saves()  # the epoch-end save may still be committing
     print(f"final checkpoint: {path}")
 
 

@@ -79,6 +79,9 @@ class TrainConfig:
     # trainable state + optimizer moments from GBs to MBs.
     lora_rank: int = 0
     lora_alpha: Optional[float] = None  # None = rank (scale 1.0)
+    # Overlap checkpoint disk writes with training (orbax async commit);
+    # the device->host snapshot stays synchronous (donation safety).
+    async_checkpoint: bool = False
     log_every: int = 10
     checkpoint_every: int = 500
     checkpoint_dir: str = "./checkpoints"
@@ -407,6 +410,9 @@ class Trainer:
         """
         import re
 
+        from ..utils.checkpoint import wait_for_saves
+
+        wait_for_saves()  # never read a checkpoint still being written
         pat = re.compile(rf"stage{self.tc.stage}_step(\d+)$")
         best = None
         for name in os.listdir(self.tc.checkpoint_dir):
@@ -463,19 +469,29 @@ class Trainer:
         return best[1]
 
     def save(self) -> str:
-        from ..utils.checkpoint import save_pytree
+        from ..utils.checkpoint import save_pytree, wait_for_saves
 
         path = os.path.join(
             self.tc.checkpoint_dir, f"stage{self.tc.stage}_step{self.step}"
         )
-        save_pytree(os.path.join(path, "params"), jax.device_get(self.params))
+        block = not self.tc.async_checkpoint
+        if not block:
+            # One outstanding async save at a time: a second save to the
+            # same step path (checkpoint_every + epoch end) must not race
+            # the first, and the device_get below is the donation-safe
+            # snapshot (the train step donates the device buffers).
+            wait_for_saves()
+        save_pytree(os.path.join(path, "params"),
+                    jax.device_get(self.params), block=block)
         save_pytree(os.path.join(path, "opt_state"),
-                    jax.device_get(self.opt_state))
+                    jax.device_get(self.opt_state), block=block)
         # A step can save twice (checkpoint_every hit + epoch end); a
         # duplicate prune-list entry would let the rotation delete a
         # path that is also the newest checkpoint.
         if path not in self._saved:
             self._saved.append(path)
+        if len(self._saved) > self.tc.keep_checkpoints and not block:
+            wait_for_saves()  # never rmtree a directory still being written
         while len(self._saved) > self.tc.keep_checkpoints:
             import shutil
 
@@ -517,6 +533,10 @@ class Trainer:
                 self.log(last)
             if self.step % self.tc.checkpoint_every == 0:
                 self.save()
+        if self.tc.async_checkpoint:
+            from ..utils.checkpoint import wait_for_saves
+
+            wait_for_saves()  # durability before the loop returns
         return last
 
 

@@ -546,12 +546,43 @@ def load_reward_model(
 
 # --- orbax native checkpointing ---------------------------------------------
 
-def save_pytree(path: str, tree: Any) -> None:
-    """Save a pytree with orbax (async-capable, TPU-native)."""
+_ASYNC_CKPTR = None
+
+
+def save_pytree(path: str, tree: Any, block: bool = True) -> None:
+    """Save a pytree with orbax.
+
+    ``block=False`` uses a persistent AsyncCheckpointer: the call returns
+    once the in-memory snapshot is taken and the directory write proceeds
+    in the background (orbax's ``StandardCheckpointer`` IS async; the
+    blocking path simply waits via the context manager).  Callers must
+    ``wait_for_saves()`` before reading, deleting, or re-writing the
+    path — ``Trainer`` does this around rotation and resume.  Pass tree
+    values as HOST arrays when the training step donates its device
+    buffers (a background reference to a donated jax.Array would read a
+    deleted buffer).
+    """
     import orbax.checkpoint as ocp
 
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), tree, force=True)
+    if block:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), tree, force=True)
+        return
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+        # Flush before interpreter teardown: orbax's background commit
+        # cannot schedule work once Python finalization starts.
+        import atexit
+
+        atexit.register(wait_for_saves)
+    _ASYNC_CKPTR.save(os.path.abspath(path), tree, force=True)
+
+
+def wait_for_saves() -> None:
+    """Block until every ``save_pytree(..., block=False)`` has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def restore_pytree(path: str, like: Optional[Any] = None) -> Any:

@@ -122,3 +122,34 @@ def test_zero1_resume_is_bit_exact(cfg, params, tmp_path):
     got = jax.device_get(tr_c.params)
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(a, b), ref, got)
+
+
+def test_async_checkpoint_resume_is_bit_exact(cfg, params, tmp_path):
+    """async_checkpoint: background-committed saves restore bit-exactly
+    and rotation never deletes an in-flight write (save() waits)."""
+    batches = _batches(cfg, 4)
+
+    def make(d, **kw):
+        tc = TrainConfig(stage=3, attn_impl="xla", learning_rate=1e-3,
+                         total_steps=8, remat=False, checkpoint_dir=str(d),
+                         log_every=1, checkpoint_every=1,
+                         keep_checkpoints=2, **kw)
+        return Trainer(cfg, jax.tree.map(lambda a: a.copy(), params), tc)
+
+    tr_sync = make(tmp_path / "sync")
+    tr_async = make(tmp_path / "async", async_checkpoint=True)
+    for b in batches:
+        tr_sync.train([b], max_steps=tr_sync.step + 1)
+        tr_async.train([b], max_steps=tr_async.step + 1)
+    # rotation kept only the last 2 checkpoints in both modes
+    import os
+
+    kept = sorted(d for d in os.listdir(tmp_path / "async")
+                  if d.startswith("stage3_step"))
+    assert kept == ["stage3_step3", "stage3_step4"], kept
+
+    tr_r = make(tmp_path / "async", async_checkpoint=True)
+    assert tr_r.resume_latest() is not None
+    assert tr_r.step == 4
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 jax.device_get(tr_sync.params), jax.device_get(tr_r.params))
