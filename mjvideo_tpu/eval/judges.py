@@ -924,21 +924,51 @@ def _extract_frames_b64(video_path: str, every: int = 50,
     return frames
 
 
+def _ask_with_retries(request, max_try: int, sleep_s: float) -> str:
+    """Bounded-retry wrapper for the API judges.
+
+    Reference semantics (``eval_overall_gpt4o.py:84-92``,
+    ``eval_overall_gemini.py:98-108``): ``while retries < max_try`` around
+    the API call, sleep between attempts (Gemini sleeps 3 s), and on
+    exhaustion return ``None`` — the caller then records the failure
+    (``parse_rating`` maps an empty response to rating 0) and the benchmark
+    CONTINUES instead of aborting hours into a run.  A missing credential
+    still raises before this wrapper runs (that's a setup error, not a
+    transient one)."""
+    import time
+
+    last: Optional[Exception] = None
+    for attempt in range(max_try):
+        try:
+            return request()
+        except Exception as e:  # the reference catches bare Exception too
+            last = e
+            if attempt + 1 < max_try:
+                time.sleep(sleep_s)
+    print(f"API judge failed after {max_try} attempts: {last!r}; "
+          "recording rating 0 and continuing")
+    return ""
+
+
 class OpenAIJudge:
     """GPT-4o-style judge over extracted frames (``eval_overall_gpt4o.py``).
 
-    Requires OPENAI_API_KEY; raises a clear error offline.
+    Requires OPENAI_API_KEY; raises a clear error offline.  Transient API
+    errors retry ``max_try`` times, then the pair records rating 0 and the
+    benchmark continues (``eval_overall_gpt4o.py:84-92`` + the ``None`` →
+    score branch at ``:137-141``).
     """
 
     def __init__(self, model: str = "gpt-4o", max_frames: int = 8,
-                 frame_stride: int = 50):
+                 frame_stride: int = 50, max_try: int = 3,
+                 retry_sleep: float = 3.0):
         self.model = model
         self.max_frames = max_frames
         self.frame_stride = frame_stride
+        self.max_try = max_try
+        self.retry_sleep = retry_sleep
 
-    def ask(self, prompt: str, video_path: str) -> str:
-        if not os.environ.get("OPENAI_API_KEY"):
-            raise RuntimeError("OpenAIJudge requires OPENAI_API_KEY")
+    def _request(self, prompt: str, video_path: str) -> str:
         from openai import OpenAI  # type: ignore
 
         frames = _extract_frames_b64(video_path, self.frame_stride,
@@ -954,6 +984,12 @@ class OpenAIJudge:
             messages=[{"role": "user", "content": content}],
         )
         return resp.choices[0].message.content or ""
+
+    def ask(self, prompt: str, video_path: str) -> str:
+        if not os.environ.get("OPENAI_API_KEY"):
+            raise RuntimeError("OpenAIJudge requires OPENAI_API_KEY")
+        return _ask_with_retries(lambda: self._request(prompt, video_path),
+                                 self.max_try, self.retry_sleep)
 
 
 class GeminiJudge:
@@ -972,13 +1008,16 @@ class GeminiJudge:
 
     def __init__(self, model: str = "gemini-1.5-flash",
                  mode: str = "frames", frame_stride: int = 50,
-                 max_frames: int = 10):
+                 max_frames: int = 10, max_try: int = 3,
+                 retry_sleep: float = 3.0):
         if mode not in ("frames", "upload"):
             raise ValueError(f"unknown Gemini input mode {mode!r}")
         self.model = model
         self.mode = mode
         self.frame_stride = frame_stride
         self.max_frames = max_frames
+        self.max_try = max_try
+        self.retry_sleep = retry_sleep
 
     @staticmethod
     def _encode_frames(video_path: str, stride: int, cap: int):
@@ -993,11 +1032,20 @@ class GeminiJudge:
         if not os.environ.get("GOOGLE_API_KEY"):
             raise RuntimeError("GeminiJudge requires GOOGLE_API_KEY")
         try:
-            import google.generativeai as genai  # type: ignore
+            import google.generativeai  # type: ignore  # noqa: F401
         except ImportError as e:
             raise RuntimeError(
                 "GeminiJudge requires google-generativeai"
             ) from e
+        # retry semantics: ``eval_overall_gemini.py:98-108`` (sleep(3)
+        # between attempts, failure recorded as rating 0, benchmark
+        # continues)
+        return _ask_with_retries(lambda: self._request(prompt, video_path),
+                                 self.max_try, self.retry_sleep)
+
+    def _request(self, prompt: str, video_path: str) -> str:
+        import google.generativeai as genai  # type: ignore
+
         genai.configure(api_key=os.environ["GOOGLE_API_KEY"])
         model = genai.GenerativeModel(self.model)
         safety = [
@@ -1083,6 +1131,13 @@ def run_fine_grained_benchmark(
             rec["judge"][category] = entry
         writer.write(rec)
         results.append(rec)
+    # merge resumed results (same contract as run_overall_benchmark /
+    # genai_driver): the file re-read supersedes the in-memory list so a
+    # resumed run aggregates the union, tolerating a torn final line
+    if results_path and os.path.exists(results_path):
+        from .preference import iter_jsonl
+
+        results = list(iter_jsonl(results_path))
     return results
 
 
@@ -1258,16 +1313,19 @@ def run_overall_benchmark(
         prefs.append(pref[0])
         masks.append(mask[0])
     # merge resumed results; with results_path=None the in-memory lists hold
-    # everything scored above
+    # everything scored above.  iter_jsonl (not bare json.loads): a crashed
+    # prior run can leave a truncated final line, which the resume pass above
+    # already tolerated by re-scoring the torn item — a bare loads here would
+    # throw away the finished run at its very last step.
     if results_path and os.path.exists(results_path):
+        from .preference import iter_jsonl
+
         s0s, s1s, prefs, masks = [], [], [], []
-        with open(results_path) as f:
-            for line in f:
-                r = json.loads(line)
-                s0s.append(r["score_0"])
-                s1s.append(r["score_1"])
-                prefs.append(r["preference"])
-                masks.append(r["mask"])
+        for r in iter_jsonl(results_path):
+            s0s.append(r["score_0"])
+            s1s.append(r["score_1"])
+            prefs.append(r["preference"])
+            masks.append(r["mask"])
     return preference_accuracy(
         np.asarray(s0s, np.float64), np.asarray(s1s, np.float64),
         np.asarray(prefs), np.asarray(masks),

@@ -53,6 +53,17 @@ class IncrementalWriter:
             for r in iter_jsonl(path):
                 self.done.add(r.get("id"))
                 self.records[r.get("id")] = r
+            # A crash mid-write leaves a torn final line WITHOUT a newline;
+            # appending the re-scored record to it would glue valid JSON
+            # onto the torn fragment and corrupt that record too.
+            # Terminate the fragment so subsequent appends start clean
+            # (iter_jsonl then skips the fragment as its own torn line).
+            with open(path, "rb+") as f:
+                f.seek(0, os.SEEK_END)
+                if f.tell() > 0:
+                    f.seek(-1, os.SEEK_END)
+                    if f.read(1) != b"\n":
+                        f.write(b"\n")
 
     def seen(self, item_id) -> bool:
         return item_id in self.done

@@ -312,3 +312,118 @@ def test_gemini_judge_frame_sampling(tmp_path):
     os.environ.pop("GOOGLE_API_KEY", None)
     with pytest.raises(RuntimeError, match="GOOGLE_API_KEY"):
         GeminiJudge().ask("rate it", str(video))
+
+
+def test_overall_benchmark_resume_tolerates_torn_final_line(tmp_path):
+    """Regression (VERDICT r3 weak #1): a crashed run leaves a truncated
+    final JSONL line; resuming must re-score the torn item and the merge
+    must not raise on the torn line."""
+    records = [
+        {"video_0_path": "good_a.mp4", "video_1_path": "bad_b.mp4",
+         "caption": "c", "overall_preference": "Video 1 better"},
+        {"video_0_path": "bad_a.mp4", "video_1_path": "good_b.mp4",
+         "caption": "c", "overall_preference": "Video 2 better"},
+    ]
+    path = tmp_path / "res.jsonl"
+    # simulate the crash: item 0 persisted whole, item 1 torn mid-record
+    import json
+    with open(path, "w") as f:
+        f.write(json.dumps({"id": 0, "score_0": 9, "score_1": 3,
+                            "preference": 0, "mask": 1}) + "\n")
+        f.write('{"id": 1, "score_0": 3, "sco')  # torn, no newline
+    res = run_overall_benchmark(_FakeJudge(), records,
+                                results_path=str(path))
+    # both pairs aggregate: item 0 from the resume file, item 1 re-scored
+    assert res["count"] == 2
+    assert res["correct"] == 2
+    # the file now holds the intact line, the torn line and the re-score;
+    # a further resume run must also merge cleanly with nothing to score
+    res2 = run_overall_benchmark(_FakeJudge(), records,
+                                 results_path=str(path))
+    assert res2 == res
+
+
+def test_fine_grained_benchmark_resume_merges_prior_runs(tmp_path):
+    """Regression: resumed fine-grained runs must aggregate the union of
+    runs, not just the items scored after the resume."""
+    from mjvideo_tpu.eval.judges import (
+        fine_grained_accuracy,
+        run_fine_grained_benchmark,
+    )
+
+    class J:
+        def ask(self, prompt, video_path):
+            return "RATING: Excellent" if "good" in video_path \
+                else "RATING: Poor"
+
+    def rec(v0, v1):
+        return {"video_0_path": v0, "video_1_path": v1, "caption": "c",
+                "video_0_overall_score": {}, "video_1_overall_score": {},
+                "video_0_label": {"object": 1}, "video_1_label": {"object": 2}}
+
+    rubric = {"Alignment": {"description": "d",
+                            "subcategories": {"object": "o"}}}
+    path = str(tmp_path / "fg.jsonl")
+    records = [rec("good_a.mp4", "bad_b.mp4"), rec("good_c.mp4", "bad_d.mp4")]
+    first = run_fine_grained_benchmark(J(), records[:1], results_path=path,
+                                       rubric=rubric)
+    assert len(first) == 1
+    # resume with the full record list: item 0 is skipped but must still
+    # appear in the returned results
+    both = run_fine_grained_benchmark(J(), records, results_path=path,
+                                      rubric=rubric)
+    assert [r["id"] for r in both] == [0, 1]
+    acc = fine_grained_accuracy(both)
+    assert acc["object"]["count"] == 4
+    assert acc["object"]["accuracy"] == 1.0
+
+
+def test_api_judge_retry_semantics(monkeypatch, tmp_path):
+    """Bounded retries then a rating-0 record, benchmark continues
+    (``eval_overall_gpt4o.py:84-92`` / ``eval_overall_gemini.py:98-108``)."""
+    from mjvideo_tpu.eval.judges import OpenAIJudge, _ask_with_retries
+
+    # succeeds on the last allowed attempt
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return "RATING: Good"
+
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    assert _ask_with_retries(flaky, max_try=3, sleep_s=0) == "RATING: Good"
+    assert calls["n"] == 3
+
+    # exhaustion -> empty response (rating 0), never raises
+    def always_fails():
+        raise ConnectionError("down")
+
+    assert _ask_with_retries(always_fails, max_try=2, sleep_s=0) == ""
+
+    # end-to-end: an OpenAIJudge whose API fails N-1 times still rates,
+    # and one that always fails yields rating 0 without aborting the run
+    monkeypatch.setenv("OPENAI_API_KEY", "test-key")
+    j = OpenAIJudge(max_try=3, retry_sleep=0)
+    calls["n"] = 0
+    monkeypatch.setattr(j, "_request", lambda p, v: flaky())
+    assert j.ask("rate", "v.mp4") == "RATING: Good"
+
+    dead = OpenAIJudge(max_try=2, retry_sleep=0)
+    monkeypatch.setattr(dead, "_request",
+                        lambda p, v: (_ for _ in ()).throw(OSError("api")))
+    res = run_overall_benchmark(
+        dead,
+        [{"video_0_path": "a.mp4", "video_1_path": "b.mp4", "caption": "c",
+          "overall_preference": "Video 1 better"}],
+        results_path=str(tmp_path / "dead.jsonl"),
+    )
+    # the pair recorded (rating 0 both sides); tie -> counted, not correct
+    assert res["count"] == 1
+
+    # missing credential is a setup error: raises immediately, no retry
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    import pytest
+    with pytest.raises(RuntimeError, match="OPENAI_API_KEY"):
+        OpenAIJudge().ask("rate", "v.mp4")
