@@ -28,8 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reward checkpoint dir (scorer mode)")
     p.add_argument("--judge", default=None,
                    choices=(None, "internvl-chat", "qwen2-vl", "minicpm-v",
-                            "cogvlm2", "gpt4o", "gemini"),
-                   help="use a baseline judge instead of the reward scorer")
+                            "cogvlm2", "videoscore", "gpt4o", "gemini"),
+                   help="use a baseline judge instead of the reward scorer "
+                        "(videoscore = the Idefics2 regression judge; "
+                        "overall/safesora/genai benchmarks only)")
     p.add_argument("--judge-model", default=None,
                    help="chat checkpoint for internvl-chat / API model name")
     p.add_argument("--tokenizer", default=None)
@@ -126,6 +128,15 @@ def _make_judge(args):
         return OpenAIJudge(model=args.judge_model or "gpt-4o")
     if args.judge == "gemini":
         return GeminiJudge(model=args.judge_model or "gemini-1.5-flash")
+    if args.judge == "videoscore":
+        from transformers import AutoTokenizer
+
+        from .judges import VideoScoreJudge
+
+        path = args.judge_model
+        tok = AutoTokenizer.from_pretrained(args.tokenizer or path,
+                                            trust_remote_code=True)
+        return VideoScoreJudge(path, tokenizer=tok)
     import json
 
     import jax.numpy as jnp
@@ -232,7 +243,16 @@ def main(argv=None) -> None:
 
         ds = load_dataset("TIGER-Lab/GenAI-Bench", "video_generation",
                           split="test_v1")
-        if args.judge:
+        if args.judge == "videoscore":
+            # regression-score comparison, good-threshold 2
+            # (eval_genai_videoScore.py:160-205)
+            from .judges import run_genai_videoscore_benchmark
+
+            res = run_genai_videoscore_benchmark(
+                _make_judge(args), ds, results_path=args.results,
+                fetch=fetch_remote_video,
+            )
+        elif args.judge:
             # baseline judge path: tie-aware rating comparison
             # (eval_genai_internvl2_2b.py:160-212)
             from .judges import run_genai_benchmark
@@ -255,7 +275,19 @@ def main(argv=None) -> None:
             from .preference import filter_safesora_pairs
 
             records = filter_safesora_pairs(records)
-        if args.judge and args.benchmark == "fine-grained":
+        if args.judge == "videoscore":
+            if args.benchmark not in ("overall", "safesora"):
+                raise SystemExit(
+                    "--judge videoscore supports the overall, safesora and "
+                    "genai benchmarks (the reference has no fine-grained "
+                    "VideoScore eval)")
+            from .judges import run_overall_videoscore_benchmark
+
+            res = run_overall_videoscore_benchmark(
+                _make_judge(args), records, root=args.video_root,
+                results_path=args.results,
+            )
+        elif args.judge and args.benchmark == "fine-grained":
             from .judges import fine_grained_accuracy, run_fine_grained_benchmark
 
             results = run_fine_grained_benchmark(

@@ -1169,86 +1169,331 @@ def fine_grained_accuracy(
     }
 
 
+# EXACT transcription of the reference's VideoScore regression prompt
+# (``eval_genai_videoScore.py:50-71`` == ``eval_overall_videoscore.py:48-70``,
+# verified byte-identical between the two scripts).  Like the RATING
+# templates above, this prompt IS the benchmark — note the verbatim quirks
+# ("output_sora", the trailing space after "sub-score, ").
+VIDEOSCORE_REGRESSION_QUERY_PROMPT = """
+Suppose you are an expert in judging and evaluating the quality of AI-generated videos,
+please watch the following frames of a given video and see the text prompt for generating the video,
+then give scores from 5 different dimensions:
+(1) visual quality: the quality of the video in terms of clearness, resolution, brightness, and color
+(2) temporal consistency, both the consistency of objects or humans and the smoothness of motion or movements
+(3) dynamic degree, the degree of dynamic changes
+(4) text-to-video alignment, the alignment between the text prompt and the video content
+(5) factual consistency, the consistency of the video content with the common-sense and factual knowledge
+
+for each dimension, output_sora a float number from 1.0 to 4.0,
+the higher the number is, the better the video performs in that sub-score, 
+the lowest 1.0 means Bad, the highest 4.0 means Perfect/Real (the video is like a real video)
+Here is an output_sora example:
+visual quality: 3.2
+temporal consistency: 2.7
+dynamic degree: 4.0
+text-to-video alignment: 2.3
+factual consistency: 1.8
+
+For this video, the text prompt is "{text_prompt}",
+all the frames of video are as follows:
+"""
+
+
+def videoscore_prompt(caption: str, n_frames: int) -> str:
+    """The VideoScore eval prompt with per-frame ``<image>`` markers
+    appended (``eval_genai_videoScore.py:103-106``): the regression prompt
+    contains no image tokens, so one ``'<image> '`` (trailing space
+    included) is appended per frame beyond those already present."""
+    prompt = VIDEOSCORE_REGRESSION_QUERY_PROMPT.format(text_prompt=caption)
+    n_present = prompt.count("<image>")
+    if n_present < n_frames:
+        prompt += "<image> " * (n_frames - n_present)
+    return prompt
+
+
+def idefics2_expand_image_tokens(
+    text: str, image_seq_len: int = 64, do_image_splitting: bool = False,
+    image_token: str = "<image>",
+    fake_image_token: str = "<fake_token_around_image>",
+) -> str:
+    """The Idefics2 processor's string-level image-token expansion
+    (transformers ``Idefics2Processor.__call__``): each ``<image>`` becomes
+    ``<fake><image>*image_seq_len<fake>`` (x5 under image splitting), then
+    ADJACENT fake tokens merge — note ``'<image> <image>'`` has a space
+    between markers, so the VideoScore prompt's appended frames do NOT
+    merge.  Token-identity with the installed transformers processor is
+    pinned in ``tests/test_videoscore.py``."""
+    image_str = f"{fake_image_token}{image_token * image_seq_len}" \
+                f"{fake_image_token}"
+    if do_image_splitting:
+        # a single image becomes 4 crops + the original (``split_image``)
+        image_str = image_str * 5
+    out = text.replace(image_token, image_str)
+    return out.replace(f"{fake_image_token}{fake_image_token}",
+                       fake_image_token)
+
+
+def videoscore_frame_indices(total_frames: int,
+                             max_frames: int = 16) -> "np.ndarray":
+    """The reference's PyAV sampling grid (``eval_genai_videoScore.py:97-101``):
+    ``arange(0, total, total/16).astype(int)`` when the clip is longer than
+    16 frames, else every frame.  NOT linspace — parity requires this exact
+    (and occasionally duplicate-producing) grid; the reference's
+    ``i in indices`` selection then deduplicates."""
+    if total_frames > max_frames:
+        return np.arange(0, total_frames,
+                         total_frames / max_frames).astype(int)
+    return np.arange(total_frames)
+
+
+def idefics2_resize_shape(height: int, width: int, shortest: int = 378,
+                          longest: int = 980) -> Tuple[int, int]:
+    """Idefics2 image-processor output size
+    (transformers ``get_resize_output_image_size``): cap the longest edge
+    at ``longest`` keeping aspect, then floor both edges at ``shortest``
+    (which CAN distort aspect for small frames — reference behavior)."""
+    aspect = width / height
+    if width >= height and width > longest:
+        width = longest
+        height = int(width / aspect)
+    elif height > width and height > longest:
+        height = longest
+        width = int(height * aspect)
+    return max(height, shortest), max(width, shortest)
+
+
 class VideoScoreJudge:
     """The VideoScore baseline (C22): Mantis Idefics2 regression judge
-    (``eval_genai_videoScore.py:41-129``) — 16-frame decode, 5-dim scores
-    summed into one scalar.
+    (``eval_genai_videoScore.py:41-129``) — 16-frame decode, the
+    REGRESSION_QUERY_PROMPT with per-frame image tokens, 5-dim regression
+    logits each rounded to 3 digits then summed into one scalar.
 
-    Runs on this framework's JAX Idefics2 port
-    (``models/videoscore.py``, validated numerically against the
-    transformers implementation); point it at a local VideoScore checkpoint
-    (safetensors + config.json) and a processor/tokenizer.
+    Runs on this framework's JAX Idefics2 port (``models/videoscore.py``,
+    validated numerically against the transformers implementation); point
+    it at a local VideoScore checkpoint (safetensors + config.json) and
+    its tokenizer.  The prompt-side image-token expansion and the
+    frame preprocessing replicate the Mantis/Idefics2 AutoProcessor the
+    reference calls (``eval_genai_videoScore.py:108-116``), pinned
+    token-identical / numerically in tests.  ``do_image_splitting``
+    mirrors the processor flag (VideoScore ships with it off — each frame
+    is one image, 64 latent tokens).
     """
 
     DIMS = ("visual quality", "temporal consistency", "dynamic degree",
             "text-to-video alignment", "factual consistency")
+    ROUND_DIGIT = 3  # ``eval_genai_videoScore.py:48``
 
-    @staticmethod
-    def aggregate(scores) -> float:
-        return float(sum(scores))
+    @classmethod
+    def aggregate(cls, scores) -> float:
+        """Sum of per-dimension scores, each rounded first
+        (``eval_genai_videoScore.py:122-128``: ``total_score +=
+        round(logits[0, i].item(), ROUND_DIGIT)``)."""
+        return float(sum(round(float(s), cls.ROUND_DIGIT) for s in scores))
 
-    def __init__(self, checkpoint_path: str, tokenizer=None,
-                 num_frames: int = 16, dtype=None):
+    def __init__(self, checkpoint_path: Optional[str] = None, tokenizer=None,
+                 num_frames: int = 16, dtype=None, cfg=None, params=None,
+                 image_seq_len: Optional[int] = None,
+                 do_image_splitting: bool = False,
+                 resize_shortest: int = 378, resize_longest: int = 980):
         import jax.numpy as jnp
 
-        from ..models.videoscore import (
-            VideoScoreConfig,
-            import_videoscore_params,
-            videoscore_config_from_hf,
-        )
-        from ..utils.checkpoint import load_safetensors_dir
-
         self.dtype = dtype or jnp.bfloat16
-        import json as _json
-        import os as _os
+        if cfg is not None and params is not None:
+            self.cfg, self.params = cfg, params
+        else:
+            import json as _json
+            import os as _os
 
-        with open(_os.path.join(checkpoint_path, "config.json")) as f:
-            hf = _json.load(f)
-        self.cfg = videoscore_config_from_hf(hf)
-        state = load_safetensors_dir(checkpoint_path)
-        self.params = import_videoscore_params(state, self.cfg, self.dtype)
+            from ..models.videoscore import (
+                import_videoscore_params,
+                videoscore_config_from_hf,
+            )
+            from ..utils.checkpoint import load_safetensors_dir
+
+            with open(_os.path.join(checkpoint_path, "config.json")) as f:
+                hf = _json.load(f)
+            self.cfg = videoscore_config_from_hf(hf)
+            state = load_safetensors_dir(checkpoint_path)
+            self.params = import_videoscore_params(state, self.cfg,
+                                                   self.dtype)
         self.tokenizer = tokenizer
         self.num_frames = num_frames
-        self._ = VideoScoreConfig  # keep symbol for type checkers
+        # one <image> marker expands to n_latents image tokens — the
+        # processor's image_seq_len must match resampler_n_latents
+        # (transformers Idefics2Processor docstring)
+        self.image_seq_len = (image_seq_len if image_seq_len is not None
+                              else self.cfg.perceiver.n_latents)
+        self.do_image_splitting = do_image_splitting
+        self.resize_shortest = resize_shortest
+        self.resize_longest = resize_longest
+        import functools
+
+        self._jitted = functools.lru_cache(maxsize=8)(self._make_jitted)
+
+    def _make_jitted(self, n_images, T):
+        import jax
+
+        from ..models.videoscore import videoscore_forward
+
+        def fwd(params, pix, ids, mask):
+            return videoscore_forward(params, self.cfg, pix, ids, mask)
+
+        return jax.jit(fwd)
+
+    def tokenize(self, prompt: str):
+        """Expand image tokens the Idefics2-processor way, then tokenize.
+
+        The guard mirrors ``eval/scorer.py``'s scatter-id check: if the
+        tokenizer doesn't produce exactly n_frames x image_seq_len image
+        tokens, the vision embeds would silently never scatter and the
+        judge would score the text alone."""
+        expanded = idefics2_expand_image_tokens(
+            prompt, self.image_seq_len, self.do_image_splitting)
+        enc = self.tokenizer(expanded)
+        ids = list(enc["input_ids"])
+        mask = list(enc.get("attention_mask", [1] * len(ids)))
+        return ids, mask
+
+    def preprocess_frames(self, frames) -> "np.ndarray":
+        """uint8 RGB frames -> Idefics2-normalized fp32 (N, H', W', 3).
+
+        Matches the Idefics2 image processor: PIL bilinear resize to
+        (longest<=980, shortest>=378), rescale 1/255, normalize with
+        mean=std=0.5 (IMAGENET_STANDARD, not the InternVL ImageNet stats).
+        All frames of one clip share a source size, so the batch pad /
+        pixel-attention-mask path of the processor is a no-op here."""
+        from PIL import Image
+
+        out = []
+        for f in frames:
+            h, w = idefics2_resize_shape(f.shape[0], f.shape[1],
+                                         self.resize_shortest,
+                                         self.resize_longest)
+            img = f
+            if (h, w) != f.shape[:2]:
+                img = np.asarray(Image.fromarray(f).resize(
+                    (w, h), Image.BILINEAR))
+            if self.do_image_splitting:
+                mh, mw = img.shape[0] // 2, img.shape[1] // 2
+                crops = [img[:mh, :mw], img[:mh, mw:], img[mh:, :mw],
+                         img[mh:, mw:], img]
+                # crops differ in size; resize each to the full frame's
+                # shape so they stack (the vision tower is resolution-
+                # bucketized, so same-size inputs are required per batch)
+                crops = [np.asarray(Image.fromarray(c).resize(
+                    (w, h), Image.BILINEAR)) if c.shape[:2] != (h, w) else c
+                    for c in crops]
+                out.extend(crops)
+            else:
+                out.append(img)
+        pix = np.stack(out).astype(np.float32) / 255.0
+        return (pix - 0.5) / 0.5
 
     def score_frames(self, pixel_values, input_ids, attention_mask):
         """(N_frames, H, W, 3) fp32 + tokenized prompt -> per-dim scores."""
         import jax.numpy as jnp
-        import numpy as np
 
-        from ..models.videoscore import videoscore_forward
-
-        logits = videoscore_forward(
-            self.params, self.cfg,
+        ids = np.asarray(input_ids, np.int32)
+        n_img = int((ids == self.cfg.image_token_id).sum())
+        expected = pixel_values.shape[0] * self.image_seq_len
+        if n_img != expected:
+            raise ValueError(
+                f"prompt tokenized to {n_img} image tokens (id "
+                f"{self.cfg.image_token_id}) but {pixel_values.shape[0]} "
+                f"frames produce {expected} image embeddings — the vision "
+                "embeds would silently never scatter (text-only scoring); "
+                "check the tokenizer's <image> special token / image_seq_len")
+        logits = self._jitted(pixel_values.shape[0], ids.shape[-1])(
+            self.params,
             jnp.asarray(pixel_values, self.dtype),
-            jnp.asarray(input_ids, jnp.int32),
+            jnp.asarray(ids),
             jnp.asarray(attention_mask, jnp.int32),
         )
         return np.asarray(logits, np.float32)[0]
 
-    def score(self, video_path: str, prompt: str) -> float:
-        """16-frame decode -> 5-dim regression -> summed scalar
-        (``eval_genai_videoScore.py`` semantics)."""
+    def score(self, video_path: str, caption: str) -> float:
+        """Reference ``video_score_eval`` (``eval_genai_videoScore.py:93-129``):
+        16-frame arange sampling -> regression prompt + per-frame image
+        markers -> Idefics2 forward -> per-dim round(., 3) -> sum."""
         if self.tokenizer is None:
-            raise RuntimeError("VideoScoreJudge needs a tokenizer/processor")
-        import numpy as np
+            raise RuntimeError("VideoScoreJudge needs a tokenizer")
+        from ..data.video import decode_frames, video_metadata
 
-        from ..data.video import decode_frames, get_frame_indices, video_metadata
-        from ..ops.preprocess import resize_matrix  # noqa: F401 (doc link)
-
-        n, fps = video_metadata(video_path)
-        idx = get_frame_indices(n, self.num_frames, fps=fps)
+        n, _ = video_metadata(video_path)
+        idx = videoscore_frame_indices(n, self.num_frames)
         frames = decode_frames(video_path, idx)
-        size = self.cfg.vision.image_size
-        from ..data.video import _pil_resize, normalize
+        pix = self.preprocess_frames(frames)
+        prompt = videoscore_prompt(caption, len(frames))
+        ids, mask = self.tokenize(prompt)
+        return self.aggregate(self.score_frames(
+            pix, np.asarray([ids], np.int32), np.asarray([mask], np.int32)))
 
-        pix = np.stack([_pil_resize(f, (size, size)) for f in frames])
-        pix = normalize(pix)
-        enc = self.tokenizer(prompt)
-        ids = np.asarray([enc["input_ids"]], np.int32)
-        mask = np.asarray([enc.get("attention_mask",
-                                   [1] * ids.shape[1])], np.int32)
-        return self.aggregate(self.score_frames(pix, ids, mask))
+
+def run_overall_videoscore_benchmark(
+    judge: VideoScoreJudge,
+    records: Iterable[Dict],
+    root: str = "",
+    results_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """MJ-BENCH-VIDEO overall preference via VideoScore
+    (``eval_overall_videoscore.py:119-155``): skip undecided pairs
+    ('Same'/'Hard to judge', ``:129-131``), score both videos with the
+    caption as the regression prompt, compare summed scores."""
+    from ..data.labels import deal_preference
+    from .metrics import preference_accuracy
+    from .preference import IncrementalWriter, iter_jsonl
+
+    writer = IncrementalWriter(results_path)
+    s0s, s1s, prefs, masks = [], [], [], []
+    for i, item in enumerate(records):
+        pref, mask = deal_preference(item["overall_preference"], overall=True)
+        if mask[0] == 0:
+            continue  # the reference never scores undecided pairs
+        if writer.seen(i):
+            continue
+        s0 = judge.score(os.path.join(root, item["video_0_path"]),
+                         item["caption"])
+        s1 = judge.score(os.path.join(root, item["video_1_path"]),
+                         item["caption"])
+        writer.write({"id": i, "score_0": s0, "score_1": s1,
+                      "preference": pref[0], "mask": mask[0]})
+        s0s.append(s0)
+        s1s.append(s1)
+        prefs.append(pref[0])
+        masks.append(mask[0])
+    if results_path and os.path.exists(results_path):
+        s0s, s1s, prefs, masks = [], [], [], []
+        for r in iter_jsonl(results_path):
+            s0s.append(r["score_0"])
+            s1s.append(r["score_1"])
+            prefs.append(r["preference"])
+            masks.append(r["mask"])
+    return preference_accuracy(
+        np.asarray(s0s, np.float64), np.asarray(s1s, np.float64),
+        np.asarray(prefs), np.asarray(masks),
+    )
+
+
+def run_genai_videoscore_benchmark(
+    judge: VideoScoreJudge,
+    examples: Iterable[Dict],
+    results_path: Optional[str] = None,
+    fetch: Optional[Callable[[str], str]] = None,
+) -> Dict[str, float]:
+    """GenAI-Bench via VideoScore (``eval_genai_videoScore.py:160-205``):
+    left/right votes compare summed scores strictly; tie votes need both
+    'good' (score > 2), bothbad votes both 'bad' — no tie credit."""
+    from .metrics import genai_videoscore_metrics
+    from .preference import genai_driver
+
+    def pair_scorer(left, right, prompt):
+        return {"score_left": judge.score(left, prompt),
+                "score_right": judge.score(right, prompt)}
+
+    lefts, rights, votes = genai_driver(pair_scorer, examples,
+                                        results_path=results_path,
+                                        fetch=fetch)
+    return genai_videoscore_metrics(lefts, rights, votes)
 
 
 def run_genai_benchmark(

@@ -148,6 +148,18 @@ def genai_judge_metrics(
                                good_threshold=good_threshold, tie_credit=0.5)
 
 
+def genai_videoscore_metrics(
+    score_left: np.ndarray,
+    score_right: np.ndarray,
+    vote_types: Sequence[str],
+) -> Dict[str, float]:
+    """GenAI-Bench accuracy for the VideoScore baseline
+    (``eval_genai_videoScore.py:176-202``): good = summed 5-dim score > 2;
+    left/right votes compare scores strictly, no tie credit."""
+    return _genai_vote_metrics(score_left, score_right, vote_types,
+                               good_threshold=2, tie_credit=None)
+
+
 def tie_aware_pair_score(
     pred: str, gt: str, tie_value: float = 0.5
 ) -> float:

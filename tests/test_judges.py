@@ -231,6 +231,10 @@ def test_videoscore_aggregate():
 
     assert VideoScoreJudge.aggregate([1.0, 2.0, 0.5, 1.5, 1.0]) == 6.0
     assert len(VideoScoreJudge.DIMS) == 5
+    # reference rounds EACH dim to 3 digits before summing
+    # (eval_genai_videoScore.py:122-128)
+    assert VideoScoreJudge.aggregate([1.00049, 1.00049]) == 2.0
+    assert VideoScoreJudge.aggregate([1.0006]) == 1.001
 
 
 def test_genai_judge_metrics_reference_semantics():

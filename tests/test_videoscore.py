@@ -131,3 +131,337 @@ def test_full_videoscore_forward_matches_transformers(torch_model_and_cfg):
         attn_impl="xla",
     ))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# C22 back half: prompt construction, processor parity, drivers
+# ---------------------------------------------------------------------------
+
+
+def test_regression_prompt_is_byte_identical_to_reference():
+    """The VideoScore prompt IS the benchmark — exact transcription of
+    REGRESSION_QUERY_PROMPT (eval_genai_videoScore.py:50-71), including the
+    'output_sora' quirk and the trailing space after 'sub-score, '."""
+    from mjvideo_tpu.eval.judges import VIDEOSCORE_REGRESSION_QUERY_PROMPT
+
+    lines = [
+        "",
+        "Suppose you are an expert in judging and evaluating the quality of AI-generated videos,",
+        "please watch the following frames of a given video and see the text prompt for generating the video,",
+        "then give scores from 5 different dimensions:",
+        "(1) visual quality: the quality of the video in terms of clearness, resolution, brightness, and color",
+        "(2) temporal consistency, both the consistency of objects or humans and the smoothness of motion or movements",
+        "(3) dynamic degree, the degree of dynamic changes",
+        "(4) text-to-video alignment, the alignment between the text prompt and the video content",
+        "(5) factual consistency, the consistency of the video content with the common-sense and factual knowledge",
+        "",
+        "for each dimension, output_sora a float number from 1.0 to 4.0,",
+        "the higher the number is, the better the video performs in that sub-score, ",
+        "the lowest 1.0 means Bad, the highest 4.0 means Perfect/Real (the video is like a real video)",
+        "Here is an output_sora example:",
+        "visual quality: 3.2",
+        "temporal consistency: 2.7",
+        "dynamic degree: 4.0",
+        "text-to-video alignment: 2.3",
+        "factual consistency: 1.8",
+        "",
+        'For this video, the text prompt is "{text_prompt}",',
+        "all the frames of video are as follows:",
+        "",
+    ]
+    assert VIDEOSCORE_REGRESSION_QUERY_PROMPT == "\n".join(lines)
+
+
+def test_videoscore_prompt_appends_per_frame_image_markers():
+    """eval_genai_videoScore.py:103-106: '<image> ' (with trailing space)
+    appended once per frame beyond markers already in the prompt."""
+    from mjvideo_tpu.eval.judges import videoscore_prompt
+
+    p = videoscore_prompt("a cat", 16)
+    assert p.count("<image>") == 16
+    assert p.endswith("<image> ")
+    assert '"a cat"' in p  # caption lands inside the quoted slot
+    assert videoscore_prompt("x", 0).count("<image>") == 0
+
+
+def test_videoscore_frame_indices_reference_grid():
+    """The arange(0, total, total/16) grid (eval_genai_videoScore.py:97-101)
+    is NOT linspace; parity requires the exact grid."""
+    from mjvideo_tpu.eval.judges import videoscore_frame_indices
+
+    idx = videoscore_frame_indices(120, 16)
+    want = np.arange(0, 120, 120 / 16).astype(int)
+    np.testing.assert_array_equal(idx, want)
+    assert idx[0] == 0 and idx[-1] == 112
+    # short clip: every frame
+    np.testing.assert_array_equal(videoscore_frame_indices(9, 16),
+                                  np.arange(9))
+    # exactly max: every frame (the reference condition is strict >)
+    np.testing.assert_array_equal(videoscore_frame_indices(16, 16),
+                                  np.arange(16))
+
+
+def test_idefics2_resize_shape_matches_transformers():
+    from transformers.models.idefics2.image_processing_idefics2 import (
+        get_resize_output_image_size,
+    )
+
+    from mjvideo_tpu.eval.judges import idefics2_resize_shape
+
+    size = {"shortest_edge": 378, "longest_edge": 980}
+    for h, w in [(256, 256), (100, 80), (1080, 1920), (1920, 1080),
+                 (980, 980), (378, 2000), (2000, 378), (500, 700)]:
+        want = get_resize_output_image_size(
+            np.zeros((h, w, 3), np.uint8), size, input_data_format="channels_last")
+        assert idefics2_resize_shape(h, w) == tuple(want), (h, w)
+
+
+def _word_level_tokenizer(extra_words=()):
+    """A tiny programmatic fast tokenizer (no downloads) that the
+    Idefics2Processor can wrap — lets us pin our string-level expansion
+    token-identical against the installed transformers processor."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import PreTrainedTokenizerFast
+
+    words = ["hello", "world", "a", "cat", "video", "frames", "prompt",
+             "the", "is"] + list(extra_words)
+    vocab = {"<unk>": 0, "<s>": 1}
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    return PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>",
+                                   bos_token="<s>")
+
+
+@pytest.mark.parametrize("do_split", [False, True])
+def test_prompt_construction_token_identical_to_idefics2_processor(do_split):
+    """Oracle test (VERDICT r3 next-1): our expansion + tokenize must equal
+    the transformers Idefics2Processor's input_ids exactly, for both
+    image-splitting modes, including the adjacent-fake-token merge rule."""
+    from PIL import Image
+    from transformers import Idefics2Processor
+    from transformers.models.idefics2.image_processing_idefics2 import (
+        Idefics2ImageProcessor,
+    )
+
+    from mjvideo_tpu.eval.judges import idefics2_expand_image_tokens
+
+    ip = Idefics2ImageProcessor(do_image_splitting=do_split)
+    tok = _word_level_tokenizer()
+    proc = Idefics2Processor(ip, tok, image_seq_len=3)
+
+    frames = [Image.fromarray(
+        np.full((60, 50, 3), 30 * i, np.uint8)) for i in range(2)]
+    texts = [
+        "hello <image> world",
+        "hello world <image> <image> ",   # spaced markers do NOT merge
+        "hello<image><image>world",       # adjacent markers DO merge fakes
+    ]
+    for text in texts:
+        n = text.count("<image>")
+        want = proc(text=text, images=[frames[:n]],
+                    add_special_tokens=True)["input_ids"][0]
+        expanded = idefics2_expand_image_tokens(
+            text, image_seq_len=3, do_image_splitting=do_split)
+        got = tok(expanded, add_special_tokens=True)["input_ids"]
+        assert got == list(want), text
+
+
+def test_frame_preprocessing_matches_idefics2_image_processor():
+    """Pixel parity: our resize + rescale + normalize must match the
+    Idefics2ImageProcessor the reference's AutoProcessor dispatches to."""
+    from transformers.models.idefics2.image_processing_idefics2 import (
+        Idefics2ImageProcessor,
+    )
+
+    from mjvideo_tpu.eval.judges import VideoScoreJudge
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (60, 50, 3), dtype=np.uint8)
+              for _ in range(2)]
+
+    ip = Idefics2ImageProcessor(do_image_splitting=False)
+    want = ip.preprocess([frames], return_tensors="np")["pixel_values"]
+    # (B=1, N, 3, H, W) -> (N, H, W, 3)
+    want = want[0].transpose(0, 2, 3, 1)
+
+    judge = VideoScoreJudge.__new__(VideoScoreJudge)
+    judge.do_image_splitting = False
+    judge.resize_shortest, judge.resize_longest = 378, 980
+    got = judge.preprocess_frames(frames)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class _CharTok:
+    """Dependency-free tokenizer for hermetic judge tests: special image
+    tokens map to fixed ids, everything else to per-char ids."""
+
+    def __init__(self, image_id=127, fake_id=126):
+        self.image_id, self.fake_id = image_id, fake_id
+
+    def __call__(self, text):
+        import re
+
+        ids = []
+        for part in re.split(r"(<fake_token_around_image>|<image>)", text):
+            if part == "<image>":
+                ids.append(self.image_id)
+            elif part == "<fake_token_around_image>":
+                ids.append(self.fake_id)
+            else:
+                ids.extend((ord(c) % 100) + 2 for c in part
+                           if not c.isspace())
+        return {"input_ids": ids, "attention_mask": [1] * len(ids)}
+
+
+def _write_video(path, frames):
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                         (w, h))
+    for f in frames:
+        vw.write(f[..., ::-1])  # RGB -> BGR
+    vw.release()
+
+
+def test_videoscore_judge_vision_actually_enters(torch_model_and_cfg,
+                                                 tmp_path):
+    """Hermetic end-to-end: scores must CHANGE when the frames change —
+    proving the vision embeds actually scatter into the text stream
+    (the r3 VERDICT's silent text-only-scoring failure mode)."""
+    import jax.numpy as jnp
+
+    from mjvideo_tpu.eval.judges import VideoScoreJudge
+
+    _, cfg, params = torch_model_and_cfg
+    params = dict(params)
+    rng = np.random.default_rng(5)
+    params["score"] = {"kernel": jnp.asarray(
+        rng.normal(size=(cfg.text.hidden_size, 5)).astype(np.float32))}
+
+    judge = VideoScoreJudge(
+        cfg=cfg, params=params, tokenizer=_CharTok(image_id=127),
+        num_frames=2, dtype=jnp.float32,
+        resize_shortest=56, resize_longest=56,
+    )
+
+    flat = [np.full((56, 56, 3), 100, np.uint8) for _ in range(8)]
+    noisy = [rng.integers(0, 255, (56, 56, 3), dtype=np.uint8)
+             for _ in range(8)]
+    _write_video(tmp_path / "flat.mp4", flat)
+    _write_video(tmp_path / "noisy.mp4", noisy)
+
+    s_flat = judge.score(str(tmp_path / "flat.mp4"), "a cat")
+    s_noisy = judge.score(str(tmp_path / "noisy.mp4"), "a cat")
+    assert np.isfinite(s_flat) and np.isfinite(s_noisy)
+    assert s_flat != s_noisy  # vision features reached the score head
+
+    # caption changes scores too (text side still live)
+    s_flat2 = judge.score(str(tmp_path / "flat.mp4"), "a dog on a hill")
+    assert s_flat2 != s_flat
+
+
+def test_videoscore_judge_guards_against_text_only_scoring(
+        torch_model_and_cfg):
+    """A tokenizer that drops the <image> special token must raise loudly,
+    never silently score text-only (mirrors eval/scorer.py's guard)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from mjvideo_tpu.eval.judges import VideoScoreJudge
+
+    _, cfg, params = torch_model_and_cfg
+    params = dict(params)
+    params["score"] = {"kernel": jnp.zeros((cfg.text.hidden_size, 5),
+                                           jnp.float32)}
+
+    class NoImageTok(_CharTok):
+        def __call__(self, text):
+            enc = super().__call__(text)
+            enc["input_ids"] = [i if i != self.image_id else 3
+                                for i in enc["input_ids"]]
+            return enc
+
+    judge = VideoScoreJudge(cfg=cfg, params=params, tokenizer=NoImageTok(),
+                            num_frames=2, dtype=jnp.float32)
+    pix = np.zeros((2, 56, 56, 3), np.float32)
+    ids, mask = judge.tokenize("x <image> <image> ")
+    with pytest.raises(ValueError, match="image tokens"):
+        judge.score_frames(pix, np.asarray([ids]), np.asarray([mask]))
+
+
+class _StubScoreJudge:
+    """score() by filename, counting calls — for driver tests."""
+
+    def __init__(self):
+        self.calls = []
+
+    def score(self, video_path, caption):
+        self.calls.append(video_path)
+        return 3.0 if "good" in video_path else 1.0
+
+
+def test_overall_videoscore_benchmark_driver(tmp_path):
+    """Reference eval_overall_videoscore.py semantics: undecided pairs are
+    never scored; accuracy over summed-score comparison; resumable."""
+    from mjvideo_tpu.eval.judges import run_overall_videoscore_benchmark
+
+    records = [
+        {"video_0_path": "good_a.mp4", "video_1_path": "bad_b.mp4",
+         "caption": "c", "overall_preference": "Video 1 better"},
+        {"video_0_path": "same_a.mp4", "video_1_path": "same_b.mp4",
+         "caption": "c", "overall_preference": "Same"},
+        {"video_0_path": "bad_a.mp4", "video_1_path": "good_b.mp4",
+         "caption": "c", "overall_preference": "Video 2 better"},
+    ]
+    j = _StubScoreJudge()
+    res = run_overall_videoscore_benchmark(
+        j, records, results_path=str(tmp_path / "vs.jsonl"))
+    assert res["count"] == 2 and res["correct"] == 2
+    # the 'Same' pair was skipped BEFORE scoring (reference :129-131)
+    assert not any("same" in p for p in j.calls)
+    # resume scores nothing new and reproduces the metrics
+    j2 = _StubScoreJudge()
+    res2 = run_overall_videoscore_benchmark(
+        j2, records, results_path=str(tmp_path / "vs.jsonl"))
+    assert res2 == res and j2.calls == []
+
+
+def test_genai_videoscore_benchmark_driver(tmp_path):
+    """Reference eval_genai_videoScore.py vote semantics: good threshold 2
+    (not the RATING judges' 5), strict comparison, no tie credit."""
+    from mjvideo_tpu.eval.judges import run_genai_videoscore_benchmark
+    from mjvideo_tpu.eval.metrics import genai_videoscore_metrics
+
+    examples = [
+        {"left_video": "good_l.mp4", "right_video": "bad_r.mp4",
+         "prompt": "p", "vote_type": "leftvote"},
+        {"left_video": "bad_l.mp4", "right_video": "good_r.mp4",
+         "prompt": "p", "vote_type": "rightvote"},
+        {"left_video": "bad_l.mp4", "right_video": "bad_r.mp4",
+         "prompt": "p", "vote_type": "bothbad_vote"},
+        {"left_video": "good_l.mp4", "right_video": "good_r.mp4",
+         "prompt": "p", "vote_type": "tievote"},
+    ]
+    res = run_genai_videoscore_benchmark(
+        _StubScoreJudge(), examples, results_path=str(tmp_path / "g.jsonl"))
+    assert res["prefer_accuracy"] == 1.0
+    assert res["accuracy"] == 1.0
+    assert res["total"] == 4 and res["prefer_total"] == 2
+
+    # threshold is 2: a 2.0/2.0 tievote pair is NOT 'both good'
+    m = genai_videoscore_metrics(np.asarray([2.0]), np.asarray([2.0]),
+                                 ["tievote"])
+    assert m["accuracy"] == 0.0
+
+
+def test_cli_exposes_videoscore_judge():
+    from mjvideo_tpu.eval.cli import build_parser
+
+    choices = next(a for a in build_parser()._actions
+                   if a.dest == "judge").choices
+    assert "videoscore" in choices
