@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh size for the scorer (batch "
                         "shards over chips; pair scoring uses batch 2, so "
                         "dp must divide 2 unless batching more clips)")
+    p.add_argument("--sp", default=None, choices=(None, "ring", "allgather"),
+                   help="sequence-parallel LLM attention over the --dp mesh "
+                        "axis (long-context mode for 16-32-frame x "
+                        "--max-num 12 configs whose >40k-token sequences "
+                        "outgrow one chip); the batch is not additionally "
+                        "sharded — requires --dp > 1")
     p.add_argument("--device-preprocess", action="store_true",
                    help="ship raw uint8 frames; bicubic resize + tiling + "
                         "normalize fused into the scoring jit on the MXU")
@@ -110,6 +116,9 @@ def _make_scorer(args):
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.dp, model=1)
+    if getattr(args, "sp", None) and mesh is None:
+        raise SystemExit("--sp needs a mesh: pass --dp > 1 (the sequence "
+                         "shards over that axis)")
     pattern = (tok.gating_pattern() if args.byte_tokenizer
                else cfg.gating_token_pattern)
     return RewardScorer(cfg, params, tok, dtype=dtype,
@@ -118,7 +127,7 @@ def _make_scorer(args):
                         device_max_num=(args.max_num
                                         if args.device_preprocess else 1),
                         device_batch=args.device_batch,
-                        quant=args.quant)
+                        quant=args.quant, sp=getattr(args, "sp", None))
 
 
 def _make_judge(args):

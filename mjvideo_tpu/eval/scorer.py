@@ -54,6 +54,7 @@ class RewardScorer:
         device_max_num: int = 1,
         device_batch: Optional[int] = None,
         quant: Optional[str] = None,
+        sp: Optional[str] = None,
     ):
         """``mesh``: an optional ('data','model') Mesh — params are placed
         per the TP rules and scoring batches shard over ``data`` (the
@@ -98,9 +99,29 @@ class RewardScorer:
         (``ops/quant4.py``) — 4x smaller weights for capacity-bound
         judges, far outside the reward parity bar (docs/PERF.md).  The
         weight-only modes are the only quantized modes ``score_fn``
-        accepts (activations stay differentiable)."""
+        accepts (activations stay differentiable).
+
+        ``sp="ring"|"allgather"``: sequence-parallel decoding of the LLM
+        attention over the mesh's ``data`` axis (``parallel/sequence.py``)
+        — the end-to-end long-context mode for 16-32-frame x max_num=12
+        configs whose >40k-token sequences outgrow one chip's attention
+        time/memory.  Requires ``mesh``; the batch is NOT additionally
+        sharded over ``data`` (the axis is spent on the sequence), so
+        length buckets must divide by the data-axis size."""
         self.cfg = cfg
         self.mesh = mesh
+        if sp is not None:
+            if sp not in ("ring", "allgather"):
+                raise ValueError(f"unknown sp kind {sp!r}")
+            if mesh is None:
+                raise ValueError("sp requires a mesh")
+            n = mesh.shape.get("data", 1)
+            bad = [b for b in length_buckets if b % n]
+            if bad:
+                raise ValueError(
+                    f"sp shards the sequence over data={n}; length buckets "
+                    f"{bad} are not divisible by it")
+        self.sp = sp
         if quant is not None:
             from ..ops.quant import quantize_params_mode
 
@@ -159,6 +180,8 @@ class RewardScorer:
         cfg, attn_impl = self.cfg, self.attn_impl
         dev_pre, dtype = self.device_preprocess, self.dtype
         img_id = self.img_context_token_id
+        sp_spec = ({"mesh": self.mesh, "axis": "data", "kind": self.sp}
+                   if self.sp else None)
 
         @jax.jit
         def fwd(params, pix, ids, mask, gating_pos):
@@ -179,7 +202,7 @@ class RewardScorer:
             return reward_forward(
                 params, cfg, pix, ids, mask, gating_pos,
                 attn_impl=attn_impl, remat=False,
-                img_context_token_id=img_id,
+                img_context_token_id=img_id, sp=sp_spec,
             )
 
         cache[key] = fwd
@@ -198,7 +221,8 @@ class RewardScorer:
             micro = 1
         else:
             return B
-        if self.mesh is not None:
+        if self.mesh is not None and self.sp is None:
+            # under sp the data axis shards the SEQUENCE, not the batch
             micro *= self.mesh.shape.get("data", 1)
         return min(micro, B)
 
@@ -286,12 +310,23 @@ class RewardScorer:
             jnp.asarray(mask, jnp.int32),
             jnp.asarray(np.asarray(gating_pos, np.int32)),
         )
-        if self.mesh is not None:
+        if self.mesh is not None and self.sp is None:
             from ..parallel.mesh import shard_batch
 
             # pixel tiles shard with their rows (tiles are row-major per
             # clip, so the leading axis aligns with the batch axis).
             args = tuple(shard_batch(list(args), self.mesh))
+        elif self.sp is not None:
+            # sequence parallelism: ids/mask shard on the TOKEN dim over
+            # 'data'; pixels and gating_pos replicate (the ViT is
+            # tile-batched and short; the head's gathers are position-wise)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pix, ids, mask, gpos = args
+            seq = NamedSharding(self.mesh, P(None, "data"))
+            rep = NamedSharding(self.mesh, P())
+            args = (jax.device_put(pix, rep), jax.device_put(ids, seq),
+                    jax.device_put(mask, seq), jax.device_put(gpos, rep))
         return fwd(self.params, *args)
 
     def prepare_clip(

@@ -137,6 +137,7 @@ def chat_forward(
     remat: bool = True,
     vit_rng=None,
     img_context_token_id: Optional[int] = None,
+    sp=None,
 ) -> jnp.ndarray:
     """Full multimodal forward; returns final hidden states (B, T, C).
 
@@ -149,6 +150,15 @@ def chat_forward(
     reference assigns it from the tokenizer at load time
     (``model.img_context_token_id = tokenizer.convert_tokens_to_ids(
     IMG_CONTEXT_TOKEN)``); pass the tokenizer's id when one is in hand.
+
+    ``sp={'mesh': Mesh, 'axis': ..., 'kind': 'ring'|'allgather'}`` runs the
+    DECODER sequence-parallel (``parallel/sequence.py``): shard input_ids /
+    attention_mask on the token dim and the LLM attention distributes over
+    the mesh — the long-context capability the reference's 3,072-token
+    collator ceiling forecloses (SURVEY.md §5).  The ViT runs replicated
+    (tile-batched; its sequence is the short per-tile 1,025) and the
+    scatter is position-wise, so only attention needs the explicit
+    collective path.
     """
     input_embeds = dec.embed_tokens(params["language_model"], input_ids)
     vit_embeds = extract_feature(
@@ -168,4 +178,5 @@ def chat_forward(
         position_ids=position_ids,
         attn_impl=attn_impl,
         remat=remat,
+        sp=sp,
     )

@@ -197,6 +197,7 @@ def reward_forward(
     remat: bool = True,
     vit_rng=None,
     img_context_token_id: Optional[int] = None,
+    sp=None,
 ) -> RewardOutput:
     """Backbone forward + fused reward head; the north-star inference path.
 
@@ -208,10 +209,16 @@ def reward_forward(
     (``eval_genai_mjvideo.py``/README quickstart:
     ``model.img_context_token_id = tokenizer.convert_tokens_to_ids(...)``),
     so callers holding a tokenizer should pass its id; None = config value.
+
+    ``sp``: sequence-parallel spec forwarded to the decoder
+    (``chat_forward``/``decoder_forward``) — lets the 16-32-frame x
+    max_num=12 long-context configs (>40k tokens) run their LLM attention
+    sharded over the mesh end to end.  The reward head's pooling/gating
+    gathers are position-wise and partition under GSPMD unchanged.
     """
     hidden = chat_forward(
         params["model"], cfg.chat, pixel_values, input_ids,
         attention_mask=attention_mask, attn_impl=attn_impl, remat=remat,
-        vit_rng=vit_rng, img_context_token_id=img_context_token_id,
+        vit_rng=vit_rng, img_context_token_id=img_context_token_id, sp=sp,
     )
     return reward_head(params, cfg, hidden, input_ids, gating_pos)

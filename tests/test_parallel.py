@@ -490,3 +490,99 @@ def test_tp_sharded_cached_generation_matches_single_device():
         sharded = gen(p_sh, jnp.asarray(ids), jnp.asarray(am))
         assert np.array_equal(np.asarray(single), np.asarray(sharded)), \
             f"kv_quant={kv_quant}"
+
+
+def test_sp_reward_forward_matches_single_device(cfg, params):
+    """END-TO-END sequence parallelism (VERDICT r3 next-2): the full
+    reward forward — ViT + scatter + SP decoder + reward head — under a
+    sequence-sharded mesh must equal the single-device forward."""
+    from mjvideo_tpu.parallel.sequence import shard_sequence
+
+    rng = np.random.default_rng(23)
+    c = cfg.chat
+    frames = 2
+    n_img = c.num_image_token * frames
+    # T divisible by the 8-way mesh, with right padding past the prompt
+    T = ((n_img + 20 + 7) // 8) * 8
+    ids = np.full((1, T), 5, np.int64)
+    ids[:, 2:2 + n_img] = c.img_context_token_id
+    real = n_img + 12
+    mask_np = (np.arange(T)[None, :] < real).astype(np.int32)
+    ids[:, real:] = c.llm.pad_token_id
+    pix = jnp.asarray(rng.normal(
+        size=(frames, c.vision.image_size, c.vision.image_size, 3)
+    ).astype(np.float32))
+    ids = jnp.asarray(ids, jnp.int32)
+    mask = jnp.asarray(mask_np)
+    gpos = jnp.asarray([real - 4], jnp.int32)
+
+    single = reward_forward(params, cfg, pix, ids, mask, gpos,
+                            attn_impl="xla", remat=False)
+
+    mesh = make_mesh(data=8, model=1)
+    ids_s = shard_sequence(ids, mesh, dim=1)
+    mask_s = shard_sequence(mask, mesh, dim=1)
+    for kind in ("ring", "allgather"):
+        @jax.jit
+        def fwd(p, pix, ids, mask, gpos, kind=kind):
+            return reward_forward(
+                p, cfg, pix, ids, mask, gpos, attn_impl="xla", remat=False,
+                sp={"mesh": mesh, "axis": "data", "kind": kind},
+            )
+
+        out = fwd(shard_params(params, mesh), pix, ids_s, mask_s, gpos)
+        np.testing.assert_allclose(np.asarray(out.score),
+                                   np.asarray(single.score), atol=1e-4,
+                                   err_msg=kind)
+        np.testing.assert_allclose(np.asarray(out.rewards),
+                                   np.asarray(single.rewards), atol=1e-4,
+                                   err_msg=kind)
+        np.testing.assert_allclose(np.asarray(out.aspect_scores),
+                                   np.asarray(single.aspect_scores),
+                                   atol=1e-4, err_msg=kind)
+
+
+def test_sp_scorer_matches_plain_scorer(cfg, params):
+    """RewardScorer(sp=...) — the user-facing long-context mode — must
+    score identically to the plain scorer, for both SP kinds."""
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.scorer import RewardScorer
+
+    tok = ByteTokenizer()
+    kw = dict(attn_impl="xla", dtype=jnp.float32, length_buckets=(256,),
+              gating_pattern=tok.gating_pattern())
+    plain = RewardScorer(cfg, params, tok, **kw)
+
+    rng = np.random.default_rng(29)
+    c = cfg.chat
+    n_img = c.num_image_token
+    pixels = rng.normal(size=(2, c.vision.image_size, c.vision.image_size, 3)
+                        ).astype(np.float32)
+    ids_list, gpos = [], []
+    for _ in range(2):
+        ids = np.full((n_img + 12,), 5, np.int32)
+        ids[2:2 + n_img] = c.img_context_token_id
+        ids_list.append(ids)
+        gpos.append(len(ids) - 4)
+    a = plain.score_batch(pixels, ids_list, gpos)
+
+    for kind in ("ring", "allgather"):
+        sp = RewardScorer(cfg, params, tok,
+                          mesh=make_mesh(data=8, model=1), sp=kind, **kw)
+        b = sp.score_batch(pixels, ids_list, gpos)
+        np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
+                                   atol=1e-4, err_msg=kind)
+        np.testing.assert_allclose(np.asarray(a.rewards),
+                                   np.asarray(b.rewards), atol=1e-4,
+                                   err_msg=kind)
+
+    # guard rails: bad kind / missing mesh / indivisible buckets
+    with pytest.raises(ValueError, match="unknown sp kind"):
+        RewardScorer(cfg, params, tok, mesh=make_mesh(), sp="nope", **kw)
+    with pytest.raises(ValueError, match="requires a mesh"):
+        RewardScorer(cfg, params, tok, sp="ring", **kw)
+    with pytest.raises(ValueError, match="not divisible"):
+        RewardScorer(cfg, params, tok, mesh=make_mesh(data=8, model=1),
+                     sp="ring", attn_impl="xla", dtype=jnp.float32,
+                     length_buckets=(250,),
+                     gating_pattern=tok.gating_pattern())
