@@ -459,6 +459,7 @@ class InternVLJudge:
         out = np.asarray(generate_from_prefix_jitted(
             self.params, self.cfg, state, jnp.asarray(sids),
             jnp.asarray(smask), generation_config=gc,
+            attn_impl=self.attn_impl,
         ))
         responses = []
         for row in out:
@@ -599,7 +600,8 @@ class Qwen2VLJudge(_GreedyLocalJudge):
             video_paths, suffix, self.cfg.text.pad_token_id,
             lambda max_len: _suffix_fn(
                 self.cfg, self.suffix_bucket, self.max_new_tokens,
-                max_len, int(self.cfg.im_end_token_id)),
+                max_len, int(self.cfg.im_end_token_id),
+                attn_impl=self.attn_impl),
             n_extras=2)  # cached per-video M-RoPE cos/sin tables
 
     def _encode_video(self, video_path: str):
@@ -724,7 +726,8 @@ class MiniCPMVJudge(_GreedyLocalJudge):
             video_paths, suffix, self.cfg.text.pad_token_id,
             lambda max_len: _suffix_fn(
                 self.cfg, self.suffix_bucket, self.max_new_tokens,
-                max_len, int(self.cfg.im_end_token_id)))
+                max_len, int(self.cfg.im_end_token_id),
+                attn_impl=self.attn_impl))
 
     def _encode_video(self, video_path: str):
         import jax.numpy as jnp
@@ -852,7 +855,8 @@ class CogVLM2Judge(_GreedyLocalJudge):
             video_paths, suffix, self.cfg.pad_token_id,
             lambda max_len: _suffix_fn(
                 self.cfg, self.suffix_bucket, self.max_new_tokens,
-                max_len, int(self.cfg.eos_token_id)),
+                max_len, int(self.cfg.eos_token_id),
+                attn_impl=self.attn_impl),
             n_extras=1)  # cached shared-vision position ids
 
     def _encode_video(self, video_path: str):

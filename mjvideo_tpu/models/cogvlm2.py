@@ -533,7 +533,7 @@ def lm_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
 
 def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
                          v_scale, cos, sin, slots, rope_pos, cache_mask,
-                         vis_mask, attn_impl: str = "xla"):
+                         vis_mask, attn_impl: str = "xla", q_offset=None):
     """Cached dual-expert layer: like ``generate._layer_with_cache`` but
     with per-position expert selection, and the RoPE rotation position
     (``rope_pos``, CogVLM's shared-vision scheme) decoupled from the cache
@@ -541,7 +541,12 @@ def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
     ``v_scale`` are the int8-cache scales (None = dense bf16 cache).
     ``attn_impl != "xla"`` routes empty-cache prefill (S > 1) through
     the flash kernel over the fresh tokens (prefill slots are sequence
-    order, so the flash causal test equals the slot test); see
+    order, so the flash causal test equals the slot test).  A suffix
+    continuation over a NON-empty cache passes ``q_offset`` = per-row
+    first-fresh-slot, running the flash kernel over the whole cache with
+    slot causality — CogVLM's shared-vision ROTATION positions are
+    decoupled from slots, but its CAUSALITY is plain token order = slot
+    order, so the q_offset contract holds; see
     ``generate._layer_with_cache``."""
     from ..ops.attention import attention_xla, multi_head_attention
     from .generate import read_kv, scatter_kv
@@ -563,7 +568,17 @@ def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
     k_cache, v_cache, k_scale, v_scale, write_ok = scatter_kv(
         k_cache, v_cache, k_scale, v_scale, k, v, slots, cache_mask)
 
-    if S > 1 and attn_impl != "xla":
+    cont_flash = S > 1 and q_offset is not None and (
+        attn_impl == "flash"
+        or (attn_impl == "auto" and jax.default_backend() == "tpu"))
+    if cont_flash:
+        from ..ops.flash_attention import flash_attention
+
+        k_op, v_op = read_kv(k_cache, v_cache, k_scale, v_scale, q.dtype)
+        attn = flash_attention(
+            q, k_op, v_op, attention_mask=cache_mask, causal=True,
+            q_offset=q_offset).reshape(B, S, Hq * hd)
+    elif S > 1 and attn_impl != "xla" and q_offset is None:
         attn = multi_head_attention(
             q, k, v, attention_mask=write_ok, causal=True,
             impl=attn_impl).reshape(B, S, Hq * hd)
@@ -592,7 +607,7 @@ def _expert_layer_cached(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
 
 def _cogvlm2_forward_cached(params, cfg: CogVLM2Config, embeds, cache,
                             slots, rope_pos, cache_mask, vis_mask,
-                            attn_impl: str = "xla"):
+                            attn_impl: str = "xla", q_offset=None):
     """``cache`` is a (k, v, k_scale, v_scale) tuple; scales are None for
     the dense bf16 cache (see ``generate.KVCache``)."""
     lm = params["language_model"]
@@ -605,7 +620,7 @@ def _cogvlm2_forward_cached(params, cfg: CogVLM2Config, embeds, cache,
         lp, kc, vc, ks, vs = scanned
         x, kc, vc, ks, vs = _expert_layer_cached(
             tc, lp, x, kc, vc, ks, vs, cos, sin, slots, rope_pos,
-            cache_mask, vis_mask, attn_impl=attn_impl)
+            cache_mask, vis_mask, attn_impl=attn_impl, q_offset=q_offset)
         return x, (kc, vc, ks, vs)
 
     x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
@@ -699,13 +714,15 @@ def _prefix_fn(cfg: CogVLM2Config, Pb: int, max_len: int,
 
 @functools.lru_cache(maxsize=8)
 def _suffix_fn(cfg: CogVLM2Config, Sb: int, max_new: int, max_len: int,
-               eos: int):
+               eos: int, attn_impl: str = "xla"):
     """Compiled suffix continuation + decode against a cached prefix.
 
     Suffix tokens are all language-type; their RoPE positions continue
     the prefix's shared-vision scheme sequentially (gathered from the
-    cached per-video ``pos_all``).  Windowed attention — the flash
-    prefill's empty-cache contract does not hold mid-cache."""
+    cached per-video ``pos_all``).  With ``attn_impl`` "flash"/"auto"-on-
+    TPU the suffix runs the same flash kernel as a full-prompt prefill
+    via per-row ``q_offset = n_prefix``; "xla" keeps the windowed bias
+    path."""
     from .generate import (
         greedy_decode_batch,
         last_real_token,
@@ -726,7 +743,7 @@ def _suffix_fn(cfg: CogVLM2Config, Sb: int, max_new: int, max_len: int,
         vm = jnp.zeros((B, Sb, 1), emb.dtype)  # suffix = language
         hidden, cache = _cogvlm2_forward_cached(
             params, cfg, emb, cache, slots, rope_pos, mask, vm,
-            attn_impl="xla")
+            attn_impl=attn_impl, q_offset=n_prefix)
         logits0 = lm_logits(params, last_real_token(hidden, s_real))[:, 0]
         n_total = n_prefix + s_real
 

@@ -123,7 +123,7 @@ def read_kv(k_cache, v_cache, k_scale, v_scale, dtype):
 
 def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
                       v_scale, cos, sin, position_ids, cache_mask,
-                      attn_impl: str = "xla"):
+                      attn_impl: str = "xla", q_offset=None):
     """One decoder layer writing its fresh K/V into the cache slice.
 
     ``x``: (B, S, C) new tokens; ``k_cache``/``v_cache``: (B, max_len, Hkv, D)
@@ -140,9 +140,19 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
     the call, which holds for every prefill in this package (prompts
     always prefill into a fresh cache; prefill slots are sequence
     order, so flash's causal-over-index equals the slot-causality
-    test).  A caller extending a non-empty cache by multiple tokens
-    must pass ``attn_impl="xla"``.  Single-token decode (S == 1) always
-    reads the cache.
+    test).  A caller extending a NON-empty cache by multiple tokens
+    (prefix-cache suffix continuation) passes ``q_offset`` = per-row
+    global position of its first fresh token: the flash kernel then runs
+    over the WHOLE cache with slot-index causality (``q_pos = q_offset +
+    i >= k_slot``), which — because suffix slots are contiguous after the
+    prefix — is numerically the SAME kernel, iterating kv blocks from
+    slot 0 exactly as a full-prompt flash prefill does (extra all-masked
+    tail blocks are exact no-ops in the online softmax), so prefix
+    caching can no longer flip a greedy tie against the full-prompt path
+    via kernel choice (docs/PARITY.md prefix-caching caveat, VERDICT r3
+    next-5).  Without ``q_offset``, non-"xla" multi-token calls keep the
+    empty-cache contract; ``attn_impl="xla"`` keeps the windowed bias
+    path.  Single-token decode (S == 1) always reads the cache.
     """
     B, S, C = x.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -158,7 +168,24 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
     k_cache, v_cache, k_scale, v_scale, write_ok = scatter_kv(
         k_cache, v_cache, k_scale, v_scale, k, v, position_ids, cache_mask)
 
-    if S > 1 and attn_impl != "xla":
+    cont_flash = S > 1 and q_offset is not None and (
+        attn_impl == "flash"
+        or (attn_impl == "auto" and jax.default_backend() == "tpu"))
+    if cont_flash:
+        # Suffix continuation over a NON-empty cache through the same
+        # flash kernel as full-prompt prefill (see docstring): q rows sit
+        # at slots q_offset + i, kv = the whole cache masked to valid
+        # slots.  In practice the kernel's kv blocking also coincides with
+        # the full-prompt prefill's (both saturate at block_kv=1024 for
+        # judge shapes), making the suffix logits bit-equal, not merely
+        # same-kernel.  ("auto" takes this path only on TPU — interpreted
+        # flash off-TPU would be strictly slower than the windowed bias.)
+        from ..ops.flash_attention import flash_attention
+
+        k_op, v_op = read_kv(k_cache, v_cache, k_scale, v_scale, q.dtype)
+        attn = flash_attention(q, k_op, v_op, attention_mask=cache_mask,
+                               causal=True, q_offset=q_offset)
+    elif S > 1 and attn_impl != "xla" and q_offset is None:
         # Empty-cache prefill: causal flash over the fresh tokens, pad
         # tokens masked out of kv (their q rows are garbage in both
         # paths and never read — last_real_token / EOS slotting).
@@ -192,6 +219,7 @@ def decoder_forward_cached(
     cache_mask: jnp.ndarray,  # (B, max_len) valid-slot mask incl. new tokens
     rope_override=None,  # (cos, sin) pre-gathered (B, S, D) for new tokens
     attn_impl: str = "xla",  # prefill backend; see _layer_with_cache
+    q_offset=None,  # (B,) first fresh token's global slot (suffix cont.)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run all layers over new tokens, reading+writing the cache.
 
@@ -202,7 +230,10 @@ def decoder_forward_cached(
 
     ``attn_impl != "xla"`` runs multi-token prefill attention over the
     fresh tokens only (flash kernel on TPU) — valid because prompts
-    always prefill into an EMPTY cache; see ``_layer_with_cache``.
+    always prefill into an EMPTY cache.  Extending a NON-empty cache
+    (suffix continuation) additionally passes ``q_offset``, routing the
+    attention through the flash kernel over the whole cache instead; see
+    ``_layer_with_cache``.
     """
     max_len = cache.k.shape[2]
     if rope_override is not None:
@@ -219,7 +250,7 @@ def decoder_forward_cached(
         lp, kc, vc, ks, vs = scanned
         x, kc, vc, ks, vs = _layer_with_cache(
             cfg, lp, x, kc, vc, ks, vs, cos, sin, position_ids, cache_mask,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, q_offset=q_offset,
         )
         return x, (kc, vc, ks, vs)
 
@@ -550,6 +581,7 @@ def generate_from_prefix(
     generation_config: GenerationConfig = GenerationConfig(),
     rng: Optional[jax.Array] = None,
     return_state: bool = False,
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """Continue a cached prefix with a per-question suffix, then decode.
     ``return_state=True`` also returns the post-decode (cache, mask) for
@@ -557,10 +589,14 @@ def generate_from_prefix(
 
     The suffix occupies slots [n_prefix, n_prefix + s_real) — contiguous
     with the prefix, so RoPE positions and causality are IDENTICAL to
-    prefilling the whole prompt at once.  Suffix attention must read the
-    non-empty cache, hence the windowed ``attn_impl="xla"`` path (the
-    flash prefill's empty-cache contract does not hold here); suffixes
-    are short, so the S x max_len bias is cheap.  ``kv_quant`` is
+    prefilling the whole prompt at once.  Suffix attention reads the
+    non-empty cache: on TPU (``attn_impl`` "auto"/"flash") it runs the
+    SAME flash kernel as a full-prompt prefill, with per-row ``q_offset =
+    n_prefix`` supplying global causality — so prefix-cached decode is
+    numerically the full-prompt path's, and a greedy tie cannot flip on
+    kernel choice (docs/PARITY.md caveat closed).  ``attn_impl="xla"``
+    (and "auto" off-TPU) keeps the windowed bias path — suffixes are
+    short, so the S x max_len bias is cheap there.  ``kv_quant`` is
     inherited from the state's cache dtype.
     """
     gc = generation_config
@@ -576,7 +612,8 @@ def generate_from_prefix(
     cache_mask = state.cache_mask.at[rows, slots].add(
         suffix_mask.astype(state.cache_mask.dtype))
     hidden, cache = decoder_forward_cached(
-        lm, cfg.llm, emb, state.cache, slots, cache_mask, attn_impl="xla"
+        lm, cfg.llm, emb, state.cache, slots, cache_mask,
+        attn_impl=attn_impl, q_offset=state.n_prefix,
     )
     s_real = jnp.sum(suffix_mask, axis=-1)  # right-padded suffix
     last_hidden = jnp.take_along_axis(
@@ -594,7 +631,7 @@ prefill_prefix_jitted = jax.jit(
 
 generate_from_prefix_jitted = jax.jit(
     generate_from_prefix, static_argnums=(1,),
-    static_argnames=("generation_config", "return_state"))
+    static_argnames=("generation_config", "return_state", "attn_impl"))
 
 
 def stack_prefix_states(states) -> PrefixState:

@@ -426,11 +426,13 @@ def _prefix_fn(cfg: MiniCPMVConfig, Pb: int, max_len: int,
 
 @functools.lru_cache(maxsize=8)
 def _suffix_fn(cfg: MiniCPMVConfig, Sb: int, max_new: int, max_len: int,
-               eos: int):
+               eos: int, attn_impl: str = "xla"):
     """Compiled suffix continuation + decode against a cached prefix
-    (suffix slots contiguous at [n_prefix, n_prefix + s_real); windowed
-    attention — the flash prefill's empty-cache contract does not hold
-    mid-cache)."""
+    (suffix slots contiguous at [n_prefix, n_prefix + s_real)).  With
+    ``attn_impl`` "flash"/"auto"-on-TPU the suffix runs the same flash
+    kernel as a full-prompt prefill via per-row ``q_offset = n_prefix``
+    (see ``generate._layer_with_cache``); "xla" keeps the windowed bias
+    path."""
     from .generate import (
         decoder_forward_cached,
         greedy_decode_batch,
@@ -448,7 +450,8 @@ def _suffix_fn(cfg: MiniCPMVConfig, Sb: int, max_new: int, max_len: int,
             & (span < (n_prefix + s_real)[:, None])
         mask = jnp.maximum(pmask, valid.astype(pmask.dtype))
         hidden, cache = decoder_forward_cached(
-            llm, cfg.text, emb, cache, slots, mask, attn_impl="xla")
+            llm, cfg.text, emb, cache, slots, mask, attn_impl=attn_impl,
+            q_offset=n_prefix)
         logits0 = lm_logits(params, last_real_token(hidden, s_real))[:, 0]
         n_total = n_prefix + s_real
 

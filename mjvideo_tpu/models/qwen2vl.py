@@ -650,14 +650,16 @@ def _prefix_fn(cfg: Qwen2VLConfig, Pb: int, max_len: int,
 
 @functools.lru_cache(maxsize=8)
 def _suffix_fn(cfg: Qwen2VLConfig, Sb: int, max_new: int, max_len: int,
-               eos: int):
+               eos: int, attn_impl: str = "xla"):
     """Compiled suffix continuation + decode against a cached prefix.
 
     Suffix slots are [n_prefix, n_prefix + s_real) — contiguous with the
     prefix, so M-RoPE positions (gathered from the precomputed per-video
-    tables) and slot causality equal the one-shot prompt.  Attention must
-    read the non-empty cache, hence ``attn_impl="xla"`` (the flash
-    prefill's empty-cache contract does not hold mid-cache)."""
+    tables) and slot causality equal the one-shot prompt.  With
+    ``attn_impl`` "flash"/"auto"-on-TPU the suffix runs the SAME flash
+    kernel as a full-prompt prefill via per-row ``q_offset = n_prefix``
+    (see ``generate._layer_with_cache``), pinning prefix-cached decode to
+    the full-prompt numerics; "xla" keeps the windowed bias path."""
     from .generate import (
         decoder_forward_cached,
         greedy_decode_batch,
@@ -681,7 +683,7 @@ def _suffix_fn(cfg: Qwen2VLConfig, Sb: int, max_new: int, max_len: int,
                 jnp.take_along_axis(sin_all, idx, axis=1))
         hidden, cache = decoder_forward_cached(
             lm, cfg.text, emb, cache, slots, mask, rope_override=rope,
-            attn_impl="xla")
+            attn_impl=attn_impl, q_offset=n_prefix)
         logits0 = lm_logits(params, cfg,
                             last_real_token(hidden, s_real))[:, 0]
         n_total = n_prefix + s_real

@@ -349,7 +349,12 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
             "q_offset for sequence-parallel shards)"
         )
         q_offset = jnp.zeros((), jnp.int32)
-    off = jnp.asarray(q_offset, jnp.int32).reshape(1, 1)
+    # Scalar (SP shards: every row shares the shard offset) or per-row
+    # (B,) (prefix-cache continuation: each row's suffix starts at its own
+    # n_prefix).  Either way lands as a (B, 1) SMEM operand indexed by the
+    # batch grid dim.
+    off = jnp.broadcast_to(
+        jnp.asarray(q_offset, jnp.int32).reshape(-1, 1), (B, 1))
 
     if with_lse:
         kernel = functools.partial(
@@ -375,7 +380,7 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
         kernel,
         grid=(B, Hq, Qp // block_q, Kp // block_kv),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h, i, j: (0, 0),
+            pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, D),
                          lambda b, h, i, j: (b, h, i, 0),
@@ -556,9 +561,10 @@ def _bwd_impl(q, k, v, attention_mask, q_offset, out, lse, g, causal, scale,
     mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, Kp - K)))[:, None, :]
     if q_offset is None:
         q_offset = jnp.zeros((), jnp.int32)
-    off = jnp.asarray(q_offset, jnp.int32).reshape(1, 1)
+    off = jnp.broadcast_to(
+        jnp.asarray(q_offset, jnp.int32).reshape(-1, 1), (B, 1))
 
-    off_spec = pl.BlockSpec((1, 1), lambda b, h, j, i: (0, 0),
+    off_spec = pl.BlockSpec((1, 1), lambda b, h, j, i: (b, 0),
                             memory_space=pltpu.SMEM)
     q_spec = pl.BlockSpec((1, 1, block_q, D),
                           lambda b, h, j, i: (b, h, i, 0),
@@ -615,7 +621,7 @@ def _bwd_impl(q, k, v, attention_mask, q_offset, out, lse, g, causal, scale,
     mask_spec2 = pl.BlockSpec((1, 1, block_kv),
                               lambda b, h, i, j: (b, 0, j),
                               memory_space=pltpu.VMEM)
-    off_spec2 = pl.BlockSpec((1, 1), lambda b, h, i, j: (0, 0),
+    off_spec2 = pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0),
                              memory_space=pltpu.SMEM)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
@@ -720,7 +726,10 @@ def flash_attention(
     """Blockwise flash attention. q: (B, Q, Hq, D); k/v: (B, K, Hkv, D).
 
     ``attention_mask``: (B, K), 1 = real token, 0 = padding.
-    ``q_offset``: global position of q row 0 (sequence-parallel shards).
+    ``q_offset``: global position of q row 0 — a scalar (sequence-parallel
+    shards: every row shares the shard offset) or per-row (B,) (prefix-
+    cache suffix continuation: each row's queries start at its own
+    prefix length).
     ``kv_valid``: static count of real kv rows when the caller pre-pads the
     sequence to an aligned length — rows [kv_valid, K) must be exactly zero
     in k AND v (the nc kernel subtracts their softmax mass analytically; no

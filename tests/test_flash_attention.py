@@ -239,3 +239,45 @@ def test_nc_maskless_backward_consumes_new_lse():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-5)
+
+
+def test_per_row_q_offset_matches_reference():
+    """Per-row q_offset (prefix-cache suffix continuation): each batch
+    row's queries start at a different global position; the kernel must
+    apply each row's own causal frontier."""
+    import jax.numpy as jnp
+
+    from mjvideo_tpu.ops.attention import attention_xla
+    from mjvideo_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(11)
+    B, Q, K, H, D = 3, 4, 24, 2, 8
+    q = jnp.asarray(rng.normal(size=(B, Q, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, K, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, K, H, D)), jnp.float32)
+    offs = np.asarray([5, 9, 13], np.int32)
+    # rows beyond each row's offset+Q are invalid cache slots
+    mask = (np.arange(K)[None, :] < (offs + Q)[:, None]).astype(np.int32)
+
+    got = np.asarray(flash_attention(
+        q, k, v, attention_mask=jnp.asarray(mask), causal=True,
+        q_offset=jnp.asarray(offs)))
+
+    # reference: per-row explicit bias
+    qpos = offs[:, None, None] + np.arange(Q)[None, :, None]
+    kpos = np.arange(K)[None, None, :]
+    valid = (qpos >= kpos) & (mask[:, None, :] != 0)
+    bias = jnp.asarray(np.where(valid, 0.0, -1e30),
+                       jnp.float32)[:, None]
+    want = np.asarray(attention_xla(q, k, v, bias=bias))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    # scalar offset still broadcasts (sequence-parallel contract)
+    got_s = np.asarray(flash_attention(
+        q, k, v, attention_mask=jnp.ones((B, K), jnp.int32), causal=True,
+        q_offset=jnp.asarray(7, jnp.int32)))
+    qpos = 7 + np.arange(Q)[None, :, None]
+    valid = np.broadcast_to(qpos >= kpos, (B, Q, K))
+    bias = jnp.asarray(np.where(valid, 0.0, -1e30), jnp.float32)[:, None]
+    want_s = np.asarray(attention_xla(q, k, v, bias=bias))
+    np.testing.assert_allclose(got_s, want_s, atol=2e-6)

@@ -326,3 +326,68 @@ def test_chat_session_capacity_guard(chat):
     with pytest.raises(ValueError, match="max_len"):
         sess.ask("a question far too long for a sixty-four slot cache "
                  "to ever hold together with its decode budget")
+
+
+def test_flash_suffix_continuation_matches_full_flash_prefill(chat):
+    """VERDICT r3 next-5: the suffix continuation through the FLASH kernel
+    (q_offset = per-row n_prefix over the whole cache) must reproduce the
+    full-prompt flash decode token-for-token — kernel choice can no longer
+    flip a greedy tie between prefix-cached and full-prompt paths.  Rows
+    get DIFFERENT real prefix lengths to exercise per-row q_offset."""
+    cfg, params = chat
+    ch = cfg.chat
+    rng = np.random.default_rng(3)
+    gc = GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=0)
+
+    reals = (8, 9)  # per-row real prefix lengths within the same bucket
+    suffix_toks = rng.integers(1, 50, size=(5,)).astype(np.int32)
+    refs, states = [], []
+    for r in reals:
+        full = np.concatenate([
+            rng.integers(1, 50, size=(1, r)).astype(np.int32),
+            suffix_toks[None]], axis=1)
+        am = np.ones_like(full)
+        # full-prompt reference THROUGH THE FLASH PREFILL (interpret mode
+        # on CPU) — the path a TPU full-prompt decode takes
+        refs.append(np.asarray(generate(
+            params, ch, jnp.asarray(full), jnp.asarray(am),
+            generation_config=gc, attn_impl="flash")))
+        pre = np.zeros((1, 10), np.int32)
+        pre[0, :r] = full[0, :r]
+        pam = np.zeros((1, 10), np.int32)
+        pam[0, :r] = 1
+        states.append(prefill_prefix(
+            params, ch, jnp.asarray(pre), jnp.asarray(pam),
+            max_len=10 + 7 + gc.max_new_tokens, attn_impl="flash"))
+    st = stack_prefix_states(states)
+    assert int(st.n_prefix[0]) != int(st.n_prefix[1])  # per-row offsets
+    suf = np.tile(np.pad(suffix_toks[None], ((0, 0), (0, 2))), (2, 1))
+    sam = np.tile(np.pad(np.ones((1, 5), np.int32), ((0, 0), (0, 2))),
+                  (2, 1))
+    out = np.asarray(generate_from_prefix(
+        params, ch, st, jnp.asarray(suf), jnp.asarray(sam),
+        generation_config=gc, attn_impl="flash"))
+    assert np.array_equal(out[0:1], refs[0])
+    assert np.array_equal(out[1:2], refs[1])
+
+
+def test_qwen2vl_judge_prefix_flash_matches_full(tmp_path):
+    """Family wiring: the Qwen2-VL judge's suffix executable under
+    attn_impl='flash' (the TPU serving default via 'auto') must answer
+    identically to the uncached full-prompt judge."""
+    from test_batched_generate import qwen_tiny as _qt  # noqa: F811
+
+    from mjvideo_tpu.data.prompts import ByteTokenizer
+    from mjvideo_tpu.eval.judges import Qwen2VLJudge
+
+    cfg, params = _qt.__wrapped__()
+    v1 = tmp_path / "a.mp4"
+    _write_video(v1, 0, size=32)
+    kw = dict(num_segments=2, max_new_tokens=5, attn_impl="flash",
+              max_pixels=32 * 32)
+    j_on = Qwen2VLJudge(cfg, params, ByteTokenizer(), prefix_cache=True,
+                        **kw)
+    j_off = Qwen2VLJudge(cfg, params, ByteTokenizer(), prefix_cache=False,
+                         **kw)
+    q = "Rate the coherence."
+    assert j_on.ask(q, str(v1)) == j_off.ask(q, str(v1))
