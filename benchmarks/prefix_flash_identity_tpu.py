@@ -140,6 +140,8 @@ def main():
         tmp = tempfile.mkdtemp()
         video = f"{tmp}/clip.mp4"
         _write_video(video, args.frames, vid_size)
+        video2 = f"{tmp}/clip2.mp4"
+        _write_video(video2, args.frames, vid_size)
         j_on, j_off = mk(True), mk(False)
         ok = True
         for q in QUESTIONS:
@@ -150,6 +152,14 @@ def main():
             if not same:
                 print(f"  MISMATCH [{fam}] {q!r}:\n    cached={a_on!r}\n"
                       f"    full  ={a_off!r}", flush=True)
+        # B=2 pair ask: two stacked prefix states, per-row q_offset rows
+        # in ONE batched flash continuation (the judge_pair shape)
+        b_on = j_on.ask_batch(QUESTIONS[0], [video, video2])
+        b_off = j_off.ask_batch(QUESTIONS[0], [video, video2])
+        if b_on != b_off:
+            ok = False
+            print(f"  MISMATCH [{fam}] pair ask_batch:\n    cached={b_on!r}"
+                  f"\n    full  ={b_off!r}", flush=True)
         all_ok &= ok
         print(f"{fam:10s}: token-identity "
               f"{'OK' if ok else 'FAILED'} over {len(QUESTIONS)} questions "

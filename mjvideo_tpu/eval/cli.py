@@ -241,6 +241,16 @@ def _make_judge(args):
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    import os
+
+    if os.environ.get("MJV_PLATFORM"):
+        # Env-forced backend for hermetic subprocess runs (tests, the
+        # launch/reproduce.sh dry-run): the axon TPU plugin ignores
+        # JAX_PLATFORMS set via env, so pin through jax.config.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MJV_PLATFORM"])
+
     from ..utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()

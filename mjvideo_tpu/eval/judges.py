@@ -1444,7 +1444,7 @@ def run_overall_videoscore_benchmark(
     ('Same'/'Hard to judge', ``:129-131``), score both videos with the
     caption as the regression prompt, compare summed scores."""
     from ..data.labels import deal_preference
-    from .metrics import preference_accuracy
+    from .metrics import preference_accuracy, strict_and_tie_aware
     from .preference import IncrementalWriter, iter_jsonl
 
     writer = IncrementalWriter(results_path)
@@ -1472,10 +1472,17 @@ def run_overall_videoscore_benchmark(
             s1s.append(r["score_1"])
             prefs.append(r["preference"])
             masks.append(r["mask"])
-    return preference_accuracy(
+    res = preference_accuracy(
         np.asarray(s0s, np.float64), np.asarray(s1s, np.float64),
         np.asarray(prefs), np.asarray(masks),
     )
+    # the leaderboard's two columns (README.md:166-168)
+    sta = strict_and_tie_aware(
+        np.asarray(s0s, np.float64), np.asarray(s1s, np.float64),
+        np.asarray(prefs), np.asarray(masks))
+    res.update(strict=sta["strict"], tie_aware=sta["tie_aware"],
+               ties=sta["ties"])
+    return res
 
 
 def run_genai_videoscore_benchmark(
@@ -1537,7 +1544,7 @@ def run_overall_benchmark(
     """Rating-based pairwise preference accuracy for a baseline judge
     (``process_overall_file``, ``eval_overall_internvl2_2b.py:82-116``)."""
     from ..data.labels import deal_preference
-    from .metrics import preference_accuracy
+    from .metrics import preference_accuracy, strict_and_tie_aware
     from .preference import IncrementalWriter
 
     writer = IncrementalWriter(results_path)
@@ -1575,7 +1582,14 @@ def run_overall_benchmark(
             s1s.append(r["score_1"])
             prefs.append(r["preference"])
             masks.append(r["mask"])
-    return preference_accuracy(
+    res = preference_accuracy(
         np.asarray(s0s, np.float64), np.asarray(s1s, np.float64),
         np.asarray(prefs), np.asarray(masks),
     )
+    # the leaderboard's two columns (README.md:166-168)
+    sta = strict_and_tie_aware(
+        np.asarray(s0s, np.float64), np.asarray(s1s, np.float64),
+        np.asarray(prefs), np.asarray(masks))
+    res.update(strict=sta["strict"], tie_aware=sta["tie_aware"],
+               ties=sta["ties"])
+    return res

@@ -80,6 +80,36 @@ def preference_accuracy(
     }
 
 
+def strict_and_tie_aware(
+    score0: np.ndarray,
+    score1: np.ndarray,
+    preference: np.ndarray,  # 0 = video0 better, 1 = video1 better
+    mask: np.ndarray,  # 1 = decided pair (label side)
+) -> Dict[str, float]:
+    """The reference leaderboard's two preference columns
+    (``README.md:166-168``): *strict* treats a judge tie (equal scores)
+    as incorrect; *tie-aware* credits it 0.5.  Labels' undecided pairs
+    are masked out (they are skipped/ignored by every reference eval).
+    """
+    s0 = np.asarray(score0, np.float64)
+    s1 = np.asarray(score1, np.float64)
+    pref = np.asarray(preference)
+    m = np.asarray(mask, bool)
+    win0 = s0 > s1
+    win1 = s1 > s0
+    correct = np.where(pref == 0, win0, win1)
+    tie = ~(win0 | win1)
+    count = int(np.sum(m))
+    strict = float(np.sum(correct & m))
+    tie_aware = strict + 0.5 * float(np.sum(tie & m))
+    return {
+        "strict": strict / count if count else 0.0,
+        "tie_aware": tie_aware / count if count else 0.0,
+        "ties": int(np.sum(tie & m)),
+        "count": count,
+    }
+
+
 def _genai_vote_metrics(
     score_left: np.ndarray,
     score_right: np.ndarray,

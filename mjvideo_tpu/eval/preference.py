@@ -154,9 +154,16 @@ def evaluate_preference(
             s1s.append(r["score_1"])
             prefs.append(r["preference"])
             masks.append(r["mask"])
-    return preference_accuracy(
+    res = preference_accuracy(
         np.asarray(s0s), np.asarray(s1s), np.asarray(prefs), np.asarray(masks)
     )
+    from .metrics import strict_and_tie_aware
+
+    sta = strict_and_tie_aware(np.asarray(s0s), np.asarray(s1s),
+                               np.asarray(prefs), np.asarray(masks))
+    res.update(strict=sta["strict"], tie_aware=sta["tie_aware"],
+               ties=sta["ties"])
+    return res
 
 
 def evaluate_aspects(
@@ -175,6 +182,7 @@ def evaluate_aspects(
     writer = IncrementalWriter(results_path)
     crit_scores, crit_gt, crit_rel = [], [], []
     asp_scores, asp_gt, asp_rel = [], [], []
+    asp0, asp1, apref, amask = [], [], [], []
 
     def prepared():
         for i, item in enumerate(records):
@@ -219,6 +227,10 @@ def evaluate_aspects(
             asp_scores.append(r["aspect_scores"])
             asp_gt.append(labels[f"video_{v}_aspect_score"])
             asp_rel.append(labels[f"video_{v}_aspect_related"])
+        asp0.append(r0["aspect_scores"])
+        asp1.append(r1["aspect_scores"])
+        apref.append(labels["aspect_preference"])
+        amask.append(labels["aspect_mask"])
         if pixels is not None:  # resumed items are already persisted
             writer.write({
                 "id": i,
@@ -228,7 +240,18 @@ def evaluate_aspects(
                 "aspects_1": r1["aspect_scores"].tolist(),
             })
     if not crit_scores:  # empty records (e.g. everything filtered out)
-        return {"criteria": [], "aspects": []}
+        return {"criteria": [], "aspects": [], "aspect_preference": []}
+    from .metrics import strict_and_tie_aware
+
+    # Per-aspect pairwise preference (the leaderboard's per-aspect
+    # "(strict)" columns, README.md:150-161 MJ-VIDEO row): compare the two
+    # videos' aspect scores against the per-aspect preference labels.
+    a0, a1 = np.stack(asp0), np.stack(asp1)
+    ap, am = np.stack(apref), np.stack(amask)
+    aspect_pref_rows = []
+    for d, name in enumerate(ASPECT_NAMES):
+        sta = strict_and_tie_aware(a0[:, d], a1[:, d], ap[:, d], am[:, d])
+        aspect_pref_rows.append({"name": name, **sta})
     return {
         "criteria": binary_dimension_metrics(
             np.stack(crit_scores), np.stack(crit_gt), np.stack(crit_rel),
@@ -238,6 +261,7 @@ def evaluate_aspects(
             np.stack(asp_scores), np.stack(asp_gt), np.stack(asp_rel),
             names=ASPECT_NAMES,
         ),
+        "aspect_preference": aspect_pref_rows,
     }
 
 

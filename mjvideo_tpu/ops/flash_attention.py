@@ -241,7 +241,7 @@ def _fwd_kernel(
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     n_kv = pl.num_programs(3)
-    off = off_ref[0, 0]
+    off = off_ref[pl.program_id(0), 0]
 
     @pl.when(ki == 0)
     def _init():
@@ -380,8 +380,10 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
         kernel,
         grid=(B, Hq, Qp // block_q, Kp // block_kv),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0),
-                         memory_space=pltpu.SMEM),
+            # whole (B, 1) offsets array in SMEM (a (1, 1) block of a
+            # (B, 1) array does not satisfy mosaic's block-shape rule);
+            # kernels read their row via program_id(0)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, D),
                          lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
@@ -431,7 +433,7 @@ def _bwd_dkdv_kernel(
     ki = pl.program_id(2)
     qi = pl.program_id(3)
     n_q = pl.num_programs(3)
-    off = off_ref[0, 0]
+    off = off_ref[pl.program_id(0), 0]
 
     @pl.when(qi == 0)
     def _init():
@@ -483,7 +485,7 @@ def _bwd_dq_kernel(
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     n_kv = pl.num_programs(3)
-    off = off_ref[0, 0]
+    off = off_ref[pl.program_id(0), 0]
 
     @pl.when(ki == 0)
     def _init():
@@ -564,8 +566,7 @@ def _bwd_impl(q, k, v, attention_mask, q_offset, out, lse, g, causal, scale,
     off = jnp.broadcast_to(
         jnp.asarray(q_offset, jnp.int32).reshape(-1, 1), (B, 1))
 
-    off_spec = pl.BlockSpec((1, 1), lambda b, h, j, i: (b, 0),
-                            memory_space=pltpu.SMEM)
+    off_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (B, 1)
     q_spec = pl.BlockSpec((1, 1, block_q, D),
                           lambda b, h, j, i: (b, h, i, 0),
                           memory_space=pltpu.VMEM)
@@ -621,8 +622,7 @@ def _bwd_impl(q, k, v, attention_mask, q_offset, out, lse, g, causal, scale,
     mask_spec2 = pl.BlockSpec((1, 1, block_kv),
                               lambda b, h, i, j: (b, 0, j),
                               memory_space=pltpu.VMEM)
-    off_spec2 = pl.BlockSpec((1, 1), lambda b, h, i, j: (b, 0),
-                             memory_space=pltpu.SMEM)
+    off_spec2 = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (B, 1)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_kv=block_kv),

@@ -88,6 +88,7 @@ SLOW_TESTS = {
     "test_full_videoscore_forward_matches_transformers",
     "test_remat_policies_give_identical_gradients",
     "test_resume_is_bit_exact",
+    "test_reproduce_script_hermetic_dry_run",
 }
 
 

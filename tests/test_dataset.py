@@ -365,3 +365,26 @@ def test_eval_cli_judge_end_to_end_hermetic(tmp_path, capsys):
     res = json.loads(out[out.index("{"):])
     assert "accuracy" in res or "count" in res, res
     assert (tmp_path / "res.jsonl").exists()
+
+
+def test_reproduce_script_hermetic_dry_run(tmp_path):
+    """launch/reproduce.sh --hermetic: the README-leaderboard reproduction
+    harness must run its full command plumbing end-to-end on synthetic
+    data + tiny random checkpoints (VERDICT r3 next-7) — so the documented
+    table mapping cannot rot."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["MJV_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        ["bash", "launch/reproduce.sh", "--hermetic"],
+        capture_output=True, text=True, timeout=540, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert "HERMETIC_OK" in r.stdout
+    # every table family produced a metrics JSON
+    for part in ("aspects_mjvideo", "overall_mjvideo", "overall_internvl"):
+        assert f"== {part}" in r.stdout, r.stdout[-3000:]
