@@ -62,6 +62,31 @@ def make_record(rng, idx, videos_dir):
     }
 
 
+def make_safesora_record(rng, idx, videos_dir, unanimous=True):
+    """SafeSora-test record shape (``eval_safesora_internvl2_2b.py:95-108``):
+    ``prompt_text``, ``video_{0,1}.video_path``, helpfulness/harmlessness +
+    sub-preference votes with 'video_0'/'video_1' values.  Non-unanimous
+    records exercise ``filter_safesora_pairs``'s drop path."""
+    v0, v1 = f"ss{idx}_a.mp4", f"ss{idx}_b.mp4"
+    write_video(os.path.join(videos_dir, v0), seed=1000 + idx * 2)
+    write_video(os.path.join(videos_dir, v1), seed=1000 + idx * 2 + 1)
+    winner = str(rng.choice(["video_0", "video_1"]))
+    other = "video_1" if winner == "video_0" else "video_0"
+    return {
+        "prompt_text": f"synthetic safesora prompt {idx}",
+        "video_0": {"video_path": v0},
+        "video_1": {"video_path": v1},
+        "helpfulness": winner,
+        "harmlessness": winner if unanimous else other,
+        "sub_preferences": {
+            "instruction_following": winner,
+            "correctness": winner,
+            "informativeness": winner,
+            "aesthetics": winner,
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="datas_sample")
@@ -77,6 +102,13 @@ def main():
     with open(path, "w") as f:
         json.dump(records, f, indent=2)
     print(f"wrote {len(records)} pairs -> {path} (videos in {videos_dir})")
+
+    ss = [make_safesora_record(rng, i, videos_dir, unanimous=(i % 2 == 0))
+          for i in range(args.pairs)]
+    ss_path = os.path.join(args.out, "safesora.json")
+    with open(ss_path, "w") as f:
+        json.dump(ss, f, indent=2)
+    print(f"wrote {len(ss)} safesora records -> {ss_path}")
 
 
 if __name__ == "__main__":

@@ -96,7 +96,8 @@ PY
   CKPT="$WORK/reward_ckpt"
   DATA_JSON="$WORK/data/pairs.json"
   VIDEO_ROOT="$WORK/data/videos"
-  SAFESORA_JSON=""   # synthetic SafeSora records are generated below
+  SAFESORA_JSON="$WORK/data/safesora.json"  # from make_sample_data.py
+  SAFESORA_ROOT="$WORK/data/videos"
   JUDGE_INTERNVL="$WORK/judge_ckpt"
   RESULTS_DIR="$WORK/results"
   mkdir -p "$RESULTS_DIR"

@@ -143,6 +143,11 @@ def _make_judge(args):
         from .judges import VideoScoreJudge
 
         path = args.judge_model
+        if path is None:
+            raise SystemExit(
+                "--judge videoscore needs --judge-model <local VideoScore "
+                "checkpoint dir with config.json + safetensors> (plus "
+                "--tokenizer if the tokenizer lives elsewhere)")
         tok = AutoTokenizer.from_pretrained(args.tokenizer or path,
                                             trust_remote_code=True)
         return VideoScoreJudge(path, tokenizer=tok)

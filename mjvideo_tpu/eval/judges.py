@@ -1330,19 +1330,22 @@ class VideoScoreJudge:
         self.do_image_splitting = do_image_splitting
         self.resize_shortest = resize_shortest
         self.resize_longest = resize_longest
-        import functools
-
-        self._jitted = functools.lru_cache(maxsize=8)(self._make_jitted)
-
-    def _make_jitted(self, n_images, T):
+        # One jit object; its internal cache is keyed by shape and
+        # unbounded.  (An lru_cache of per-(n_images, T) jax.jit objects
+        # EVICTED compiled executables at maxsize, so a benchmark sweep
+        # recompiled the 16-frame forward over and over.)  Prompt lengths
+        # are additionally bucketed in score_frames so thousands of
+        # distinct captions share a handful of executables.
         import jax
 
         from ..models.videoscore import videoscore_forward
 
-        def fwd(params, pix, ids, mask):
-            return videoscore_forward(params, self.cfg, pix, ids, mask)
+        def fwd(params, pix, ids, mask, pixel_mask):
+            return videoscore_forward(params, self.cfg, pix, ids, mask,
+                                      pixel_attention_mask=pixel_mask)
 
-        return jax.jit(fwd)
+        self._fwd = jax.jit(fwd)
+        self.buckets = (128, 256, 512, 1024, 1536, 2048, 3072, 4096, 8192)
 
     def tokenize(self, prompt: str):
         """Expand image tokens the Idefics2-processor way, then tokenize.
@@ -1358,44 +1361,66 @@ class VideoScoreJudge:
         mask = list(enc.get("attention_mask", [1] * len(ids)))
         return ids, mask
 
-    def preprocess_frames(self, frames) -> "np.ndarray":
-        """uint8 RGB frames -> Idefics2-normalized fp32 (N, H', W', 3).
+    def preprocess_frames(self, frames):
+        """uint8 RGB frames -> (pixel_values, pixel_attention_mask).
 
-        Matches the Idefics2 image processor: PIL bilinear resize to
-        (longest<=980, shortest>=378), rescale 1/255, normalize with
-        mean=std=0.5 (IMAGENET_STANDARD, not the InternVL ImageNet stats).
-        All frames of one clip share a source size, so the batch pad /
-        pixel-attention-mask path of the processor is a no-op here."""
+        Matches the Idefics2 image processor exactly (order matters):
+        ``do_image_splitting`` first crops each NATIVE-size frame into
+        4 quadrants + the original (``split_image``: integer-floor
+        midpoints), THEN every image is independently PIL-bilinear
+        resized to (longest<=980, shortest>=378), rescaled 1/255,
+        normalized with mean=std=0.5 (IMAGENET_STANDARD), and finally
+        zero-padded bottom/right to the batch max with a pixel
+        attention mask (``pad``) — pinned pixel-exact against the
+        installed ``Idefics2ImageProcessor`` for both flag values in
+        ``tests/test_videoscore.py``.
+
+        Returns ``(pix (N, H', W', 3) fp32, mask (N, H', W') int32)``;
+        mask is None when every image lands on one shape (the
+        splitting-off video path: all frames share a source size), which
+        keeps the model on the fast unmasked kernels."""
         from PIL import Image
 
-        out = []
+        imgs = []
         for f in frames:
-            h, w = idefics2_resize_shape(f.shape[0], f.shape[1],
+            if self.do_image_splitting:
+                mh, mw = f.shape[0] // 2, f.shape[1] // 2
+                imgs.extend([f[:mh, :mw], f[:mh, mw:], f[mh:, :mw],
+                             f[mh:, mw:], f])
+            else:
+                imgs.append(f)
+        resized = []
+        for img in imgs:
+            h, w = idefics2_resize_shape(img.shape[0], img.shape[1],
                                          self.resize_shortest,
                                          self.resize_longest)
-            img = f
-            if (h, w) != f.shape[:2]:
-                img = np.asarray(Image.fromarray(f).resize(
+            if (h, w) != img.shape[:2]:
+                img = np.asarray(Image.fromarray(img).resize(
                     (w, h), Image.BILINEAR))
-            if self.do_image_splitting:
-                mh, mw = img.shape[0] // 2, img.shape[1] // 2
-                crops = [img[:mh, :mw], img[:mh, mw:], img[mh:, :mw],
-                         img[mh:, mw:], img]
-                # crops differ in size; resize each to the full frame's
-                # shape so they stack (the vision tower is resolution-
-                # bucketized, so same-size inputs are required per batch)
-                crops = [np.asarray(Image.fromarray(c).resize(
-                    (w, h), Image.BILINEAR)) if c.shape[:2] != (h, w) else c
-                    for c in crops]
-                out.extend(crops)
-            else:
-                out.append(img)
-        pix = np.stack(out).astype(np.float32) / 255.0
-        return (pix - 0.5) / 0.5
+            resized.append(((np.asarray(img, np.float32) / 255.0)
+                            - 0.5) / 0.5)
+        hmax = max(r.shape[0] for r in resized)
+        wmax = max(r.shape[1] for r in resized)
+        if all(r.shape[:2] == (hmax, wmax) for r in resized):
+            return np.stack(resized), None
+        pix = np.zeros((len(resized), hmax, wmax, 3), np.float32)
+        mask = np.zeros((len(resized), hmax, wmax), np.int32)
+        for i, r in enumerate(resized):
+            pix[i, :r.shape[0], :r.shape[1]] = r
+            mask[i, :r.shape[0], :r.shape[1]] = 1
+        return pix, mask
 
-    def score_frames(self, pixel_values, input_ids, attention_mask):
-        """(N_frames, H, W, 3) fp32 + tokenized prompt -> per-dim scores."""
+    def score_frames(self, pixel_values, input_ids, attention_mask,
+                     pixel_attention_mask=None):
+        """(N_images, H, W, 3) fp32 + tokenized prompt -> per-dim scores.
+
+        The token sequence is right-padded to a bucketed length with the
+        text pad id (mask 0), so distinct caption lengths share compiled
+        executables; the pooling index is the last NON-pad token either
+        way (``videoscore_forward``), so padding cannot move it."""
         import jax.numpy as jnp
+
+        from .scorer import round_to_bucket
 
         ids = np.asarray(input_ids, np.int32)
         n_img = int((ids == self.cfg.image_token_id).sum())
@@ -1407,11 +1432,21 @@ class VideoScoreJudge:
                 f"frames produce {expected} image embeddings — the vision "
                 "embeds would silently never scatter (text-only scoring); "
                 "check the tokenizer's <image> special token / image_seq_len")
-        logits = self._jitted(pixel_values.shape[0], ids.shape[-1])(
+        mask = np.asarray(attention_mask, np.int32)
+        T = ids.shape[-1]
+        Tb = round_to_bucket(T, self.buckets)
+        if Tb != T:
+            pad_id = self.cfg.text.pad_token_id or 0
+            ids = np.pad(ids, ((0, 0), (0, Tb - T)),
+                         constant_values=pad_id)
+            mask = np.pad(mask, ((0, 0), (0, Tb - T)))
+        logits = self._fwd(
             self.params,
             jnp.asarray(pixel_values, self.dtype),
             jnp.asarray(ids),
-            jnp.asarray(attention_mask, jnp.int32),
+            jnp.asarray(mask),
+            None if pixel_attention_mask is None
+            else jnp.asarray(pixel_attention_mask, jnp.int32),
         )
         return np.asarray(logits, np.float32)[0]
 
@@ -1426,23 +1461,33 @@ class VideoScoreJudge:
         n, _ = video_metadata(video_path)
         idx = videoscore_frame_indices(n, self.num_frames)
         frames = decode_frames(video_path, idx)
-        pix = self.preprocess_frames(frames)
+        pix, pix_mask = self.preprocess_frames(frames)
         prompt = videoscore_prompt(caption, len(frames))
         ids, mask = self.tokenize(prompt)
         return self.aggregate(self.score_frames(
-            pix, np.asarray([ids], np.int32), np.asarray([mask], np.int32)))
+            pix, np.asarray([ids], np.int32), np.asarray([mask], np.int32),
+            pixel_attention_mask=pix_mask))
 
 
-def run_overall_videoscore_benchmark(
-    judge: VideoScoreJudge,
+def _overall_pair_driver(
+    score_pair: Callable[[str, str, str], Dict],
     records: Iterable[Dict],
     root: str = "",
     results_path: Optional[str] = None,
+    skip_undecided: bool = False,
 ) -> Dict[str, float]:
-    """MJ-BENCH-VIDEO overall preference via VideoScore
-    (``eval_overall_videoscore.py:119-155``): skip undecided pairs
-    ('Same'/'Hard to judge', ``:129-131``), score both videos with the
-    caption as the regression prompt, compare summed scores."""
+    """Shared MJ-BENCH-VIDEO overall-preference driver: incremental write,
+    resume, torn-line-safe merge (``iter_jsonl`` — a crashed prior run can
+    leave a truncated final line; a bare json.loads here would throw away
+    the finished run at its very last step), and the leaderboard's
+    strict / tie-aware metric pair.
+
+    ``score_pair(path0, path1, caption) -> dict`` with at least
+    ``score_0``/``score_1``; extra keys (raw judge responses) persist
+    into the results JSONL.  ``skip_undecided``: never score
+    'Same'/'Hard to judge' pairs at all (the VideoScore reference's
+    behavior, ``eval_overall_videoscore.py:129-131``) vs scoring them
+    and masking in the metrics (the RATING judges' behavior)."""
     from ..data.labels import deal_preference
     from .metrics import preference_accuracy, strict_and_tie_aware
     from .preference import IncrementalWriter, iter_jsonl
@@ -1451,18 +1496,17 @@ def run_overall_videoscore_benchmark(
     s0s, s1s, prefs, masks = [], [], [], []
     for i, item in enumerate(records):
         pref, mask = deal_preference(item["overall_preference"], overall=True)
-        if mask[0] == 0:
-            continue  # the reference never scores undecided pairs
+        if skip_undecided and mask[0] == 0:
+            continue
         if writer.seen(i):
             continue
-        s0 = judge.score(os.path.join(root, item["video_0_path"]),
+        rec = score_pair(os.path.join(root, item["video_0_path"]),
+                         os.path.join(root, item["video_1_path"]),
                          item["caption"])
-        s1 = judge.score(os.path.join(root, item["video_1_path"]),
-                         item["caption"])
-        writer.write({"id": i, "score_0": s0, "score_1": s1,
-                      "preference": pref[0], "mask": mask[0]})
-        s0s.append(s0)
-        s1s.append(s1)
+        writer.write({"id": i, "preference": pref[0], "mask": mask[0],
+                      **rec})
+        s0s.append(rec["score_0"])
+        s1s.append(rec["score_1"])
         prefs.append(pref[0])
         masks.append(mask[0])
     if results_path and os.path.exists(results_path):
@@ -1483,6 +1527,25 @@ def run_overall_videoscore_benchmark(
     res.update(strict=sta["strict"], tie_aware=sta["tie_aware"],
                ties=sta["ties"])
     return res
+
+
+def run_overall_videoscore_benchmark(
+    judge: VideoScoreJudge,
+    records: Iterable[Dict],
+    root: str = "",
+    results_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """MJ-BENCH-VIDEO overall preference via VideoScore
+    (``eval_overall_videoscore.py:119-155``): skip undecided pairs
+    ('Same'/'Hard to judge', ``:129-131``), score both videos with the
+    caption as the regression prompt, compare summed scores."""
+    def score_pair(p0, p1, caption):
+        return {"score_0": judge.score(p0, caption),
+                "score_1": judge.score(p1, caption)}
+
+    return _overall_pair_driver(score_pair, records, root=root,
+                                results_path=results_path,
+                                skip_undecided=True)
 
 
 def run_genai_videoscore_benchmark(
@@ -1543,53 +1606,10 @@ def run_overall_benchmark(
 ) -> Dict[str, float]:
     """Rating-based pairwise preference accuracy for a baseline judge
     (``process_overall_file``, ``eval_overall_internvl2_2b.py:82-116``)."""
-    from ..data.labels import deal_preference
-    from .metrics import preference_accuracy, strict_and_tie_aware
-    from .preference import IncrementalWriter
+    def score_pair(p0, p1, caption):
+        s0, s1, r0, r1 = judge_pair(judge, p0, p1, caption)
+        return {"score_0": s0, "score_1": s1,
+                "response_0": r0, "response_1": r1}
 
-    writer = IncrementalWriter(results_path)
-    s0s, s1s, prefs, masks = [], [], [], []
-    for i, item in enumerate(records):
-        if writer.seen(i):
-            continue
-        s0, s1, r0, r1 = judge_pair(
-            judge,
-            os.path.join(root, item["video_0_path"]),
-            os.path.join(root, item["video_1_path"]),
-            item["caption"],
-        )
-        pref, mask = deal_preference(item["overall_preference"], overall=True)
-        writer.write({
-            "id": i, "score_0": s0, "score_1": s1,
-            "preference": pref[0], "mask": mask[0],
-            "response_0": r0, "response_1": r1,
-        })
-        s0s.append(s0)
-        s1s.append(s1)
-        prefs.append(pref[0])
-        masks.append(mask[0])
-    # merge resumed results; with results_path=None the in-memory lists hold
-    # everything scored above.  iter_jsonl (not bare json.loads): a crashed
-    # prior run can leave a truncated final line, which the resume pass above
-    # already tolerated by re-scoring the torn item — a bare loads here would
-    # throw away the finished run at its very last step.
-    if results_path and os.path.exists(results_path):
-        from .preference import iter_jsonl
-
-        s0s, s1s, prefs, masks = [], [], [], []
-        for r in iter_jsonl(results_path):
-            s0s.append(r["score_0"])
-            s1s.append(r["score_1"])
-            prefs.append(r["preference"])
-            masks.append(r["mask"])
-    res = preference_accuracy(
-        np.asarray(s0s, np.float64), np.asarray(s1s, np.float64),
-        np.asarray(prefs), np.asarray(masks),
-    )
-    # the leaderboard's two columns (README.md:166-168)
-    sta = strict_and_tie_aware(
-        np.asarray(s0s, np.float64), np.asarray(s1s, np.float64),
-        np.asarray(prefs), np.asarray(masks))
-    res.update(strict=sta["strict"], tie_aware=sta["tie_aware"],
-               ties=sta["ties"])
-    return res
+    return _overall_pair_driver(score_pair, records, root=root,
+                                results_path=results_path)

@@ -217,21 +217,65 @@ def _bucket_position_ids(gh: int, gw: int, side: int):
     return (bh[:, None] * side + bw[None, :]).reshape(-1)
 
 
+def masked_position_ids(patch_mask: jnp.ndarray, side: int) -> jnp.ndarray:
+    """Per-image bucketized position ids for bottom/right-padded images
+    (transformers ``Idefics2VisionEmbeddings.forward``): each image's
+    valid (nb_h, nb_w) patch grid maps through fractional coordinates
+    ``i / nb * (1 - 1e-6)`` into the ``side x side`` learned grid
+    (``torch.bucketize(right=True)`` over ``arange(1/side, 1, 1/side)``
+    == ``floor(frac * side)``); padded positions read embedding 0, whose
+    contribution the attention mask then discards."""
+    N, gh, gw = patch_mask.shape
+    nb_h = patch_mask[:, :, 0].sum(axis=1)  # (N,) valid rows
+    nb_w = patch_mask[:, 0, :].sum(axis=1)  # (N,) valid cols
+    hi = jnp.arange(gh, dtype=jnp.float32)
+    wi = jnp.arange(gw, dtype=jnp.float32)
+    bh = jnp.floor(hi[None] / jnp.maximum(nb_h[:, None], 1)
+                   * (1 - 1e-6) * side).astype(jnp.int32)  # (N, gh)
+    bw = jnp.floor(wi[None] / jnp.maximum(nb_w[:, None], 1)
+                   * (1 - 1e-6) * side).astype(jnp.int32)  # (N, gw)
+    pos = bh[:, :, None] * side + bw[:, None, :]  # (N, gh, gw)
+    return jnp.where(patch_mask, pos, 0).reshape(N, gh * gw)
+
+
 def vision_forward(p, cfg: SigLIPVisionConfig, pixel_values: jnp.ndarray,
-                   remat: bool = False, attn_impl: str = "auto") -> jnp.ndarray:
+                   remat: bool = False, attn_impl: str = "auto",
+                   patch_attention_mask: Optional[jnp.ndarray] = None,
+                   ) -> jnp.ndarray:
     """SigLIP tower: patch conv, bucketized pos embeds, pre-LN blocks with
     gelu_tanh MLP, final post_layernorm.
 
-    Assumes full (unpadded) square images — the VideoScore preprocessing
-    resizes frames to the model resolution, so the variable-aspect
-    patch_attention_mask path never activates (all-ones mask).
+    ``patch_attention_mask``: (N, gh, gw) bool/int, 1 = real patch — the
+    variable-aspect path (``do_image_splitting`` / mixed-size batches pad
+    bottom/right to a common shape).  None = every patch real (frames
+    resized to one shape), which skips the masked kernels entirely.
+    Hidden states AT padded positions are garbage-by-construction exactly
+    as in transformers; the connector's cross-attention mask discards
+    them (``connector_forward(context_mask=...)``).
     """
-    x = patch_embed(p["patch_embedding"], pixel_values, cfg.patch_size)
-    gh = pixel_values.shape[1] // cfg.patch_size
-    gw = pixel_values.shape[2] // cfg.patch_size
+    P = cfg.patch_size
+    gh = pixel_values.shape[1] // P
+    gw = pixel_values.shape[2] // P
+    if (gh * P, gw * P) != pixel_values.shape[1:3]:
+        # torch Conv2d(kernel=stride=P) silently drops trailing rows/cols
+        # that don't fill a whole patch (Idefics2 resize output sizes are
+        # NOT patch-multiples in general: 1920x1080 -> 551x980); the
+        # reshape-as-matmul patchify needs that crop to be explicit.
+        pixel_values = pixel_values[:, :gh * P, :gw * P]
+    x = patch_embed(p["patch_embedding"], pixel_values, P)
     side = cfg.image_size // cfg.patch_size
-    pos_ids = _bucket_position_ids(gh, gw, side)
-    x = x + p["position_embedding"][jnp.asarray(pos_ids)][None].astype(x.dtype)
+    kv_mask = None
+    if patch_attention_mask is not None:
+        pos_ids = masked_position_ids(
+            patch_attention_mask.astype(jnp.int32), side)
+        x = x + jnp.take(p["position_embedding"], pos_ids,
+                         axis=0).astype(x.dtype)
+        kv_mask = patch_attention_mask.reshape(
+            patch_attention_mask.shape[0], gh * gw).astype(jnp.int32)
+    else:
+        pos_ids = _bucket_position_ids(gh, gw, side)
+        x = x + p["position_embedding"][jnp.asarray(pos_ids)][None].astype(
+            x.dtype)
 
     H, D = cfg.num_attention_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
@@ -243,8 +287,8 @@ def vision_forward(p, cfg: SigLIPVisionConfig, pixel_values: jnp.ndarray,
         q = (dot(h, lp["q"]["kernel"]) + lp["q"]["bias"]).reshape(B, S, H, D)
         k = (dot(h, lp["k"]["kernel"]) + lp["k"]["bias"]).reshape(B, S, H, D)
         v = (dot(h, lp["v"]["kernel"]) + lp["v"]["bias"]).reshape(B, S, H, D)
-        attn = multi_head_attention(q, k, v, causal=False,
-                                    impl=attn_impl).reshape(B, S, C)
+        attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl,
+                                    attention_mask=kv_mask).reshape(B, S, C)
         x = x + dot(attn, lp["o"]["kernel"]) + lp["o"]["bias"]
         h = layer_norm(x, lp["ln2"]["weight"], lp["ln2"]["bias"], eps=eps)
         h = dot(h, lp["fc1"]["kernel"]) + lp["fc1"]["bias"]
@@ -261,11 +305,17 @@ def vision_forward(p, cfg: SigLIPVisionConfig, pixel_values: jnp.ndarray,
 
 
 def connector_forward(p, cfg: PerceiverConfig, vision_hidden: jnp.ndarray,
-                      eps_override: Optional[float] = None) -> jnp.ndarray:
+                      eps_override: Optional[float] = None,
+                      context_mask: Optional[jnp.ndarray] = None,
+                      ) -> jnp.ndarray:
     """Modality projection + perceiver resampler.
 
     vision_hidden: (N_images, S, C_text-after-projection-input) — projected
     to the text width, then compressed to ``n_latents`` tokens per image.
+    ``context_mask``: (N_images, S) 1 = real patch (transformers
+    ``Idefics2PerceiverResampler.forward`` concatenates the patch mask
+    with all-ones latent positions) — how padded-patch garbage from the
+    masked vision tower is kept out of the latents.
     """
     eps = eps_override or cfg.rms_norm_eps
     x = _mlp_silu(p["modality_projection"], vision_hidden)
@@ -275,6 +325,11 @@ def connector_forward(p, cfg: PerceiverConfig, vision_hidden: jnp.ndarray,
     ).astype(x.dtype)
 
     Hq, Hkv, D = cfg.n_heads, cfg.num_key_value_heads, cfg.head_dim
+    kv_mask = None
+    if context_mask is not None:
+        kv_mask = jnp.concatenate(
+            [context_mask.astype(jnp.int32),
+             jnp.ones((B, p["latents"].shape[0]), jnp.int32)], axis=1)
 
     def layer(latents, lp):
         ln_lat = rms_norm(latents, lp["ln_latents"]["weight"], eps=eps)
@@ -284,7 +339,8 @@ def connector_forward(p, cfg: PerceiverConfig, vision_hidden: jnp.ndarray,
         q = dot(ln_lat, lp["q"]["kernel"]).reshape(B, nq, Hq, D)
         k = dot(kv_in, lp["k"]["kernel"]).reshape(B, nkv, Hkv, D)
         v = dot(kv_in, lp["v"]["kernel"]).reshape(B, nkv, Hkv, D)
-        attn = multi_head_attention(q, k, v, causal=False, impl="xla")
+        attn = multi_head_attention(q, k, v, causal=False, impl="xla",
+                                    attention_mask=kv_mask)
         latents = latents + dot(attn.reshape(B, nq, Hq * D),
                                 lp["o"]["kernel"])
         h = rms_norm(latents, lp["ln_post"]["weight"], eps=eps)
@@ -302,14 +358,33 @@ def videoscore_forward(
     input_ids: jnp.ndarray,  # (B, T) with image_token_id runs
     attention_mask: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
+    pixel_attention_mask: Optional[jnp.ndarray] = None,  # (N, H, W)
 ) -> jnp.ndarray:
     """Full Idefics2 forward -> (B, num_labels) regression logits.
 
     VideoScore semantics (``eval_genai_videoScore.py``): the 5 aspect scores
     come out of one forward; callers sum them (``VideoScoreJudge.aggregate``).
+    ``pixel_attention_mask`` (1 = real pixel, bottom/right zero padding)
+    activates the variable-aspect path: the patch mask is its patch-grid
+    any-pool (transformers ``Idefics2Model.forward`` unfold+sum>0), masking
+    vision self-attention, position-id bucketing, and the perceiver's
+    cross-attention context.
     """
-    vis = vision_forward(params["vision_model"], cfg.vision, pixel_values)
-    img_tokens = connector_forward(params["connector"], cfg.perceiver, vis)
+    patch_mask = ctx_mask = None
+    if pixel_attention_mask is not None:
+        P = cfg.vision.patch_size
+        N, Hp, Wp = pixel_attention_mask.shape
+        gh, gw = Hp // P, Wp // P
+        # crop to whole patches exactly as the vision tower's patchify does
+        # (transformers pools the mask with unfold(step=P), which floors)
+        grid = pixel_attention_mask[:, :gh * P, :gw * P].reshape(
+            N, gh, P, gw, P)
+        patch_mask = grid.sum(axis=(2, 4)) > 0  # (N, gh, gw)
+        ctx_mask = patch_mask.reshape(N, -1)
+    vis = vision_forward(params["vision_model"], cfg.vision, pixel_values,
+                         patch_attention_mask=patch_mask)
+    img_tokens = connector_forward(params["connector"], cfg.perceiver, vis,
+                                   context_mask=ctx_mask)
 
     embeds = dec.embed_tokens(params["text"], input_ids)
     embeds = scatter_image_embeds(

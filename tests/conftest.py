@@ -58,6 +58,10 @@ SLOW_MODULES = {
     "test_full_parity",     # full torch-oracle reward model
     "test_kv_quant",
 }
+# Tests that live in a SLOW_MODULE (or are listed in SLOW_TESTS) but are
+# themselves cheap (<~1 s) and guard pure wiring — the fast gate still runs
+# them.  Currently empty; the mechanism exists so the recipe above works.
+FAST_EXCEPTIONS = set()
 SLOW_TESTS = {
     "test_phi3_decoder_matches_transformers",
     "test_reward_checkpoint_roundtrip_preserves_forward",
@@ -96,5 +100,7 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
         name = item.name.split("[")[0]
+        if name in FAST_EXCEPTIONS:
+            continue
         if mod in SLOW_MODULES or name in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)

@@ -386,5 +386,6 @@ def test_reproduce_script_hermetic_dry_run(tmp_path):
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     assert "HERMETIC_OK" in r.stdout
     # every table family produced a metrics JSON
-    for part in ("aspects_mjvideo", "overall_mjvideo", "overall_internvl"):
+    for part in ("aspects_mjvideo", "overall_mjvideo", "safesora_mjvideo",
+                 "overall_internvl"):
         assert f"== {part}" in r.stdout, r.stdout[-3000:]
