@@ -196,6 +196,95 @@ def import_videoscore_params(
     return params
 
 
+def init_videoscore_params(key, cfg: VideoScoreConfig, dtype=jnp.float32,
+                           num_labels: Optional[int] = None,
+                           subset: Optional[tuple] = None):
+    """Random-init params matching ``import_videoscore_params``'s tree
+    exactly (shape-pinned against the importer in tests) — for hermetic
+    tests and random-init on-chip benchmarks, like ``init_reward_params``.
+
+    Projection widths follow transformers' Idefics2: the modality
+    projection is an MLP vision_hidden -> text_intermediate -> text_hidden;
+    each perceiver layer's MLP runs at 4x the text width.
+
+    ``subset``: optional tuple of top-level keys to build (e.g.
+    ``("vision_model", "connector")``) — initializing the 7B Mistral text
+    tree is minutes of host-side threefry, so vision-only benchmarks skip
+    it."""
+    vc, pc, tc = cfg.vision, cfg.perceiver, cfg.text
+    ks = iter(jax.random.split(key, 32))
+
+    def dense(shape):
+        return (jax.random.normal(next(ks), shape) * 0.02).astype(dtype)
+
+    C, I, L = vc.hidden_size, vc.intermediate_size, vc.num_hidden_layers
+    side = vc.image_size // vc.patch_size
+    want = subset or ("vision_model", "connector", "text", "score")
+
+    def vision_tree(): return {
+        "patch_embedding": {
+            "kernel": dense((vc.patch_size * vc.patch_size * 3, C)),
+            "bias": jnp.zeros((C,), dtype),
+        },
+        "position_embedding": dense((side * side, C)),
+        "layers": {
+            "ln1": {"weight": jnp.ones((L, C), dtype),
+                    "bias": jnp.zeros((L, C), dtype)},
+            "ln2": {"weight": jnp.ones((L, C), dtype),
+                    "bias": jnp.zeros((L, C), dtype)},
+            "q": {"kernel": dense((L, C, C)), "bias": jnp.zeros((L, C), dtype)},
+            "k": {"kernel": dense((L, C, C)), "bias": jnp.zeros((L, C), dtype)},
+            "v": {"kernel": dense((L, C, C)), "bias": jnp.zeros((L, C), dtype)},
+            "o": {"kernel": dense((L, C, C)), "bias": jnp.zeros((L, C), dtype)},
+            "fc1": {"kernel": dense((L, C, I)),
+                    "bias": jnp.zeros((L, I), dtype)},
+            "fc2": {"kernel": dense((L, I, C)),
+                    "bias": jnp.zeros((L, C), dtype)},
+        },
+        "post_layernorm": {"weight": jnp.ones((C,), dtype),
+                           "bias": jnp.zeros((C,), dtype)},
+    }
+
+    Ct, It, d = tc.hidden_size, tc.intermediate_size, pc.depth
+    Ip = 4 * Ct  # transformers: Idefics2PerceiverLayer MLP = 4x text width
+
+    def connector_tree(): return {
+        "modality_projection": {
+            "gate": {"kernel": dense((C, It))},
+            "up": {"kernel": dense((C, It))},
+            "down": {"kernel": dense((It, Ct))},
+        },
+        "latents": dense((pc.n_latents, Ct)),
+        "layers": {
+            "ln_latents": {"weight": jnp.ones((d, Ct), dtype)},
+            "ln_context": {"weight": jnp.ones((d, Ct), dtype)},
+            "q": {"kernel": dense((d, Ct, pc.n_heads * pc.head_dim))},
+            "k": {"kernel": dense((d, Ct,
+                                   pc.num_key_value_heads * pc.head_dim))},
+            "v": {"kernel": dense((d, Ct,
+                                   pc.num_key_value_heads * pc.head_dim))},
+            "o": {"kernel": dense((d, pc.n_heads * pc.head_dim, Ct))},
+            "ln_post": {"weight": jnp.ones((d, Ct), dtype)},
+            "gate": {"kernel": dense((d, Ct, Ip))},
+            "up": {"kernel": dense((d, Ct, Ip))},
+            "down": {"kernel": dense((d, Ip, Ct))},
+        },
+        "norm": {"weight": jnp.ones((Ct,), dtype)},
+    }
+
+    from .decoder import init_decoder_params
+
+    builders = {
+        "vision_model": vision_tree,
+        "connector": connector_tree,
+        "text": lambda: init_decoder_params(next(ks), tc, dtype,
+                                            with_lm_head=False),
+        "score": lambda: {
+            "kernel": dense((Ct, num_labels or cfg.num_labels))},
+    }
+    return {k: builders[k]() for k in builders if k in want}
+
+
 def _mlp_silu(p, x):
     return dot(jax.nn.silu(dot(x, p["gate"]["kernel"]))
                * dot(x, p["up"]["kernel"]), p["down"]["kernel"])
@@ -382,6 +471,7 @@ def videoscore_forward(
         patch_mask = grid.sum(axis=(2, 4)) > 0  # (N, gh, gw)
         ctx_mask = patch_mask.reshape(N, -1)
     vis = vision_forward(params["vision_model"], cfg.vision, pixel_values,
+                         attn_impl=attn_impl,
                          patch_attention_mask=patch_mask)
     img_tokens = connector_forward(params["connector"], cfg.perceiver, vis,
                                    context_mask=ctx_mask)

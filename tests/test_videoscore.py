@@ -445,6 +445,39 @@ def test_videoscore_judge_guards_against_text_only_scoring(
         judge.score_frames(pix, np.asarray([ids]), np.asarray([mask]))
 
 
+def test_init_params_match_importer_tree(torch_model_and_cfg):
+    """init_videoscore_params must produce the exact pytree the safetensors
+    importer produces (same paths, same shapes) so random-init benchmarks
+    and hermetic tests exercise the real forward."""
+    import jax
+
+    from mjvideo_tpu.models.videoscore import init_videoscore_params
+
+    _, cfg, imported = torch_model_and_cfg
+    init = init_videoscore_params(jax.random.PRNGKey(0), cfg, num_labels=3)
+    imported = dict(imported)
+    imported["score"] = {"kernel": jnp.zeros((cfg.text.hidden_size, 3))}
+
+    want = jax.tree_util.tree_map_with_path(
+        lambda p, x: (jax.tree_util.keystr(p), x.shape), imported)
+    got = jax.tree_util.tree_map_with_path(
+        lambda p, x: (jax.tree_util.keystr(p), x.shape), init)
+    want = sorted(jax.tree_util.tree_leaves(want, is_leaf=lambda x:
+                                            isinstance(x, tuple)))
+    got = sorted(jax.tree_util.tree_leaves(got, is_leaf=lambda x:
+                                           isinstance(x, tuple)))
+    assert got == want
+
+    # and the forward runs on it
+    ids = np.full((1, cfg.perceiver.n_latents + 4), 5)
+    ids[:, 2:2 + cfg.perceiver.n_latents] = 127
+    out = videoscore_forward(
+        init, cfg, jnp.asarray(np.zeros((1, 56, 56, 3), np.float32)),
+        jnp.asarray(ids, jnp.int32),
+        jnp.asarray(np.ones_like(ids), jnp.int32), attn_impl="xla")
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_non_patch_multiple_images_match_torch_conv_floor(
         torch_model_and_cfg):
     """Idefics2 resize outputs are NOT patch multiples in general
