@@ -364,7 +364,10 @@ def _vision_block(cfg: Qwen2VLVisionConfig, p, x, cos, sin, attn_impl):
     s = sin[None, :, None, :]
     q = (qf * c + rotate_half(qf) * s).astype(x.dtype)
     k = (kf * c + rotate_half(kf) * s).astype(x.dtype)
-    attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl)
+    # Pre-LN block + norm-preserving rotary -> bounded q/k: safe for the
+    # nc kernel's Cauchy-Schwarz softmax bound (see models/vit.py).
+    attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl,
+                                norm_bound=True)
     attn = dot(attn.reshape(T, S, E), p["attn"]["proj"]["kernel"]) \
         + p["attn"]["proj"]["bias"]
     x = x + attn

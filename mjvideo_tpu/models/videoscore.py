@@ -376,8 +376,12 @@ def vision_forward(p, cfg: SigLIPVisionConfig, pixel_values: jnp.ndarray,
         q = (dot(h, lp["q"]["kernel"]) + lp["q"]["bias"]).reshape(B, S, H, D)
         k = (dot(h, lp["k"]["kernel"]) + lp["k"]["bias"]).reshape(B, S, H, D)
         v = (dot(h, lp["v"]["kernel"]) + lp["v"]["bias"]).reshape(B, S, H, D)
+        # Pre-LN SigLIP -> bounded q/k: the Cauchy-Schwarz softmax bound
+        # is safe on the unmasked nc path (see models/vit.py); the masked
+        # variable-aspect path takes the general kernel, where it's a no-op.
         attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl,
-                                    attention_mask=kv_mask).reshape(B, S, C)
+                                    attention_mask=kv_mask,
+                                    norm_bound=True).reshape(B, S, C)
         x = x + dot(attn, lp["o"]["kernel"]) + lp["o"]["bias"]
         h = layer_norm(x, lp["ln2"]["weight"], lp["ln2"]["bias"], eps=eps)
         h = dot(h, lp["fc1"]["kernel"]) + lp["fc1"]["bias"]

@@ -20,6 +20,8 @@ InternViT-6B (rms_norm + qk_norm), selected by config.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +29,9 @@ from ..configs import VisionConfig
 from ..ops.attention import multi_head_attention
 from ..ops.matmul import dot, gelu
 from ..ops.norms import layer_norm, rms_norm
+
+# Cauchy-Schwarz softmax bound on the nc flash kernel (see _block).
+_NC_BOUND = os.environ.get("MJV_NC_NORM_BOUND", "1") != "0"
 
 
 def _norm(cfg: VisionConfig, p, x):
@@ -186,8 +191,14 @@ def _block(cfg: VisionConfig, p, x: jnp.ndarray, attn_impl: str,
     q = q.reshape(B, S, H, D)
     k = k.reshape(B, S, H, D)
     v = v.reshape(B, S, H, D)
+    # norm_bound: both InternViT families normalize before the qkv
+    # projection (300M pre-LayerNorm; 6B pre-RMSNorm + QK-RMSNorm), so
+    # q/k magnitudes are bounded and the Cauchy-Schwarz softmax bound's
+    # gap sits ~7-11 nats (needs ~85 to degrade) — +9.1% kernel-level
+    # on v5e (benchmarks/vit_nc_bound_ab.py).  MJV_NC_NORM_BOUND=0
+    # restores the exact row max for A/Bs.
     attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl,
-                                kv_valid=seq_valid)
+                                kv_valid=seq_valid, norm_bound=_NC_BOUND)
     attn = attn.reshape(B, S, C)
     attn = dot(attn, p["attn"]["proj"]["kernel"]) + p["attn"]["proj"]["bias"]
     if rng is not None:

@@ -101,6 +101,7 @@ def multi_head_attention(
     scale: Optional[float] = None,
     impl: str = "auto",
     kv_valid: Optional[int] = None,
+    norm_bound: bool = False,
 ) -> jnp.ndarray:
     """Unified attention entry. q/k/v: (B, S, H, D) with Hkv <= Hq.
 
@@ -108,6 +109,9 @@ def multi_head_attention(
     ``kv_valid``: static count of real kv rows for pre-padded aligned
     sequences (rows beyond it must be zeroed in k/v); see
     ``flash_attention``.
+    ``norm_bound``: Cauchy-Schwarz softmax bound on the flash nc path
+    (see ``flash_attention``); a no-op for the XLA oracle and the other
+    kernel shapes.
 
     ``impl='auto'`` (measured on v5e, docs/PERF.md): the Pallas flash
     kernel wins both model shapes with per-shape block defaults — LLM
@@ -125,7 +129,7 @@ def multi_head_attention(
 
         return flash_attention(
             q, k, v, attention_mask=attention_mask, causal=causal,
-            scale=scale, kv_valid=kv_valid,
+            scale=scale, kv_valid=kv_valid, norm_bound=norm_bound,
         )
     if kv_valid is not None and attention_mask is None:
         attention_mask = kv_valid_mask(k.shape[0], k.shape[1], kv_valid)

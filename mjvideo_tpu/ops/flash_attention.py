@@ -97,7 +97,7 @@ def _pick_blocks(Q: int, K: int, causal: bool) -> tuple:
 # ------------------------------------------------ non-causal fast forward
 
 def _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                   *, scale, hp, kv_pad, with_lse):
+                   *, scale, hp, kv_pad, with_lse, norm_bound):
     """Whole-row non-causal attention, no padding mask (the ViT case:
     every tile token is real).  Direct softmax — no online-softmax state,
     no mask where(); ``hp`` heads per program amortize program dispatch.
@@ -108,21 +108,46 @@ def _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     only effect is ``kv_pad * exp(-m)`` extra mass in the denominator,
     subtracted analytically — an O(block_q) correction instead of an
     O(block_q * K) mask select.
+
+    ``norm_bound``: replace the exact per-row max of s with the
+    Cauchy-Schwarz upper bound ``m_i = scale * |q_i| * max_j |k_j|``
+    (round-3 'nomax' A/B: the O(block_q * Kp) row-max reduction and the
+    serialization it forces between the full s pass and the exp pass cost
+    ~10% of the kernel; the bound needs only O((block_q + Kp) * D) norm
+    reductions that pipeline with the s matmul).  Overflow-safe for ANY
+    inputs — ``s_ij <= m_i`` is an identity, not an assumption about
+    QK normalization.  The one trade: if a row's true max sits far below
+    its bound the exp mass shrinks by exp(m_true - m_i); softmax is
+    shift-invariant so the output is mathematically unchanged, degrading
+    only if l underflows fp32 (gap > ~85 nats — LayerNormed ViT
+    activations measure gap ~5-15), where the floor turns the row into ~0
+    output instead of NaN/Inf.  The emitted lse stays the TRUE logsumexp
+    either way, so the backward is bound-agnostic.
     """
     for h in range(hp):
         q = q_ref[0, h]
         k = k_ref[0, h]
         v = v_ref[0, h]
         s = _dot(q, k, trans_b=True) * scale  # (block_q, Kp) fp32
-        m = jnp.max(s, axis=-1, keepdims=True)
+        if norm_bound:
+            q32 = q.astype(jnp.float32)
+            k32 = k.astype(jnp.float32)
+            kmax = jnp.sqrt(jnp.max(jnp.sum(k32 * k32, axis=-1)))
+            m = jnp.sqrt(jnp.sum(q32 * q32, axis=-1, keepdims=True)) * (
+                kmax * abs(scale))
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         if kv_pad:
-            # Floor the corrected denominator: if every real score in a row
-            # sits ~21+ below the (pad-forced) max, the subtraction can
-            # cancel to exactly 0 in fp32 and acc/l would be NaN; with the
-            # floor the row degrades to ~0 output instead.
-            l = jnp.maximum(l - kv_pad * jnp.exp(-m), 1e-30)
+            l = l - kv_pad * jnp.exp(-m)
+        if kv_pad or norm_bound:
+            # Floor the denominator: the pad subtraction can cancel to
+            # exactly 0 in fp32 when every real score sits ~21+ below the
+            # (pad-forced) max, and a bound far above the true max can
+            # underflow every exp; either way acc/l would be NaN — with
+            # the floor the row degrades to ~0 output instead.
+            l = jnp.maximum(l, 1e-30)
         acc = _dot(p.astype(v.dtype), v)
         o_ref[0, h] = (acc / l).astype(o_ref.dtype)
         if with_lse:
@@ -134,10 +159,10 @@ def _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "heads_per_program", "interpret",
-                     "with_lse", "kv_valid"),
+                     "with_lse", "kv_valid", "norm_bound"),
 )
 def _fwd_nc_impl(q, k, v, scale, block_q, heads_per_program, interpret,
-                 with_lse, kv_valid=None):
+                 with_lse, kv_valid=None, norm_bound=False):
     """Specialized forward for non-causal, maskless MHA (ViT path).
 
     ``kv_valid``: static count of real kv rows; rows [kv_valid, K) MUST be
@@ -186,11 +211,12 @@ def _fwd_nc_impl(q, k, v, scale, block_q, heads_per_program, interpret,
 
     kernel = functools.partial(
         _fwd_nc_kernel, scale=scale, hp=hp, kv_pad=Kp - n_real,
-        with_lse=with_lse)
+        with_lse=with_lse, norm_bound=norm_bound)
     if not with_lse:
         def kernel(q_ref, k_ref, v_ref, o_ref):  # noqa: F811
             _fwd_nc_kernel(q_ref, k_ref, v_ref, o_ref, None, scale=scale,
-                           hp=hp, kv_pad=Kp - n_real, with_lse=False)
+                           hp=hp, kv_pad=Kp - n_real, with_lse=False,
+                           norm_bound=norm_bound)
 
     out_shapes = [jax.ShapeDtypeStruct((B, H, Qp, D), q.dtype)]
     out_specs = [pl.BlockSpec((1, hp, block_q, D),
@@ -292,11 +318,12 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv", "interpret",
-                     "with_lse", "heads_per_program", "kv_valid"),
+                     "with_lse", "heads_per_program", "kv_valid",
+                     "norm_bound"),
 )
 def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
               block_kv, interpret, with_lse, heads_per_program=None,
-              kv_valid=None):
+              kv_valid=None, norm_bound=False):
     """Returns out (B, Q, Hq, D) [and lse (B, Hq, 8, Qp) if with_lse].
 
     ``q_offset``: global sequence position of q row 0 — nonzero only under
@@ -316,7 +343,8 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
     if (not causal and attention_mask is None and q_offset is None
             and G == 1 and _round_up(K, 8) <= 4096):
         return _fwd_nc_impl(q, k, v, scale, block_q, heads_per_program,
-                            interpret, with_lse, kv_valid=kv_valid)
+                            interpret, with_lse, kv_valid=kv_valid,
+                            norm_bound=norm_bound)
     if kv_valid is not None and attention_mask is None:
         # Non-nc shapes take the declared-valid tail as an ordinary mask.
         from .attention import kv_valid_mask
@@ -659,29 +687,33 @@ def _xla_reference(q, k, v, attention_mask, causal, scale):
     return attention_xla(q, k, v, bias=bias, scale=scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_attention(q, k, v, attention_mask, q_offset, causal, scale,
-                     block_q, block_kv, kv_valid):
+                     block_q, block_kv, kv_valid, norm_bound):
     interpret = jax.default_backend() != "tpu"
     return _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale,
-                     block_q, block_kv, interpret, False, kv_valid=kv_valid)
+                     block_q, block_kv, interpret, False, kv_valid=kv_valid,
+                     norm_bound=norm_bound)
 
 
 def _vjp_fwd(q, k, v, attention_mask, q_offset, causal, scale,
-             block_q, block_kv, kv_valid):
+             block_q, block_kv, kv_valid, norm_bound):
     interpret = jax.default_backend() != "tpu"
     if interpret and q_offset is None:
         # Interpret-mode backward goes through the XLA formulation; no LSE.
         out = _fwd_impl(q, k, v, attention_mask, None, causal, scale,
-                        block_q, block_kv, True, False, kv_valid=kv_valid)
+                        block_q, block_kv, True, False, kv_valid=kv_valid,
+                        norm_bound=norm_bound)
         return out, (q, k, v, attention_mask, None, None, None)
+    # The emitted lse is the TRUE logsumexp regardless of norm_bound, so
+    # the backward kernels need no bound plumbing.
     out, lse = _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale,
                          block_q, block_kv, interpret, True,
-                         kv_valid=kv_valid)
+                         kv_valid=kv_valid, norm_bound=norm_bound)
     return out, (q, k, v, attention_mask, q_offset, out, lse)
 
 
-def _vjp_bwd(causal, scale, block_q, block_kv, kv_valid, res, g):
+def _vjp_bwd(causal, scale, block_q, block_kv, kv_valid, norm_bound, res, g):
     q, k, v, attention_mask, q_offset, out, lse = res
     if kv_valid is not None and attention_mask is None:
         # The forward subtracted the declared-zero tail analytically; the
@@ -722,6 +754,7 @@ def flash_attention(
     block_kv: Optional[int] = None,
     q_offset: Optional[jnp.ndarray] = None,
     kv_valid: Optional[int] = None,
+    norm_bound: bool = False,
 ) -> jnp.ndarray:
     """Blockwise flash attention. q: (B, Q, Hq, D); k/v: (B, K, Hkv, D).
 
@@ -737,10 +770,14 @@ def flash_attention(
     Differentiable: on TPU the backward runs the Pallas dK/dV + dQ kernels;
     elsewhere it falls back to the exact XLA recompute (Pallas interpret
     kernels when q_offset is set).
+    ``norm_bound``: on the non-causal maskless (ViT) path, replace the
+    per-row softmax max with the Cauchy-Schwarz bound (see
+    ``_fwd_nc_kernel``) — mathematically identical output, ~O(block_q*K)
+    less VPU work per program.  Ignored by the other kernels.
     """
     return _flash_attention(
         q, k, v, attention_mask, q_offset, causal, scale, block_q, block_kv,
-        kv_valid,
+        kv_valid, norm_bound,
     )
 
 

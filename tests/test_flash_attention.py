@@ -171,6 +171,55 @@ def test_nc_maskless_kernel_matches_xla(S, H, hp):
     )
 
 
+def test_nc_norm_bound_matches_xla_and_degrades_gracefully():
+    """``norm_bound=True`` (Cauchy-Schwarz softmax bound instead of the
+    per-row max — docs/PERF.md round 4) must (a) match XLA at normalized
+    activation scales, (b) keep kv_valid semantics, (c) keep the TRUE
+    logsumexp so the backward is bound-agnostic, and (d) stay finite —
+    never NaN — at absurd scales where the exp mass underflows."""
+    from mjvideo_tpu.ops.flash_attention import (
+        _fwd_impl,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    B, S, H, D = 2, 67, 4, 64
+    q = _rand(rng, (B, S, H, D))
+    k = _rand(rng, (B, S, H, D))
+    v = _rand(rng, (B, S, H, D))
+    ref = multi_head_attention(q, k, v, causal=False, impl="xla")
+    got = flash_attention(q, k, v, causal=False, norm_bound=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # (b) kv_valid pad correction composes with the bound
+    Sp = 72
+    row_ok = (jnp.arange(Sp) < S).astype(q.dtype)[None, :, None, None]
+    qp = _rand(rng, (B, Sp, H, D))
+    got_pad = flash_attention(qp, jnp.pad(k, ((0, 0), (0, Sp - S), (0, 0),
+                                              (0, 0))) * row_ok,
+                              jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0),
+                                          (0, 0))) * row_ok,
+                              causal=False, kv_valid=S, norm_bound=True)
+    ref_pad = multi_head_attention(qp, k, v, causal=False, impl="xla")
+    np.testing.assert_allclose(np.asarray(got_pad), np.asarray(ref_pad),
+                               atol=2e-5)
+
+    # (c) lse is the true logsumexp (shift-invariance), so gradients run
+    # through the unchanged backward kernels
+    _, lse = _fwd_impl(q, k, v, None, None, False, None, None, None,
+                       True, True, norm_bound=True)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   precision=jax.lax.Precision.HIGHEST) * (D ** -0.5)
+    lse_ref = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse[:, :, 0, :S]),
+                               np.asarray(lse_ref), atol=2e-4)
+
+    # (d) graceful degradation: 30x-scale inputs push the bound gap past
+    # the fp32 underflow threshold — rows may go to ~0 but never NaN/Inf
+    wild = flash_attention(q * 30, k * 30, v, causal=False, norm_bound=True)
+    assert bool(jnp.isfinite(wild).all())
+
+
 def test_kv_valid_matches_unpadded_reference():
     """``kv_valid`` (caller pre-pads to an aligned length, zeroes the dead
     k/v tail) must reproduce the unpadded forward AND gradients on the real
