@@ -19,6 +19,7 @@ select (``modeling_internvl_chat.py:125-130``).  TPU-first design:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -29,6 +30,23 @@ from ..ops.attention import multi_head_attention
 from ..ops.matmul import dot, dot_f32
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_tables
+
+# Cauchy-Schwarz softmax bound in the causal flash kernel (collapses the
+# online softmax — _fwd_bound_kernel): +10.6% kernel-level at the reward
+# prefill shape, +5.6% at the ragged train batch, bound gap 16-18 of the
+# ~85-nat fp32 budget (benchmarks/llm_bound_ab.py, v5e round 4).  Decoder
+# q/k are RMSNorm-fed like the adopting vision towers (vit.py _NC_BOUND);
+# MJV_LLM_NORM_BOUND=0 restores the exact online row max for A/Bs.
+#
+# Deliberately NOT enabled in the judges' cached decode paths
+# (generate._layer_with_cache, cogvlm2's cache layer): the bound's kmax is
+# computed over ALL unmasked keys, so a prefix-only prefill (kmax over the
+# prefix key set) and a full-prompt prefill (kmax over every prompt key)
+# shift each prefix row's softmax by different m — mathematically identical
+# but rounded differently, perturbing the cached prefix k/v at ulp level
+# and reopening the greedy-tie caveat the prefix-flash work closed
+# (docs/PARITY.md prefix caching; benchmarks/prefix_flash_identity_tpu.py).
+_LLM_BOUND = os.environ.get("MJV_LLM_NORM_BOUND", "1") != "0"
 
 
 def init_decoder_params(key, cfg: LLMConfig, dtype=jnp.float32,
@@ -108,7 +126,7 @@ def _decoder_layer(cfg: LLMConfig, p, x, attention_mask, cos, sin,
     else:
         attn = multi_head_attention(
             q, k, v, attention_mask=attention_mask, causal=True,
-            impl=attn_impl
+            impl=attn_impl, norm_bound=_LLM_BOUND,
         )
     x = x + _dense(p["attention"]["wo"], attn.reshape(B, S, Hq * D))
 

@@ -315,6 +315,87 @@ def _fwd_kernel(
                                              (8, block_q))
 
 
+def _fwd_bound_kernel(
+    off_ref,   # SMEM (B, 1) int32: global position of q row 0
+    kmax_ref,  # SMEM (B, Hq) fp32: max valid kv-row L2 norm per (b, head)
+    q_ref, k_ref, v_ref, mask_ref,
+    o_ref, lse_ref,
+    acc_ref, l_ref,  # VMEM scratch — NO m scratch: the bound is constant
+    *, scale, causal, block_q, block_kv, with_lse,
+):
+    """Causal/masked forward under the Cauchy-Schwarz softmax bound.
+
+    ``m_i = |scale| * |q_i| * max_j |k_j|`` is an identity upper bound on
+    every score in row i (``s_ij = scale * q_i . k_j <= m_i`` for ANY
+    q/k), and — unlike the true row max — it is CONSTANT across kv
+    blocks.  The online softmax therefore collapses to a plain
+    accumulation: no per-block O(block_q*block_kv) row-max reduce, no
+    ``alpha`` rescale of the O(block_q*D) accumulator, no m/l scratch
+    read-modify-write, and no serialization between the s matmul and the
+    exp pass (the bound needs only O(block_q*D) q norms that pipeline
+    with the matmul; ``kmax`` is one XLA reduce outside the kernel).
+
+    Numerics are identical to the exact-max kernel up to softmax shift
+    invariance.  The one trade (same as ``_fwd_nc_kernel``): a row whose
+    true max sits ~85+ nats below its bound underflows every exp and the
+    row degrades to ~0 output / DEAD_LSE instead of NaN — measured gaps
+    on RMSNorm-fed decoder q/k are single-digit nats
+    (benchmarks/llm_bound_ab.py).  The emitted lse is the TRUE logsumexp
+    (shift invariance), so the backward kernels are bound-agnostic.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+    off = off_ref[b, 0]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    run = (off + (qi + 1) * block_q > ki * block_kv) if causal else True
+
+    def _bound(q32):
+        qn = jnp.sqrt(jnp.sum(q32 * q32, axis=-1, keepdims=True))
+        return qn * (kmax_ref[b, h] * abs(scale))
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        m = _bound(q.astype(jnp.float32))  # (block_q, 1), block-invariant
+        s = _dot(q, k, trans_b=True) * scale
+        if causal:
+            q_pos = off + qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            k_pos = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
+            s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        mk = mask_ref[0, 0]
+        s = jnp.where(mk[None, :] != 0, s, NEG_INF)
+        p = jnp.exp(s - m)  # masked entries: exp(NEG_INF - m) == 0 exactly
+        l_ref[:, :1] = l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] + _dot(p.astype(v.dtype), v)
+
+    @pl.when(ki == n_kv - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        # l == 0 <=> every score was masked (or the whole row underflowed
+        # past the ~85-nat budget): emit 0 output / DEAD_LSE, never NaN.
+        dead = l <= 0.0
+        out = jnp.where(dead, 0.0, acc_ref[:] / jnp.where(dead, 1.0, l))
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+        if with_lse:
+            m = _bound(q_ref[0, 0].astype(jnp.float32))  # recompute: cheap
+            lse = jnp.where(dead, DEAD_LSE,
+                            m + jnp.log(jnp.maximum(l, 1e-30)))
+            lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :],
+                                             (8, block_q))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv", "interpret",
@@ -384,7 +465,29 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
     off = jnp.broadcast_to(
         jnp.asarray(q_offset, jnp.int32).reshape(-1, 1), (B, 1))
 
-    if with_lse:
+    if norm_bound:
+        # Per-(b, q-head) max valid kv-row norm, one XLA reduce over k
+        # (masked rows excluded so junk padding can't loosen the bound;
+        # alignment-pad rows are zeros and drop out on their own), then
+        # group-expanded Hkv -> Hq so the kernel indexes it by q head.
+        k32 = kt.astype(jnp.float32)
+        kn2 = jnp.sum(k32 * k32, axis=-1)  # (B, Hkv, Kp)
+        kn2 = kn2 * (mask[:, 0, :] != 0)[:, None, :].astype(jnp.float32)
+        kmax = jnp.sqrt(jnp.max(kn2, axis=-1))  # (B, Hkv)
+        kmax = jnp.repeat(kmax, G, axis=1)  # (B, Hq)
+        if with_lse:
+            kernel = functools.partial(
+                _fwd_bound_kernel, scale=scale, causal=causal,
+                block_q=block_q, block_kv=block_kv, with_lse=True,
+            )
+        else:
+            def kernel(off_ref, kmax_ref, q_ref, k_ref, v_ref, mask_ref,
+                       o_ref, acc, l):
+                _fwd_bound_kernel(off_ref, kmax_ref, q_ref, k_ref, v_ref,
+                                  mask_ref, o_ref, None, acc, l, scale=scale,
+                                  causal=causal, block_q=block_q,
+                                  block_kv=block_kv, with_lse=False)
+    elif with_lse:
         kernel = functools.partial(
             _fwd_kernel, scale=scale, causal=causal,
             block_q=block_q, block_kv=block_kv, with_lse=True,
@@ -404,40 +507,47 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
                                       lambda b, h, i, j: (b, h, 0, i),
                                       memory_space=pltpu.VMEM))
 
+    # whole (B, 1) offsets array in SMEM (a (1, 1) block of a
+    # (B, 1) array does not satisfy mosaic's block-shape rule);
+    # kernels read their row via program_id(0)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [off]
+    if norm_bound:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (B, Hq)
+        operands.append(kmax)
+    in_specs += [
+        pl.BlockSpec((1, 1, block_q, D),
+                     lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, D),
+                     lambda b, h, i, j: (b, h // G, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv, D),
+                     lambda b, h, i, j: (b, h // G, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv),
+                     lambda b, h, i, j: (b, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [qt, kt, vt, mask]
+    scratch_shapes = [pltpu.VMEM((block_q, D), jnp.float32)]
+    if not norm_bound:
+        scratch_shapes.append(pltpu.VMEM((block_q, 128), jnp.float32))
+    scratch_shapes.append(pltpu.VMEM((block_q, 128), jnp.float32))
+
     results = pl.pallas_call(
         kernel,
         grid=(B, Hq, Qp // block_q, Kp // block_kv),
-        in_specs=[
-            # whole (B, 1) offsets array in SMEM (a (1, 1) block of a
-            # (B, 1) array does not satisfy mosaic's block-shape rule);
-            # kernels read their row via program_id(0)
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q, D),
-                         lambda b, h, i, j: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_kv, D),
-                         lambda b, h, i, j: (b, h // G, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_kv, D),
-                         lambda b, h, i, j: (b, h // G, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_kv),
-                         lambda b, h, i, j: (b, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs) if with_lse else out_specs[0],
         out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(off, qt, kt, vt, mask)
+    )(*operands)
 
     if with_lse:
         outp, lse = results
@@ -770,10 +880,13 @@ def flash_attention(
     Differentiable: on TPU the backward runs the Pallas dK/dV + dQ kernels;
     elsewhere it falls back to the exact XLA recompute (Pallas interpret
     kernels when q_offset is set).
-    ``norm_bound``: on the non-causal maskless (ViT) path, replace the
-    per-row softmax max with the Cauchy-Schwarz bound (see
-    ``_fwd_nc_kernel``) — mathematically identical output, ~O(block_q*K)
-    less VPU work per program.  Ignored by the other kernels.
+    ``norm_bound``: replace the per-row softmax max with the Cauchy-Schwarz
+    bound — mathematically identical output (softmax shift invariance),
+    less VPU work per program.  On the non-causal maskless (ViT) path the
+    direct-softmax kernel drops its O(block_q*K) row-max reduce
+    (``_fwd_nc_kernel``); on the causal/masked path the bound is constant
+    across kv blocks, so the whole online softmax collapses — no row-max
+    reduce, no accumulator rescale, no m scratch (``_fwd_bound_kernel``).
     """
     return _flash_attention(
         q, k, v, attention_mask, q_offset, causal, scale, block_q, block_kv,

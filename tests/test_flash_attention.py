@@ -220,6 +220,76 @@ def test_nc_norm_bound_matches_xla_and_degrades_gracefully():
     assert bool(jnp.isfinite(wild).all())
 
 
+def test_causal_norm_bound_matches_xla_and_degrades_gracefully():
+    """``norm_bound=True`` on the causal/masked path (``_fwd_bound_kernel``
+    — the online softmax collapsed to a constant per-row Cauchy-Schwarz
+    bound, docs/PERF.md round 4) must (a) match XLA with GQA + ragged
+    padding, (b) run per-row q_offset suffix continuations identically to
+    the exact kernel, (c) keep the TRUE logsumexp so the unchanged backward
+    kernels produce exact gradients, and (d) never emit NaN/Inf even when
+    the exp mass underflows."""
+    from mjvideo_tpu.ops.flash_attention import _fwd_impl
+
+    rng = np.random.default_rng(11)
+    B, S, Hq, Hkv, D = 2, 67, 8, 2, 32
+    q = _rand(rng, (B, S, Hq, D))
+    k = _rand(rng, (B, S, Hkv, D))
+    v = _rand(rng, (B, S, Hkv, D))
+    lens = np.array([S, S - 23])
+    mask = jnp.asarray((np.arange(S)[None] < lens[:, None]).astype(np.int32))
+
+    # (a) forward parity, GQA causal + ragged padding
+    ref = multi_head_attention(q, k, v, attention_mask=mask, causal=True,
+                               impl="xla")
+    got = flash_attention(q, k, v, attention_mask=mask, causal=True,
+                          norm_bound=True)
+    m3 = mask[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(got * m3), np.asarray(ref * m3),
+                               atol=2e-5)
+
+    # (b) per-row q_offset (prefix-cache suffix continuation)
+    off = jnp.asarray([3, 10], jnp.int32)
+    qs = _rand(rng, (B, 8, Hq, D))
+    got_off = flash_attention(qs, k, v, attention_mask=mask, causal=True,
+                              q_offset=off, norm_bound=True)
+    ref_off = flash_attention(qs, k, v, attention_mask=mask, causal=True,
+                              q_offset=off, norm_bound=False)
+    np.testing.assert_allclose(np.asarray(got_off), np.asarray(ref_off),
+                               atol=2e-5)
+
+    # (c) lse is the true logsumexp -> exact gradients through the
+    # bound-agnostic backward kernels
+    _, lse = _fwd_impl(q, k, v, mask, None, True, None, None, None,
+                       True, True, norm_bound=True)
+    G = Hq // Hkv
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, jnp.repeat(k, G, axis=2),
+                   precision=jax.lax.Precision.HIGHEST) * (D ** -0.5)
+    tri = np.tril(np.ones((S, S), bool))
+    vis = tri[None, None] & (np.asarray(mask, bool))[:, None, None, :]
+    lse_ref = jax.scipy.special.logsumexp(
+        jnp.where(vis, s, -jnp.inf), axis=-1)
+    d = jnp.abs(lse[:, :, 0, :S] - lse_ref)
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(jnp.isfinite(lse_ref), d, 0.0)), 0, atol=2e-4)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+    g_b = jax.grad(loss(lambda q, k, v: flash_attention(
+        q, k, v, attention_mask=mask, causal=True, norm_bound=True)),
+        argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss(lambda q, k, v: multi_head_attention(
+        q, k, v, attention_mask=mask, causal=True, impl="xla")),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_b, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+    # (d) graceful degradation at absurd scales: finite, never NaN
+    wild = flash_attention(q * 30, k * 30, v, attention_mask=mask,
+                           causal=True, norm_bound=True)
+    assert bool(jnp.isfinite(wild).all())
+
+
 def test_kv_valid_matches_unpadded_reference():
     """``kv_valid`` (caller pre-pads to an aligned length, zeroes the dead
     k/v tail) must reproduce the unpadded forward AND gradients on the real
