@@ -318,14 +318,21 @@ class RewardScorer:
             args = tuple(shard_batch(list(args), self.mesh))
         elif self.sp is not None:
             # sequence parallelism: ids/mask shard on the TOKEN dim over
-            # 'data'; pixels and gating_pos replicate (the ViT is
-            # tile-batched and short; the head's gathers are position-wise)
+            # 'data'; pixel TILES shard on their leading axis over the same
+            # axis (the ViT encodes tiles independently and the embeds
+            # all-gather before the scatter — ``internvl.extract_feature``),
+            # so the H2D payload splits n ways too.  A tile count the axis
+            # doesn't divide lands replicated (the in-jit shard_map pads and
+            # reshards either way); gating_pos is position-wise, replicate.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             pix, ids, mask, gpos = args
+            n = self.mesh.shape.get("data", 1)
             seq = NamedSharding(self.mesh, P(None, "data"))
             rep = NamedSharding(self.mesh, P())
-            args = (jax.device_put(pix, rep), jax.device_put(ids, seq),
+            tile = (NamedSharding(self.mesh, P("data"))
+                    if pix.shape[0] % n == 0 else rep)
+            args = (jax.device_put(pix, tile), jax.device_put(ids, seq),
                     jax.device_put(mask, seq), jax.device_put(gpos, rep))
         return fwd(self.params, *args)
 

@@ -72,16 +72,77 @@ def apply_projector(p, x: jnp.ndarray) -> jnp.ndarray:
 def extract_feature(
     params, cfg: ChatConfig, pixel_values: jnp.ndarray,
     attn_impl: str = "auto", remat: bool = True, vit_rng=None,
+    sp=None,
 ) -> jnp.ndarray:
     """ViT -> drop cls -> HxW grid -> pixel_shuffle -> projector.
 
     Reference: ``modeling_internvl_chat.py:244-262``.  Returns
     (num_tiles, num_image_token, llm_hidden).
+
+    ``sp={'mesh': Mesh, 'axis': ...}`` (the sequence-parallel spec): the
+    TILE batch shards over the same mesh axis the decoder's sequence
+    rides.  Tiles are embarrassingly parallel — per-tile sequence 1,025,
+    no cross-tile attention (reference hot loop:
+    ``modeling_intern_vit.py:341-352``) — so each chip encodes ~P/n tiles
+    and the embeds all-gather once (one ICI collective for the whole
+    tower) before the scatter.  Without this, an n-chip SP run duplicates
+    (n-1)/n of the vision FLOPs, which at the 16-32-frame x max_num=12
+    long-context configs is roughly half of per-clip compute.  Eval only:
+    with ``vit_rng`` set (DropPath noise is drawn per tile-batch index,
+    which sharding would re-index) the tower falls back to replicated.
     """
+    if (sp is not None and vit_rng is None
+            and sp["mesh"].shape[sp.get("axis", "data")] > 1):
+        return _sp_extract_feature(params, cfg, pixel_values, attn_impl,
+                                   remat, sp)
+    return _tile_features(params["vision_model"], params["mlp1"], cfg,
+                          pixel_values, attn_impl, remat, rng=vit_rng)
+
+
+def _sp_extract_feature(params, cfg: ChatConfig, pixel_values, attn_impl,
+                        remat, sp):
+    """Tile-sharded vision tower for sequence-parallel mode.
+
+    Pads the tile axis to a multiple of the axis size (static at trace
+    time), runs ViT + pixel_shuffle + projector on each chip's local tile
+    slice under ``shard_map`` (Pallas kernels see local shapes — fully
+    manual, no GSPMD-vs-pallas_call ambiguity), all-gathers the projected
+    embeds, and drops the pad rows.  The vision/projector params enter
+    replicated (activation tensors dwarf them at these tile counts).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh, axis = sp["mesh"], sp.get("axis", "data")
+    n = mesh.shape[axis]
+    n_tiles = pixel_values.shape[0]
+    pad = (-n_tiles) % n
+    if pad:
+        pixel_values = jnp.concatenate(
+            [pixel_values,
+             jnp.zeros((pad,) + pixel_values.shape[1:], pixel_values.dtype)],
+            axis=0)
+
+    def body(vp, pp, pix_l):
+        emb_l = _tile_features(vp, pp, cfg, pix_l, attn_impl, remat)
+        return jax.lax.all_gather(emb_l, axis, axis=0, tiled=True)
+
+    tile_spec = P(axis, *([None] * (pixel_values.ndim - 1)))
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), tile_spec), out_specs=P(),
+        check_vma=False,
+    )
+    emb = fn(params["vision_model"], params["mlp1"], pixel_values)
+    return emb[:n_tiles]
+
+
+def _tile_features(vision_params, proj_params, cfg: ChatConfig, pixel_values,
+                   attn_impl, remat, rng=None):
+    """Per-tile feature pipeline shared by the plain and SP paths."""
     vit_out = vit_forward(
-        params["vision_model"], cfg.vision, pixel_values,
+        vision_params, cfg.vision, pixel_values,
         select_layer=cfg.select_layer, attn_impl=attn_impl, remat=remat,
-        rng=vit_rng,
+        rng=rng,
     )
     vit_embeds = vit_out[:, 1:, :]  # drop cls
     n, s, c = vit_embeds.shape
@@ -91,7 +152,7 @@ def extract_feature(
         vit_embeds, scale_factor=cfg.downsample_ratio, ps_version=cfg.ps_version
     )
     vit_embeds = vit_embeds.reshape(n, -1, vit_embeds.shape[-1])
-    return apply_projector(params["mlp1"], vit_embeds)
+    return apply_projector(proj_params, vit_embeds)
 
 
 # Jitted vision tower for callers that encode a video once and reuse the
@@ -152,18 +213,18 @@ def chat_forward(
     IMG_CONTEXT_TOKEN)``); pass the tokenizer's id when one is in hand.
 
     ``sp={'mesh': Mesh, 'axis': ..., 'kind': 'ring'|'allgather'}`` runs the
-    DECODER sequence-parallel (``parallel/sequence.py``): shard input_ids /
+    decoder sequence-parallel (``parallel/sequence.py``): shard input_ids /
     attention_mask on the token dim and the LLM attention distributes over
     the mesh — the long-context capability the reference's 3,072-token
-    collator ceiling forecloses (SURVEY.md §5).  The ViT runs replicated
-    (tile-batched; its sequence is the short per-tile 1,025) and the
-    scatter is position-wise, so only attention needs the explicit
-    collective path.
+    collator ceiling forecloses (SURVEY.md §5).  The ViT shards its TILE
+    batch over the same axis (tiles are independent; see
+    ``extract_feature``) and all-gathers the projected embeds before the
+    position-wise scatter, so both towers' FLOPs split n ways.
     """
     input_embeds = dec.embed_tokens(params["language_model"], input_ids)
     vit_embeds = extract_feature(
         params, cfg, pixel_values, attn_impl=attn_impl, remat=remat,
-        vit_rng=vit_rng,
+        vit_rng=vit_rng, sp=sp,
     )
     if img_context_token_id is None:
         img_context_token_id = cfg.img_context_token_id

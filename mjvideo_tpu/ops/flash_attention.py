@@ -694,6 +694,13 @@ def _bwd_impl(q, k, v, attention_mask, q_offset, out, lse, g, causal, scale,
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
     delta = jnp.broadcast_to(delta[:, :, None, :], (B, Hq, 8, Qp))
+    if lse.ndim == 3:
+        # Natural (B, Hq, Q) layout (the ring-SP merged global lse) ->
+        # the kernels' sublane-tiled (B, Hq, 8, Qp).  Pad rows are zero
+        # queries: s = 0, p = exp(0 - 0) = 1, but their dO/delta rows are
+        # zero-padded so every gradient contribution vanishes.
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, Qp - lse.shape[-1])))
+        lse = jnp.broadcast_to(lse[:, :, None, :], (B, Hq, 8, Qp))
 
     mask = attention_mask
     if mask is None:

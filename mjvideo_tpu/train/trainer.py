@@ -73,6 +73,14 @@ class TrainConfig:
     # replicating them — optimizer memory / dp_degree, update math
     # unchanged (parallel/mesh.py: zero1_opt_shardings).
     zero1: bool = False
+    # Sequence-parallel training ('ring' | 'allgather', parallel/sequence.py):
+    # the LLM attention shards the TOKEN dim over the mesh's 'data' axis and
+    # the ViT shards its tile batch over the same axis — the long-context
+    # TRAINING mode (>40k-token sequences).  The batch is NOT additionally
+    # sharded over 'data' (the axis is spent on the sequence); callers
+    # device_put ids/mask with P(None, 'data').  Composes with ZeRO-1 (the
+    # moment shards live on the same axis) and TP.
+    sp: Optional[str] = None
     # LoRA (ops/lora.py): rank > 0 wraps the LLM attention/MLP kernels in
     # LoraKernel nodes; the backbone then trains ONLY the low-rank a/b
     # adapters (heads/gates keep their per-stage policy), shrinking
@@ -173,7 +181,8 @@ def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
     return out
 
 
-def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
+def make_loss_fn(cfg: RewardConfig, tc: TrainConfig,
+                 mesh=None) -> Callable:
     """(params, batch) -> scalar loss; two sibling forwards + stage loss.
 
     Frozen subtrees (per the stage's policy) are wrapped in
@@ -181,9 +190,16 @@ def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
     the optax ``set_to_zero`` mask alone would still materialize them
     (the reference pays this as ``ddp_find_unused_parameters=True``).
     ``grad_norm`` therefore reports the TRAINABLE-parameter norm.
+
+    ``mesh`` is required when ``tc.sp`` is set (the sequence-parallel spec
+    needs the mesh the step runs over).
     """
     mse = tc.mse if tc.mse is not None else tc.stage_mse_default()
     stage_loss = STAGES[tc.stage].loss_fn
+    if tc.sp is not None and mesh is None:
+        raise ValueError("tc.sp requires the mesh argument")
+    sp_spec = ({"mesh": mesh, "axis": "data", "kind": tc.sp}
+               if tc.sp is not None else None)
 
     def loss_fn(raw_params, batch, vit_rng=None):
         mask = trainable_mask(raw_params, tc.stage, lora=tc.lora_rank > 0)
@@ -205,6 +221,7 @@ def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
                     attn_impl=tc.attn_impl, remat=tc.remat,
                     vit_rng=None if vit_rng is None
                     else jax.random.fold_in(vit_rng, v),
+                    sp=sp_spec,
                 )
             )
         return stage_loss(outs[0], outs[1], batch, mse=mse, beta=tc.beta) \
@@ -214,12 +231,13 @@ def make_loss_fn(cfg: RewardConfig, tc: TrainConfig) -> Callable:
 
 
 def make_train_step(cfg: RewardConfig, tc: TrainConfig, optimizer,
-                    out_shardings=None) -> Callable:
+                    out_shardings=None, mesh=None) -> Callable:
     """``out_shardings``, when given, is the full output-triple sharding
     pytree ``(param_shardings, opt_state_shardings, metric_shardings)`` —
     pinned so ZeRO-1 moment shards stay sharded across steps instead of
-    being re-replicated by sharding propagation."""
-    loss_fn = make_loss_fn(cfg, tc)
+    being re-replicated by sharding propagation.  ``mesh`` is required
+    when ``tc.sp`` is set (see ``make_loss_fn``)."""
+    loss_fn = make_loss_fn(cfg, tc, mesh=mesh)
     jit_kw = {"out_shardings": out_shardings} if out_shardings is not None \
         else {}
 
@@ -291,7 +309,8 @@ class Trainer:
                 {"loss": rep, "grad_norm": rep},
             )
         self.step_fn = make_train_step(cfg, tc, self.optimizer,
-                                       out_shardings=out_shardings)
+                                       out_shardings=out_shardings,
+                                       mesh=self.mesh)
         self.step = 0
         vis = cfg.chat.vision
         self._needs_vit_rng = vis.drop_path_rate > 0.0 or vis.dropout > 0.0
@@ -310,6 +329,36 @@ class Trainer:
                     os.path.join(tc.checkpoint_dir, "tb"))
             except ImportError:
                 pass
+
+    def _place_batch(self, batch):
+        """Mesh placement for one train batch.
+
+        Plain DP shards every array on its leading (batch) axis.  Under
+        ``tc.sp`` the 'data' axis carries the SEQUENCE instead: (B, T)
+        token arrays shard on dim 1, pixel tensors shard their tile dim
+        when it divides, everything else replicates."""
+        if self.tc.sp is None:
+            return shard_batch(batch, self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        n = self.mesh.shape["data"]
+        rep = NamedSharding(self.mesh, _P())
+        seq = NamedSharding(self.mesh, _P(None, "data"))
+
+        def place(key, x):
+            if key.endswith("input_ids") or key.endswith("attention_mask"):
+                if x.shape[-1] % n:
+                    raise ValueError(
+                        f"sp shards the token dim over data={n}; batch key "
+                        f"{key} has T={x.shape[-1]}")
+                return jax.device_put(x, seq)
+            if key.endswith("pixel_values") and x.ndim >= 2 \
+                    and x.shape[1] % n == 0:
+                return jax.device_put(
+                    x, NamedSharding(self.mesh, _P(None, "data")))
+            return jax.device_put(x, rep)
+
+        return {k: place(k, v) for k, v in batch.items()}
 
     def _place_opt_state(self, opt_state):
         """Apply ZeRO-1 data-axis sharding to the optimizer state (no-op
@@ -508,9 +557,8 @@ class Trainer:
         for batch in batches:
             if max_steps is not None and self.step >= max_steps:
                 break
-            batch = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
-            )
+            batch = self._place_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()})
             if self._needs_vit_rng:
                 # Step-keyed fold keeps stochastic depth deterministic across
                 # resume (the key depends only on the step number).

@@ -542,6 +542,109 @@ def test_sp_reward_forward_matches_single_device(cfg, params):
                                    atol=1e-4, err_msg=kind)
 
 
+def _stage3_pair_batch(cfg, T, rng):
+    c = cfg.chat
+    frames = 2
+    n_img = c.num_image_token * frames
+    assert n_img + 8 <= T
+    batch = {}
+    for v in (0, 1):
+        ids = np.full((1, T), 5, np.int64)
+        ids[:, 2:2 + n_img] = c.img_context_token_id
+        batch[f"video_{v}_pixel_values"] = rng.normal(
+            size=(1, frames, c.vision.image_size, c.vision.image_size, 3)
+        ).astype(np.float32)
+        batch[f"video_{v}_input_ids"] = ids.astype(np.int32)
+        batch[f"video_{v}_attention_mask"] = np.ones((1, T), np.int32)
+        batch[f"video_{v}_gating_pos"] = np.full((1,), T - 4, np.int32)
+        batch[f"video_{v}_criteria_score"] = rng.choice(
+            [-1.0, 0.0, 1.0], size=(1, 28)).astype(np.float32)
+        batch[f"video_{v}_criteria_related"] = rng.integers(
+            0, 2, size=(1, 28)).astype(np.float32)
+        batch[f"video_{v}_aspect_score"] = rng.choice(
+            [-1.0, 0.0, 1.0], size=(1, 5)).astype(np.float32)
+        batch[f"video_{v}_aspect_related"] = rng.integers(
+            0, 2, size=(1, 5)).astype(np.float32)
+        batch[f"video_{v}_overall_score"] = rng.choice(
+            [-1.0, 1.0], size=(1, 1)).astype(np.float32)
+        batch[f"video_{v}_overall_related"] = np.ones((1, 1), np.float32)
+    batch["aspect_preference"] = rng.integers(0, 2, (1, 5)).astype(np.int32)
+    batch["aspect_mask"] = rng.integers(0, 2, (1, 5)).astype(np.float32)
+    batch["overall_preference"] = np.asarray([[1]], np.int32)
+    batch["overall_mask"] = np.ones((1, 1), np.float32)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_sp_train_gradients_match_single_device(cfg, params):
+    """Stage-3 training GRADIENTS under sequence parallelism must equal the
+    single-device gradients (VERDICT r4 next-5) — for the ring kind this
+    exercises the custom second-ring backward (``_ring_vjp_bwd``)."""
+    from jax.sharding import NamedSharding
+
+    from mjvideo_tpu.train.trainer import TrainConfig, make_loss_fn
+
+    rng = np.random.default_rng(37)
+    T = ((cfg.chat.num_image_token * 2 + 16 + 7) // 8) * 8
+    batch = _stage3_pair_batch(cfg, T, rng)
+
+    tc_plain = TrainConfig(stage=3, attn_impl="xla", remat=False)
+    loss_plain = make_loss_fn(cfg, tc_plain)
+    ref_loss, ref_grads = jax.value_and_grad(loss_plain)(params, batch)
+
+    mesh = make_mesh(data=8, model=1)
+    seq = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+    batch_sp = {
+        k: jax.device_put(v, seq if v.ndim == 2 and v.shape[-1] == T else rep)
+        for k, v in batch.items()
+    }
+    p_sh = shard_params(params, mesh)
+    for kind in ("ring", "allgather"):
+        tc = TrainConfig(stage=3, attn_impl="xla", remat=False, sp=kind)
+        loss_sp = make_loss_fn(cfg, tc, mesh=mesh)
+        sp_loss, sp_grads = jax.jit(jax.value_and_grad(loss_sp))(
+            p_sh, batch_sp)
+        np.testing.assert_allclose(float(sp_loss), float(ref_loss),
+                                   rtol=2e-5, err_msg=kind)
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+        flat_sp = jax.tree.leaves(sp_grads)
+        assert len(flat_ref) == len(flat_sp)
+        for (path, a), b in zip(flat_ref, flat_sp):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-5,
+                err_msg=f"{kind}: {jax.tree_util.keystr(path)}")
+
+
+def test_sp_tile_sharded_vit_matches_plain(cfg, params):
+    """Under SP the vision tower shards its TILE batch over the sequence
+    axis (VERDICT r4 next-1); the gathered embeds must match the plain
+    tower exactly — at a tile count the axis divides (8) AND one it
+    doesn't (13, the 12-tile + thumbnail shape), which exercises the
+    zero-pad + slice path."""
+    from mjvideo_tpu.models.internvl import extract_feature
+
+    c = cfg.chat
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(31)
+    for n_tiles in (8, 13):
+        pix = jnp.asarray(rng.normal(
+            size=(n_tiles, c.vision.image_size, c.vision.image_size, 3)
+        ).astype(np.float32))
+        plain = extract_feature(params["model"], c, pix, attn_impl="xla",
+                                remat=False)
+
+        @jax.jit
+        def sharded(p, pix):
+            return extract_feature(
+                p, c, pix, attn_impl="xla", remat=False,
+                sp={"mesh": mesh, "axis": "data", "kind": "ring"})
+
+        got = sharded(shard_params(params["model"], mesh), pix)
+        assert got.shape == plain.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(plain),
+                                   atol=2e-5, err_msg=f"n_tiles={n_tiles}")
+
+
 def test_sp_scorer_matches_plain_scorer(cfg, params):
     """RewardScorer(sp=...) — the user-facing long-context mode — must
     score identically to the plain scorer, for both SP kinds."""
