@@ -38,14 +38,19 @@ from ..ops.rope import apply_rope, rope_tables
 # q/k are RMSNorm-fed like the adopting vision towers (vit.py _NC_BOUND);
 # MJV_LLM_NORM_BOUND=0 restores the exact online row max for A/Bs.
 #
-# Deliberately NOT enabled in the judges' cached decode paths
-# (generate._layer_with_cache, cogvlm2's cache layer): the bound's kmax is
-# computed over ALL unmasked keys, so a prefix-only prefill (kmax over the
-# prefix key set) and a full-prompt prefill (kmax over every prompt key)
-# shift each prefix row's softmax by different m — mathematically identical
-# but rounded differently, perturbing the cached prefix k/v at ulp level
-# and reopening the greedy-tie caveat the prefix-flash work closed
-# (docs/PARITY.md prefix caching; benchmarks/prefix_flash_identity_tpu.py).
+# THIS global-kmax variant is deliberately NOT used in the judges' cached
+# decode paths (generate._layer_with_cache, cogvlm2's cache layer): the
+# global kmax is computed over ALL unmasked keys, so a prefix-only prefill
+# (kmax over the prefix key set) and a full-prompt prefill (kmax over every
+# prompt key) shift each prefix row's softmax by different m —
+# mathematically identical but rounded differently, perturbing the cached
+# prefix k/v at ulp level and reopening the greedy-tie caveat the
+# prefix-flash work closed (docs/PARITY.md prefix caching).  The cached
+# paths instead run the ROW-CAUSAL bound (norm_bound="rows",
+# generate._CACHE_BOUND): per-row kmax over keys <= the row's own global
+# position — deterministic across prefix-only and full-prompt prefills BY
+# CONSTRUCTION (benchmarks/prefix_flash_identity_tpu.py pins identity on
+# chip).  CogVLM2's bespoke cache layer keeps the exact softmax.
 _LLM_BOUND = os.environ.get("MJV_LLM_NORM_BOUND", "1") != "0"
 
 

@@ -19,6 +19,7 @@ Replaces the reference generation stack: ``InternLM2ForCausalLM.generate`` /
 from __future__ import annotations
 
 import functools
+import os
 
 from typing import NamedTuple, Optional, Tuple
 
@@ -33,6 +34,22 @@ from ..ops.quant import dequantize_kv, quantize_kv
 from ..ops.rope import apply_rope, rope_tables
 from . import decoder as dec
 from .internvl import extract_feature, scatter_image_embeds
+
+# Cauchy-Schwarz softmax bound in the CACHED prefill paths (empty-cache
+# prompt prefill + prefix-cache suffix continuation), in its row-causal
+# variant: each q row's bound is the running key-norm max over positions
+# <= its own global slot — a pure function of the tokens before it, so a
+# prefix-only prefill and a full-prompt prefill compute IDENTICAL bounds
+# for shared rows BY CONSTRUCTION (``_fwd_bound_kernel`` row_bound).  This
+# recovers the bound's prefill speedup (benchmarks/llm_bound_ab.py) for
+# the judge benchmarks without reopening the greedy-tie caveat the
+# prefix-flash work closed (VERDICT r4 next-4; the global-kmax variant
+# stays disabled here for exactly that reason, models/decoder.py:42).
+# Token identity across all four judge families is pinned on chip by
+# benchmarks/prefix_flash_identity_tpu.py.  MJV_CACHE_NORM_BOUND=0
+# restores the exact online softmax in these paths.
+_CACHE_BOUND = ("rows" if os.environ.get("MJV_CACHE_NORM_BOUND", "1") != "0"
+                else False)
 
 
 class KVCache(NamedTuple):
@@ -184,7 +201,8 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
 
         k_op, v_op = read_kv(k_cache, v_cache, k_scale, v_scale, q.dtype)
         attn = flash_attention(q, k_op, v_op, attention_mask=cache_mask,
-                               causal=True, q_offset=q_offset)
+                               causal=True, q_offset=q_offset,
+                               norm_bound=_CACHE_BOUND)
     elif S > 1 and attn_impl != "xla" and q_offset is None:
         # Empty-cache prefill: causal flash over the fresh tokens, pad
         # tokens masked out of kv (their q rows are garbage in both
@@ -192,7 +210,8 @@ def _layer_with_cache(cfg: LLMConfig, lp, x, k_cache, v_cache, k_scale,
         from ..ops.attention import multi_head_attention
 
         attn = multi_head_attention(q, k, v, attention_mask=write_ok,
-                                    causal=True, impl=attn_impl)
+                                    causal=True, impl=attn_impl,
+                                    norm_bound=_CACHE_BOUND)
     else:
         # Attend over the whole cache, masked to valid slots + causality.
         q_pos = position_ids  # (B, S)

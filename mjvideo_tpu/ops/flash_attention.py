@@ -317,11 +317,12 @@ def _fwd_kernel(
 
 def _fwd_bound_kernel(
     off_ref,   # SMEM (B, 1) int32: global position of q row 0
-    kmax_ref,  # SMEM (B, Hq) fp32: max valid kv-row L2 norm per (b, head)
+    kmax_ref,  # SMEM (B, Hq) fp32 global kmax — OR, when row_bound, a
+    #            VMEM (1, 1, block_q) block of the per-row causal kmax
     q_ref, k_ref, v_ref, mask_ref,
     o_ref, lse_ref,
     acc_ref, l_ref,  # VMEM scratch — NO m scratch: the bound is constant
-    *, scale, causal, block_q, block_kv, with_lse,
+    *, scale, causal, block_q, block_kv, with_lse, row_bound=False,
 ):
     """Causal/masked forward under the Cauchy-Schwarz softmax bound.
 
@@ -342,6 +343,18 @@ def _fwd_bound_kernel(
     on RMSNorm-fed decoder q/k are single-digit nats
     (benchmarks/llm_bound_ab.py).  The emitted lse is the TRUE logsumexp
     (shift invariance), so the backward kernels are bound-agnostic.
+
+    ``row_bound`` (the prefix-cache-safe variant): the bound per row i
+    uses the CAUSAL running key-norm max over keys j <= i (precomputed as
+    an XLA cummax and gathered per global row position in ``_fwd_impl``)
+    instead of the global kmax.  Still constant across kv blocks (it
+    depends only on the row), so the collapse is preserved — but the
+    value is now a pure function of the tokens at positions <= i, making
+    a prefix-only prefill and a full-prompt prefill compute IDENTICAL
+    bounds for shared rows by construction (the determinism the cached
+    judge decode needs — see models/decoder.py:42 for the hazard the
+    global kmax variant would reopen).  Tighter, too: early rows can't be
+    loosened by late large-norm keys.
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -359,6 +372,9 @@ def _fwd_bound_kernel(
 
     def _bound(q32):
         qn = jnp.sqrt(jnp.sum(q32 * q32, axis=-1, keepdims=True))
+        if row_bound:
+            km = kmax_ref[0, 0][:, None]  # (block_q, 1) per-row causal max
+            return qn * km * abs(scale)
         return qn * (kmax_ref[b, h] * abs(scale))
 
     @pl.when(run)
@@ -473,12 +489,25 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
         k32 = kt.astype(jnp.float32)
         kn2 = jnp.sum(k32 * k32, axis=-1)  # (B, Hkv, Kp)
         kn2 = kn2 * (mask[:, 0, :] != 0)[:, None, :].astype(jnp.float32)
-        kmax = jnp.sqrt(jnp.max(kn2, axis=-1))  # (B, Hkv)
-        kmax = jnp.repeat(kmax, G, axis=1)  # (B, Hq)
+        row_bound = norm_bound == "rows"
+        if row_bound:
+            # Causal per-row bound (prefix-cache-deterministic, see
+            # _fwd_bound_kernel docstring): running max of key norms over
+            # positions <= each q row's GLOBAL position (q_offset + i).
+            assert causal, "norm_bound='rows' requires causal attention"
+            kcum = jax.lax.cummax(jnp.sqrt(kn2), axis=2)  # (B, Hkv, Kp)
+            kcum = jnp.repeat(kcum, G, axis=1)  # (B, Hq, Kp)
+            pos = jnp.clip(off + jnp.arange(Qp)[None, :], 0, Kp - 1)
+            kmax = jnp.take_along_axis(
+                kcum, jnp.broadcast_to(pos[:, None, :], (B, Hq, Qp)), axis=2)
+        else:
+            kmax = jnp.sqrt(jnp.max(kn2, axis=-1))  # (B, Hkv)
+            kmax = jnp.repeat(kmax, G, axis=1)  # (B, Hq)
         if with_lse:
             kernel = functools.partial(
                 _fwd_bound_kernel, scale=scale, causal=causal,
                 block_q=block_q, block_kv=block_kv, with_lse=True,
+                row_bound=row_bound,
             )
         else:
             def kernel(off_ref, kmax_ref, q_ref, k_ref, v_ref, mask_ref,
@@ -486,7 +515,8 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
                 _fwd_bound_kernel(off_ref, kmax_ref, q_ref, k_ref, v_ref,
                                   mask_ref, o_ref, None, acc, l, scale=scale,
                                   causal=causal, block_q=block_q,
-                                  block_kv=block_kv, with_lse=False)
+                                  block_kv=block_kv, with_lse=False,
+                                  row_bound=row_bound)
     elif with_lse:
         kernel = functools.partial(
             _fwd_kernel, scale=scale, causal=causal,
@@ -513,7 +543,12 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [off]
     if norm_bound:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (B, Hq)
+        if norm_bound == "rows":  # (B, Hq, Qp) per-row causal bound
+            in_specs.append(pl.BlockSpec((1, 1, block_q),
+                                         lambda b, h, i, j: (b, h, i),
+                                         memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (B, Hq)
         operands.append(kmax)
     in_specs += [
         pl.BlockSpec((1, 1, block_q, D),

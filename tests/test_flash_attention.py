@@ -290,6 +290,46 @@ def test_causal_norm_bound_matches_xla_and_degrades_gracefully():
     assert bool(jnp.isfinite(wild).all())
 
 
+def test_row_causal_norm_bound_matches_and_is_prefix_deterministic():
+    """``norm_bound='rows'`` (the cached-decode variant, VERDICT r4
+    next-4): (a) matches XLA under GQA + ragged padding + per-row
+    q_offset, and (b) a prefix-only prefill and a full-prompt prefill
+    produce BIT-identical prefix rows — the determinism-by-construction
+    property that lets the cached judge paths keep the bound without
+    reopening the greedy-tie caveat (``generate._CACHE_BOUND``)."""
+    rng = np.random.default_rng(13)
+    B, Sq, Sk, Hq, Hkv, D = 2, 40, 96, 8, 2, 32
+    q = _rand(rng, (B, Sq, Hq, D))
+    k = _rand(rng, (B, Sk, Hkv, D))
+    v = _rand(rng, (B, Sk, Hkv, D))
+    lens = np.array([Sk, Sk - 23])
+    mask = jnp.asarray((np.arange(Sk)[None] < lens[:, None]).astype(np.int32))
+    off = jnp.asarray([7, 30], jnp.int32)
+
+    got = flash_attention(q, k, v, attention_mask=mask, causal=True,
+                          q_offset=off, norm_bound="rows")
+    ref = flash_attention(q, k, v, attention_mask=mask, causal=True,
+                          q_offset=off, norm_bound=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # (b) prefix determinism: shared rows bit-identical between a
+    # prefix-only call and a full-sequence call.
+    S, P = 96, 64
+    qf = _rand(rng, (1, S, Hq, D))
+    kf = _rand(rng, (1, S, Hkv, D))
+    vf = _rand(rng, (1, S, Hkv, D))
+    full = flash_attention(qf, kf, vf, causal=True, norm_bound="rows")
+    prefix = flash_attention(qf[:, :P], kf[:, :P], vf[:, :P], causal=True,
+                             norm_bound="rows")
+    assert np.array_equal(np.asarray(full[:, :P]), np.asarray(prefix)), \
+        "prefix rows must be bit-identical under the rows bound"
+
+    # non-causal use is a contract violation, not a silent wrong answer
+    with pytest.raises(AssertionError):
+        flash_attention(q, k, v, attention_mask=mask, causal=False,
+                        q_offset=off, norm_bound="rows")
+
+
 def test_kv_valid_matches_unpadded_reference():
     """``kv_valid`` (caller pre-pads to an aligned length, zeroes the dead
     k/v tail) must reproduce the unpadded forward AND gradients on the real
