@@ -132,8 +132,8 @@ def main():
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch * iters / dt
-    mode_label = {"int8": "w8a8", "int8-vit": "w8a8-vit",
-                  "int8-wo": "w8a16", "int4-wo": "w4a16"}.get(quant, "bf16")
+    mode_label = {"": "bf16", "int8": "w8a8", "int8-vit": "w8a8-vit",
+                  "int8-wo": "w8a16", "int4-wo": "w4a16"}.get(quant, quant)
     result = {
         "metric": f"8-frame clips/sec/chip reward scoring "
                   f"(MJ-VIDEO-{model.upper()} {mode_label})"

@@ -51,8 +51,13 @@ def bench(fn_one, q, k, v, mask, n, reps=3):
     return best
 
 
-def gap_stats(q, k, mask, causal=True):
-    """max over rows of (norm bound - true row max), valid rows only."""
+def gap_stats(q, k, mask, causal=True, rows=False):
+    """max over rows of (norm bound - true row max), valid rows only.
+
+    ``rows=True`` evaluates the per-row causal bound (``norm_bound='rows'``:
+    running key-norm max over positions <= the row) instead of the global
+    kmax — always <= the global bound, so its gap is a lower envelope.
+    """
     q32, k32 = (np.asarray(x, np.float32) for x in (q, k))
     B, S, Hq, D = q32.shape
     Hkv = k32.shape[2]
@@ -66,10 +71,14 @@ def gap_stats(q, k, mask, causal=True):
     s = np.where(valid, s, -np.inf)
     m_true = s.max(-1)  # (B, Hq, S)
     kn = np.linalg.norm(k32, axis=-1) * m[:, :, None]  # zero masked rows
-    kmax = np.repeat(kn.max(1), G, axis=-1)  # (B, Hq)
+    if rows:
+        kcum = np.maximum.accumulate(kn, axis=1)  # (B, S, Hkv) causal max
+        kmax = np.repeat(kcum.transpose(0, 2, 1), G, axis=1)  # (B, Hq, S)
+    else:
+        kmax = np.repeat(kn.max(1), G, axis=-1)[:, :, None]  # (B, Hq, 1)
     m_bound = (np.linalg.norm(q32, axis=-1).transpose(0, 2, 1)
-               * kmax[:, :, None] * scale)
-    gap = m_bound - m_true
+               * kmax * scale)  # (B, Hq, S)
+    gap = np.broadcast_to(m_bound, m_true.shape) - m_true
     ok = np.isfinite(m_true)  # rows with >= 1 visible key
     return float(gap[ok].mean()), float(gap[ok].max())
 
@@ -95,7 +104,7 @@ def run_case(name, B, S, Hq, Hkv, D, chain, ragged):
     print(f"[{name}] B{B} S{S} Hq{Hq} Hkv{Hkv} D{D} bf16 "
           f"ragged={ragged}  {flops/1e9:.1f} GFLOP/call", flush=True)
     res = {}
-    for nb in (False, True):
+    for nb in (False, True, "rows"):
         secs = bench(
             lambda q, k, v, m, nb=nb: _fwd_impl(
                 q, k, v, m, None, True, None, None, None, False, False,
@@ -107,14 +116,15 @@ def run_case(name, B, S, Hq, Hkv, D, chain, ragged):
 
     a = np.asarray(_fwd_impl(q, k, v, mask, None, True, None, None, None,
                              False, False, norm_bound=False), np.float32)
-    b = np.asarray(_fwd_impl(q, k, v, mask, None, True, None, None, None,
-                             False, False, norm_bound=True), np.float32)
-    gmean, gmax = gap_stats(q, k, mask)
-    d = (res[False] - res[True]) / res[False]
-    print(f"  out max abs diff {np.abs(a - b).max():.2e}; gap mean "
-          f"{gmean:.2f} / max {gmax:.2f} nats (budget ~85); "
-          f"speedup {d*100:+.1f}%", flush=True)
-    return d
+    for nb in (True, "rows"):
+        b = np.asarray(_fwd_impl(q, k, v, mask, None, True, None, None, None,
+                                 False, False, norm_bound=nb), np.float32)
+        gmean, gmax = gap_stats(q, k, mask, rows=nb == "rows")
+        d = (res[False] - res[nb]) / res[False]
+        print(f"  [{nb!s:5s}] out max abs diff {np.abs(a - b).max():.2e}; "
+              f"gap mean {gmean:.2f} / max {gmax:.2f} nats (budget ~85); "
+              f"speedup {d*100:+.1f}%", flush=True)
+    return (res[False] - res[True]) / res[False]
 
 
 def main():

@@ -37,7 +37,9 @@ def run(p):
     return o.rewards, o.score
 
 r0, s0 = [np.asarray(x, np.float32) for x in run(params)]
-for mode in ("int8", "int8-wo", "int8-vit", "int4-wo"):
+for mode in ("int8", "int8-wo", "int8-vit", "int4-wo",
+             "int8-g128", "int8-g64", "int8-noattn", "int8-noattn-g128",
+             "int8-wo-g128"):
     q = quantize_params_mode(params, mode, min_elements=1024)
     r1, s1 = [np.asarray(x, np.float32) for x in run(q)]
     rel = np.linalg.norm(r1 - r0) / np.linalg.norm(r0)

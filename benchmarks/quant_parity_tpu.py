@@ -1,6 +1,7 @@
-"""Full-dims on-chip quantization parity: int8 (QP_SCOPE=all) or
-int8-vit (QP_SCOPE=vit) rewards/score deltas vs the bf16 tree at
-MJ-VIDEO-2B dims, random-init (the accuracy ladder in docs/PERF.md).
+"""Full-dims on-chip quantization parity: rewards/score deltas vs the
+bf16 tree at MJ-VIDEO-2B dims, random-init (the accuracy ladder in
+docs/PERF.md).  QP_MODE names any registry mode ('int8', 'int8-vit',
+'int8-noattn-g128', ...); legacy QP_SCOPE=vit maps to 'int8-vit'.
 Run via tools/onchip_queue.sh step 3."""
 
 import sys, os
@@ -13,7 +14,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp, numpy as np
 from mjvideo_tpu.configs import mjvideo_2b_config
 from mjvideo_tpu.models.reward import init_reward_params, reward_forward
-from mjvideo_tpu.ops.quant import quantize_params_int8
+from mjvideo_tpu.ops.quant import quantize_params_mode
 
 cfg = mjvideo_2b_config()
 c = cfg.chat
@@ -22,7 +23,12 @@ n_img = c.num_image_token * frames
 T = n_img + text_len
 params = init_reward_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
 import os as _os
-pq = quantize_params_int8(params, scope=_os.environ.get('QP_SCOPE', 'all'))
+_mode = _os.environ.get("QP_MODE")
+if _mode is None:
+    _mode = {"all": "int8", "vit": "int8-vit"}[
+        _os.environ.get("QP_SCOPE", "all")]
+print("mode:", _mode, flush=True)
+pq = quantize_params_mode(params, _mode)
 
 @jax.jit
 def fwd(params, pix, ids, mask, gpos):

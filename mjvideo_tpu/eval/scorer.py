@@ -99,7 +99,11 @@ class RewardScorer:
         (``ops/quant4.py``) — 4x smaller weights for capacity-bound
         judges, far outside the reward parity bar (docs/PERF.md).  The
         weight-only modes are the only quantized modes ``score_fn``
-        accepts (activations stay differentiable).
+        accepts (activations stay differentiable).  int8 modes compose
+        with ``-noattn`` (decoder attention stays bf16) and ``-gN``
+        (group-N scales via the grouped Pallas matmul) suffixes —
+        ``"int8-noattn-g128"`` is the measured parity-grade w8a8 mode
+        (score delta <=1e-2 at full 2B dims, docs/PERF.md round 5).
 
         ``sp="ring"|"allgather"``: sequence-parallel decoding of the LLM
         attention over the mesh's ``data`` axis (``parallel/sequence.py``)

@@ -373,7 +373,7 @@ def _fwd_bound_kernel(
     def _bound(q32):
         qn = jnp.sqrt(jnp.sum(q32 * q32, axis=-1, keepdims=True))
         if row_bound:
-            km = kmax_ref[0, 0][:, None]  # (block_q, 1) per-row causal max
+            km = kmax_ref[0, 0]  # (block_q, 1) per-row causal max
             return qn * km * abs(scale)
         return qn * (kmax_ref[b, h] * abs(scale))
 
@@ -500,6 +500,12 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
             pos = jnp.clip(off + jnp.arange(Qp)[None, :], 0, Kp - 1)
             kmax = jnp.take_along_axis(
                 kcum, jnp.broadcast_to(pos[:, None, :], (B, Hq, Qp)), axis=2)
+            # Trailing singleton: Mosaic's block rule needs the last two
+            # block dims divisible by (8, 128) or equal to the array dims;
+            # (1, 1, block_q, 1) satisfies it where (1, 1, block_q) cannot
+            # (second-to-last block dim 1 != Hq).  The kernel reads a
+            # (block_q, 1) tile — exactly the bound column it multiplies.
+            kmax = kmax[..., None]  # (B, Hq, Qp, 1)
         else:
             kmax = jnp.sqrt(jnp.max(kn2, axis=-1))  # (B, Hkv)
             kmax = jnp.repeat(kmax, G, axis=1)  # (B, Hq)
@@ -543,9 +549,9 @@ def _fwd_impl(q, k, v, attention_mask, q_offset, causal, scale, block_q,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [off]
     if norm_bound:
-        if norm_bound == "rows":  # (B, Hq, Qp) per-row causal bound
-            in_specs.append(pl.BlockSpec((1, 1, block_q),
-                                         lambda b, h, i, j: (b, h, i),
+        if norm_bound == "rows":  # (B, Hq, Qp, 1) per-row causal bound
+            in_specs.append(pl.BlockSpec((1, 1, block_q, 1),
+                                         lambda b, h, i, j: (b, h, i, 0),
                                          memory_space=pltpu.VMEM))
         else:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (B, Hq)

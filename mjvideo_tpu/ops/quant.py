@@ -43,9 +43,10 @@ replicated via the divisibility guard.
 
 from __future__ import annotations
 
+import functools
 import re
 from dataclasses import dataclass
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -54,10 +55,15 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclass
 class QuantKernel:
-    """int8 kernel + fp32 per-output-channel scale.
+    """int8 kernel + fp32 per-output-channel (or group-wise) scale.
 
-    ``q``: (..., K, N) int8;  ``scale``: (..., 1, N) fp32 such that
-    ``q * scale ~= w``.  Leading axes (if any) are layer stacking.
+    ``q``: (..., K, N) int8;  ``scale``: (..., G, N) fp32 such that row
+    group ``j`` dequantizes as ``q[j*g:(j+1)*g] * scale[j]`` with
+    ``g = K / G``.  ``G == 1`` is the per-output-channel default; ``G > 1``
+    (``quantize_kernel(group_size=...)``) bounds each weight's rounding
+    error by its GROUP's amax along the contraction axis — the int4
+    recipe (``quant4.py``) applied at 8 bits (VERDICT r4 item 2).
+    Leading axes (if any) are layer stacking.
     """
 
     q: jnp.ndarray
@@ -114,14 +120,31 @@ class WOQuantKernel:
         return self.scale.dtype
 
 
-def quantize_kernel(w: jnp.ndarray, dtype=jnp.float32) -> QuantKernel:
+def quantize_kernel(w: jnp.ndarray, dtype=jnp.float32,
+                    group_size: Optional[int] = None) -> QuantKernel:
     """Per-output-channel symmetric int8 quantization of a dense kernel.
 
     ``w``: (..., K, N) — the last axis is the output dimension (the
     convention of every ``.../kernel`` in this package: ``dot(x, kernel)``
     contracts x's last axis with the kernel's second-to-last).
+
+    ``group_size`` (divides K): one scale per ``group_size`` contraction
+    rows per output column instead of one per column, so a single
+    large-magnitude weight only inflates its own group's rounding step.
     """
     w32 = jnp.asarray(w, jnp.float32)
+    K = w32.shape[-2]
+    if group_size is not None and group_size < K:
+        assert K % group_size == 0, (K, group_size)
+        G = K // group_size
+        lead = w32.shape[:-2]
+        grouped = w32.reshape(*lead, G, group_size, w32.shape[-1])
+        amax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(grouped / scale), -127, 127)
+        q = q.reshape(*lead, K, w32.shape[-1]).astype(jnp.int8)
+        scale = scale.reshape(*lead, G, w32.shape[-1])
+        return QuantKernel(q=q, scale=scale.astype(dtype))
     amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)  # (..., 1, N)
     scale = jnp.maximum(amax / 127.0, 1e-12)
     q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
@@ -129,6 +152,13 @@ def quantize_kernel(w: jnp.ndarray, dtype=jnp.float32) -> QuantKernel:
 
 
 def dequantize_kernel(k: QuantKernel, dtype=jnp.float32) -> jnp.ndarray:
+    G = k.scale.shape[-2]
+    if G > 1:
+        lead = k.q.shape[:-2]
+        K, N = k.q.shape[-2:]
+        grouped = k.q.reshape(*lead, G, K // G, N).astype(jnp.float32)
+        w = grouped * k.scale[..., :, None, :].astype(jnp.float32)
+        return w.reshape(*lead, K, N).astype(dtype)
     return (k.q.astype(jnp.float32) * k.scale).astype(dtype)
 
 
@@ -143,9 +173,16 @@ def _quantize_rows(x32: jnp.ndarray):
 def dot_q8_f32(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
     """x @ dequant(kernel) computed as int8 x int8 -> int32 on the MXU,
     dequantized in fp32.  ``x``: (..., K); kernel.q: (K, N) (per-layer
-    slice — stacked kernels are sliced by scan before reaching a dot)."""
+    slice — stacked kernels are sliced by scan before reaching a dot).
+
+    Group-scaled kernels (scale (G, N), G > 1) route to the grouped
+    path: activations quantize per (row, group) and each group's int32
+    partial is dequantized by its own ``a_scale * w_scale`` before the
+    cross-group sum — both rounding errors bounded group-locally."""
     assert kernel.q.ndim == 2, (
         f"dot_q8 expects a per-layer (K, N) kernel, got {kernel.q.shape}")
+    if kernel.scale.shape[-2] > 1:
+        return _dot_q8_grouped(x, kernel)
     xq, a_scale = _quantize_rows(x.astype(jnp.float32))
     acc = jax.lax.dot_general(
         xq, kernel.q,
@@ -153,6 +190,136 @@ def dot_q8_f32(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
         preferred_element_type=jnp.int32,
     )
     return acc.astype(jnp.float32) * a_scale * kernel.scale.reshape(1, -1)
+
+
+def _quantize_rows_grouped(x32: jnp.ndarray, G: int, g: int):
+    """Per-(row, group) symmetric int8: x32 (M, K) fp32, K = G*g.
+
+    Returns (xq int8 (M, K), a_scale fp32 (M, G)).  One outlier
+    activation only coarsens its own group's rounding step — the
+    activation-side mirror of group-wise weight scales."""
+    M = x32.shape[0]
+    xg = x32.reshape(M, G, g)
+    amax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(amax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xg / a_scale), -127, 127).astype(jnp.int8)
+    return xq.reshape(M, G * g), a_scale[..., 0]
+
+
+def _dot_q8_grouped(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
+    """Group-scaled w8a8: per-group int32 partials dequantized before the
+    cross-group sum.  TPU runs the Pallas kernel (fp32 accumulator lives
+    in VMEM across the unrolled group loop — XLA would materialize a
+    (G, M, N) partial tensor); elsewhere a ``lax.scan`` over groups."""
+    K, N = kernel.q.shape
+    G = kernel.scale.shape[-2]
+    g = K // G
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K).astype(jnp.float32)
+    xq, a_scale = _quantize_rows_grouped(x2, G, g)
+    w_scale = kernel.scale.astype(jnp.float32)
+    if jax.default_backend() == "tpu" and N % 128 == 0 and g % 128 == 0:
+        out = _q8g_matmul_pallas(xq, a_scale, kernel.q, w_scale)
+    else:
+        out = _q8g_matmul_xla(xq, a_scale, kernel.q, w_scale)
+    return out.reshape(*lead, N)
+
+
+def _q8g_matmul_xla(xq, a_scale, wq, w_scale):
+    """Reference/fallback grouped int8 matmul: scan over groups keeps the
+    live partial at (M, N) fp32 instead of (G, M, N)."""
+    M, K = xq.shape
+    G, N = w_scale.shape
+    g = K // G
+    xg = jnp.transpose(xq.reshape(M, G, g), (1, 0, 2))  # (G, M, g)
+    wg = wq.reshape(G, g, N)
+
+    def step(acc, args):
+        x_i, w_i, ws_i, as_i = args
+        p = jax.lax.dot_general(
+            x_i, w_i, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc + p.astype(jnp.float32) * as_i[:, None] * ws_i[None, :], None
+
+    acc0 = jnp.zeros((M, N), jnp.float32)
+    acc, _ = jax.lax.scan(
+        step, acc0, (xg, wg, w_scale, jnp.transpose(a_scale, (1, 0))))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                              "interpret"))
+def _q8g_matmul_pallas(xq, a_scale, wq, w_scale, block_m: int = 256,
+                       block_n: int = 512, interpret: bool = False):
+    """Grouped w8a8 matmul: int8 x int8 -> int32 per group on the MXU,
+    each partial dequantized by its (row-group, col-group) scales into
+    the resident fp32 output block.
+
+    Grid (M/bm, N/bn, G) with the GROUP axis innermost ("arbitrary"):
+    the (bm, bn) output block stays in VMEM across the G steps while
+    depth-g int8 x/w tiles stream through double-buffered DMA (g=128 is
+    exactly one MXU pass).  Scales arrive as 3-D arrays — a_scale
+    (G, M, 1), w_scale (G, 1, N) — so their blocks satisfy Mosaic's
+    (8, 128)-or-equal tiling rule; no lane-dim dynamic slicing.  This is
+    the layout a group-scaled int8 GEMM needs and XLA cannot derive from
+    a scan: the scaled accumulation never leaves VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = xq.shape
+    G, N = w_scale.shape
+    g = K // G
+    bn = min(block_n, N)
+    while N % bn:
+        bn //= 2
+    bm = min(block_m, M)
+    pad_m = (-M) % bm
+    if pad_m:
+        xq = jnp.pad(xq, ((0, pad_m), (0, 0)))
+        a_scale = jnp.pad(a_scale, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    a3 = jnp.transpose(a_scale, (1, 0))[:, :, None]  # (G, Mp, 1)
+    w3 = w_scale[:, None, :]  # (G, 1, N)
+
+    def kern(x_ref, as_ref, w_ref, ws_ref, o_ref):
+        kk = pl.program_id(2)
+        part = jax.lax.dot_general(
+            x_ref[...], w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * as_ref[0] * ws_ref[0]
+
+        @pl.when(kk == 0)
+        def _init():
+            o_ref[...] = part
+
+        @pl.when(kk > 0)
+        def _acc():
+            o_ref[...] += part
+
+    out = pl.pallas_call(
+        kern,
+        grid=(Mp // bm, N // bn, G),
+        in_specs=[
+            pl.BlockSpec((bm, g), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, 1), lambda i, j, k: (k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, a3, wq, w3)
+    return out[:M] if pad_m else out
 
 
 def dot_q8(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
@@ -189,12 +356,26 @@ def dot_wo_f32(x: jnp.ndarray, kernel: WOQuantKernel) -> jnp.ndarray:
 
     The int8->x.dtype convert sits on the dot's weight operand so XLA
     can fuse it into the matmul's operand read (weights stay int8 in
-    HBM); the per-column scale applies in the fp32 epilogue."""
+    HBM); the per-column scale applies in the fp32 epilogue.
+
+    Group-scaled kernels (scale (G, N)) dequantize per group at the
+    activation dtype before ONE full-depth matmul — exact w.r.t.
+    dequantize-first, like the int4 path (``quant4._deq_halves``)."""
     assert kernel.qw.ndim == 2, (
         f"dot_wo expects a per-layer (K, N) kernel, got {kernel.qw.shape}")
+    G = kernel.scale.shape[-2]
+    dn = (((x.ndim - 1,), (0,)), ((), ()))
+    if G > 1:
+        K, N = kernel.qw.shape
+        g = K // G
+        w = (kernel.qw.reshape(G, g, N).astype(jnp.float32)
+             * kernel.scale.astype(jnp.float32)[:, None, :])
+        return jax.lax.dot_general(
+            x, w.reshape(K, N).astype(x.dtype), dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
     acc = jax.lax.dot_general(
         x, kernel.qw.astype(x.dtype),
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
     return acc * kernel.scale.astype(jnp.float32).reshape(1, -1)
@@ -256,6 +437,15 @@ def _kernel_leaf_eligible(path_str: str, leaf, exc, min_elements: int) -> bool:
 # must leave full precision.
 _VIT_INCLUDE = re.compile(r"vision_model|visual|vpm|^vision(/|$)")
 
+# Decoder attention projections (InternLM2/Llama/Phi-3 naming).  The
+# ``scope="noattn"`` selective mode leaves exactly these full precision:
+# the round-3/4 error ladder localizes the w8a8 perturbation to decoder
+# weight rounding, and the attention projections feed the softmax (where
+# logit perturbations amplify through the value mixing), while the MLP
+# (2/3 of decoder FLOPs) tolerates rounding.  ViT attention ("attn/qkv")
+# deliberately does NOT match — quantizing the ViT is measured ~free.
+_DEC_ATTN = re.compile(r"attention/(wqkv|wo|wq|wk|wv|qkv_proj|o_proj)")
+
 
 def quantize_params_int8(
     params: Any,
@@ -263,6 +453,7 @@ def quantize_params_int8(
     min_elements: int = 1 << 16,
     scope: str = "all",
     weight_only: bool = False,
+    group_size: Optional[int] = None,
 ) -> Any:
     """Replace every large dense ``.../kernel`` leaf with a QuantKernel.
 
@@ -279,8 +470,19 @@ def quantize_params_int8(
     w8a8 reward perturbation — mostly irreducible int8 weight-rounding —
     while the ViT quantizes essentially for free (rewards_rel 7e-4 vs
     3e-2 full), and at 8 frames/clip the ViT holds ~40% of the FLOPs.
+
+    ``scope="noattn"`` quantizes everything EXCEPT the decoder attention
+    projections (``_DEC_ATTN``) — the selective mode between int8-vit
+    and full int8 the round-4 error ladder motivates.
+
+    ``group_size`` (e.g. 128): group-wise scales along the contraction
+    axis instead of per-output-channel — the int4 accuracy recipe at 8
+    bits.  Group-scaled kernels route through the grouped Pallas matmul
+    (``_q8g_matmul_pallas``); weight-only group kernels dequantize per
+    group at the activation dtype.  Leaves whose K doesn't divide the
+    group get a halved per-leaf group (floor 32) or stay per-column.
     """
-    if scope not in ("all", "vit"):
+    if scope not in ("all", "vit", "noattn"):
         raise ValueError(f"unknown quant scope {scope!r}")
     exc = [re.compile(p) for p in exclude]
 
@@ -290,7 +492,16 @@ def quantize_params_int8(
             return leaf
         if scope == "vit" and not _VIT_INCLUDE.search(s):
             return leaf
-        qk = quantize_kernel(leaf)
+        if scope == "noattn" and _DEC_ATTN.search(s):
+            return leaf
+        gs = group_size
+        if gs is not None:
+            K = leaf.shape[-2]
+            while gs >= 32 and K % gs:
+                gs //= 2
+            if gs < 32:
+                gs = None
+        qk = quantize_kernel(leaf, group_size=gs)
         if weight_only:
             return WOQuantKernel(qw=qk.q, scale=qk.scale)
         return qk
@@ -312,21 +523,38 @@ def quantize_params_mode(params: Any, mode: str,
     ``"int4-wo"``: weight-only int4 with group-128 scales (4x smaller
     weights — what fits InternVL2-26B-class judges on one 16GB chip;
     ``ops/quant4.py``).
+
+    int8 modes compose with two suffixes (any order):
+    ``-noattn`` — decoder attention projections stay full precision;
+    ``-gN`` (e.g. ``-g128``) — group-N scales along the contraction axis
+    (w8a8 kernels route through the grouped Pallas matmul).
+    Examples: ``"int8-g128"``, ``"int8-noattn"``, ``"int8-noattn-g128"``,
+    ``"int8-wo-g128"``.
     """
-    if mode == "int8":
-        return quantize_params_int8(params, min_elements=min_elements)
-    if mode == "int8-vit":
-        return quantize_params_int8(params, min_elements=min_elements,
-                                    scope="vit")
-    if mode == "int8-wo":
-        return quantize_params_int8(params, min_elements=min_elements,
-                                    weight_only=True)
     if mode == "int4-wo":
         from .quant4 import quantize_params_int4
 
         return quantize_params_int4(params, min_elements=min_elements)
-    raise ValueError(f"unknown quant mode {mode!r}; "
-                     "expected 'int8', 'int8-vit', 'int8-wo' or 'int4-wo'")
+    parts = mode.split("-")
+    if parts[0] == "int8":
+        scope, weight_only, group_size = "all", False, None
+        for p in parts[1:]:
+            if p == "vit":
+                scope = "vit"
+            elif p == "noattn":
+                scope = "noattn"
+            elif p == "wo":
+                weight_only = True
+            elif re.fullmatch(r"g\d+", p):
+                group_size = int(p[1:])
+            else:
+                raise ValueError(f"unknown int8 mode suffix {p!r} in "
+                                 f"{mode!r}")
+        return quantize_params_int8(
+            params, min_elements=min_elements, scope=scope,
+            weight_only=weight_only, group_size=group_size)
+    raise ValueError(f"unknown quant mode {mode!r}; expected 'int8[-vit|"
+                     "-noattn][-wo][-gN]' or 'int4-wo'")
 
 
 def revive_quant_kernels(tree: Any) -> Any:

@@ -404,3 +404,107 @@ def test_quantized_tree_shards_over_tp_mesh(params):
         lambda kk: dot(x, WOQuantKernel(qw=kk.qw[0], scale=kk.scale[0])))(k_s)
     np.testing.assert_allclose(np.asarray(out_wo), np.asarray(ref_wo),
                                rtol=1e-6, atol=1e-6)
+
+
+# ------------------------------------------------------- group-wise int8
+
+def test_grouped_quantize_bounded_by_group_amax():
+    """Group-128 scales bound each weight's rounding error by its GROUP's
+    amax — with an injected outlier, per-column quantization smears the
+    outlier's step over the whole column while g128 contains it."""
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=(512, 64)).astype(np.float32) * 0.02
+    w[500, :] = 3.0  # one outlier row inflates every column amax
+    qk = quantize_kernel(jnp.asarray(w), group_size=128)
+    assert qk.scale.shape == (4, 64)
+    back = np.asarray(dequantize_kernel(qk))
+    grouped = w.reshape(4, 128, 64)
+    step = np.abs(grouped).max(axis=1) / 127.0  # (4, 64)
+    err = np.abs(back - w).reshape(4, 128, 64)
+    assert (err <= 0.5 * step[:, None, :] + 1e-7).all()
+    # vs per-column: group error strictly smaller in the outlier-free
+    # groups (rows 0-383; the outlier sits in group 3)
+    pc = np.asarray(dequantize_kernel(quantize_kernel(jnp.asarray(w))))
+    assert np.abs(back - w)[:384].max() < np.abs(pc - w)[:384].max() / 4
+
+
+def test_grouped_dot_q8_pallas_matches_xla_fallback():
+    """The grouped Pallas matmul and the lax.scan fallback are the same
+    computation; interpret mode pins them bit-identical off-chip."""
+    from mjvideo_tpu.ops.quant import (_q8g_matmul_pallas, _q8g_matmul_xla,
+                                       _quantize_rows_grouped)
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.normal(size=(512, 256)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.normal(size=(9, 512)).astype(np.float32))
+    qk = quantize_kernel(w, group_size=128)
+    xq, a_s = _quantize_rows_grouped(x, 4, 128)
+    out_p = np.asarray(_q8g_matmul_pallas(xq, a_s, qk.q, qk.scale,
+                                          interpret=True))
+    out_x = np.asarray(_q8g_matmul_xla(xq, a_s, qk.q, qk.scale))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-6, atol=1e-6)
+    # and the public dot routes grouped kernels to the same result
+    out_dot = np.asarray(dot_f32(x, qk))
+    np.testing.assert_allclose(out_dot, out_x, rtol=1e-6, atol=1e-6)
+    # accuracy: grouped w8a8 at least as close as per-column w8a8
+    ref = np.asarray(x @ w)
+    rel_g = np.linalg.norm(out_dot - ref) / np.linalg.norm(ref)
+    rel_c = np.linalg.norm(np.asarray(dot_f32(x, quantize_kernel(w))) - ref) \
+        / np.linalg.norm(ref)
+    assert rel_g <= rel_c * 1.1, (rel_g, rel_c)
+
+
+def test_grouped_weight_only_exact_vs_dequant():
+    from mjvideo_tpu.ops.quant import WOQuantKernel, dot_wo_f32
+
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.normal(size=(5, 256)).astype(np.float32))
+    qk = quantize_kernel(w, group_size=64)
+    wo = WOQuantKernel(qw=qk.q, scale=qk.scale)
+    ref = np.asarray(x @ dequantize_kernel(qk))
+    np.testing.assert_allclose(np.asarray(dot_wo_f32(x, wo)), ref,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_stacked_kernels_slice_through_scan():
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(3, 256, 128)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    qt = quantize_params_int8(
+        {"layers": {"attention": {"wq": {"kernel": w}}}},
+        min_elements=128, group_size=64)
+    k = qt["layers"]["attention"]["wq"]["kernel"]
+    assert k.scale.shape == (3, 4, 128)
+
+    def step(c, lyr):
+        return c, dot(x, lyr["attention"]["wq"]["kernel"])
+
+    _, ys = jax.lax.scan(step, 0, qt["layers"])
+    for i in range(3):
+        ref = np.asarray(x @ w[i])
+        rel = np.linalg.norm(np.asarray(ys[i]) - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, (i, rel)
+
+
+def test_mode_parser_suffixes_and_noattn_scope():
+    from mjvideo_tpu.ops.quant import QuantKernel as QK
+    from mjvideo_tpu.ops.quant import WOQuantKernel, quantize_params_mode
+
+    p = {"feed_forward": {"w1": {"kernel": jnp.zeros((512, 256))}},
+         "attention": {"wqkv": {"kernel": jnp.zeros((512, 256))}}}
+    q = quantize_params_mode(p, "int8-noattn-g128", min_elements=1024)
+    w1 = q["feed_forward"]["w1"]["kernel"]
+    assert isinstance(w1, QK) and w1.scale.shape == (4, 256)
+    assert not is_quantized({"a": q["attention"]})
+    q2 = quantize_params_mode(p, "int8-wo-g128", min_elements=1024)
+    assert isinstance(q2["feed_forward"]["w1"]["kernel"], WOQuantKernel)
+    q3 = quantize_params_mode(p, "int8-g64", min_elements=1024)
+    assert q3["feed_forward"]["w1"]["kernel"].scale.shape[-2] == 8
+    # a group that never divides K falls back to per-column
+    q4 = quantize_params_mode(p, "int8-g96", min_elements=1024)
+    assert q4["feed_forward"]["w1"]["kernel"].scale.shape[-2] == 1
+    with pytest.raises(ValueError):
+        quantize_params_mode(p, "int8-bogus")
+    with pytest.raises(ValueError):
+        quantize_params_mode(p, "fp8")
