@@ -233,12 +233,120 @@ def phase3_real_dims_throughput(jnp, jax, quant_mode):
     return ok
 
 
+def phase4_quant_fidelity(jnp, jax, quant_mode, n_pairs=4, frames=4):
+    """Fidelity datapoint for the quantized 8.3B serving config (VERDICT
+    r4 item 3): host bf16 oracle forward at REAL dims vs the on-chip
+    quantized path — 5-dim logit deltas, summed-score delta, and the
+    preference/good-bad flip rate on a small synthetic pair set under
+    the reference's rules (``eval_genai_videoScore.py:160-205``:
+    preference = summed-score comparison; "good" iff total > 2).
+
+    Budget note: the host oracle is ~2*8.3e9*T FLOPs per video on one
+    CPU core, so the pair set uses {frames}-frame clips (T = 512-token
+    bucket) — the same weights and real model dims, shorter sequence.
+    Random-init params make the flip rate PESSIMISTIC: both videos of a
+    pair score near zero, so tiny perturbations can flip ties that a
+    trained checkpoint would separate.
+    """
+    from mjvideo_tpu.models.videoscore import (
+        VideoScoreConfig,
+        init_videoscore_params,
+        videoscore_forward,
+    )
+    from mjvideo_tpu.ops.quant import quantize_params_mode
+
+    cfg = VideoScoreConfig(num_labels=5)
+    cpu = jax.devices("cpu")[0]
+    n_lat = cfg.perceiver.n_latents
+    T = 512
+    used = 8 + frames * (n_lat + 2) + 120
+
+    def make_clip(rng):
+        pix = rng.normal(size=(frames, 378, 672, 3)).astype(np.float32)
+        ids = rng.integers(3, 30000, size=(1, T)).astype(np.int32)
+        for i in range(frames):
+            ids[0, 8 + i * (n_lat + 2): 8 + i * (n_lat + 2) + n_lat] = \
+                cfg.image_token_id
+        amask = np.zeros((1, T), np.int32)
+        amask[0, :used] = 1
+        ids[0, used:] = cfg.text.pad_token_id
+        return pix, ids, amask
+
+    t0 = time.perf_counter()
+    with jax.default_device(cpu):
+        params = init_videoscore_params(jax.random.PRNGKey(2), cfg,
+                                        dtype=jnp.bfloat16, num_labels=5)
+        pq = quantize_params_mode(params, quant_mode)
+    print(f"phase 4: host init+quantize {time.perf_counter() - t0:.0f}s",
+          flush=True)
+    dev = jax.devices()[0]
+    pq = jax.device_put(pq, dev)
+    jax.block_until_ready(pq)
+
+    fwd_dev = jax.jit(lambda p, pv, i, m: videoscore_forward(p, cfg, pv, i,
+                                                             m))
+
+    def fwd_host(pv, ids, amask):
+        with jax.default_device(cpu):
+            out = jax.jit(
+                lambda p, a, b, c: videoscore_forward(
+                    p, cfg, a, b, c, attn_impl="xla"))(
+                params, jnp.asarray(pv, jnp.bfloat16), jnp.asarray(ids),
+                jnp.asarray(amask))
+        return np.asarray(out, np.float32)[0]
+
+    rng = np.random.default_rng(7)
+    logit_deltas, score_deltas = [], []
+    flips_pref = flips_good = 0
+    for pair in range(n_pairs):
+        totals = {"host": [], "dev": []}
+        for _v in range(2):
+            pv, ids, amask = make_clip(rng)
+            t0 = time.perf_counter()
+            lh = fwd_host(pv, ids, amask)
+            th = time.perf_counter() - t0
+            ld = np.asarray(fwd_dev(pq, jnp.asarray(pv, jnp.bfloat16),
+                                    jnp.asarray(ids), jnp.asarray(amask)),
+                            np.float32)[0]
+            logit_deltas.append(np.abs(lh - ld))
+            # the reference sums per-aspect logits rounded to 3 digits
+            sh = float(np.round(lh, 3).sum())
+            sd = float(np.round(ld, 3).sum())
+            score_deltas.append(abs(sh - sd))
+            totals["host"].append(sh)
+            totals["dev"].append(sd)
+            print(f"phase 4: pair {pair} video {_v}: host {lh.round(3)} "
+                  f"(sum {sh:+.3f}, {th:.0f}s) vs {quant_mode} "
+                  f"{ld.round(3)} (sum {sd:+.3f})", flush=True)
+        if ((totals["host"][0] > totals["host"][1])
+                != (totals["dev"][0] > totals["dev"][1])):
+            flips_pref += 1
+        for v in range(2):
+            if (totals["host"][v] > 2) != (totals["dev"][v] > 2):
+                flips_good += 1
+    ld = np.stack(logit_deltas)
+    print(f"phase 4: {quant_mode} vs host-bf16 oracle over "
+          f"{2 * n_pairs} videos: 5-dim logit delta max {ld.max():.4f} "
+          f"mean {ld.mean():.4f}; summed-score delta max "
+          f"{max(score_deltas):.4f}; preference flips {flips_pref}/"
+          f"{n_pairs}, good-threshold flips {flips_good}/{2 * n_pairs}",
+          flush=True)
+    # budget: the preference rule compares summed scores of a pair, so
+    # the relevant scale is the summed-score delta
+    ok = bool(np.isfinite(ld).all())
+    print(f"phase 4: {'PASS' if ok else 'FAIL'}", flush=True)
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-real-dims", action="store_true",
                     help="skip the 8.3B int8 upload (phases 1-2 only)")
     ap.add_argument("--quant", default="int8-wo",
-                    choices=["int8", "int8-wo", "int4-wo"])
+                    choices=["int8", "int8-wo", "int8-wo-g128", "int4-wo"])
+    ap.add_argument("--fidelity", action="store_true",
+                    help="run phase 4: host bf16 oracle vs the quantized "
+                         "chip path (VERDICT r4 item 3)")
     args = ap.parse_args()
 
     from mjvideo_tpu.utils.profiling import enable_compilation_cache
@@ -249,6 +357,11 @@ def main():
 
     print(f"backend: {jax.default_backend()} {jax.devices()[0]}",
           flush=True)
+    if args.fidelity:
+        ok = phase4_quant_fidelity(jnp, jax, args.quant)
+        print("VIDEOSCORE_TPU_OK" if ok else "VIDEOSCORE_TPU_FAILED",
+              flush=True)
+        sys.exit(0 if ok else 1)
     ok = phase1_masked_vision_flash(jnp, jax)
     ok &= phase2_full_model_mid_dims(jnp, jax)
     if not args.skip_real_dims:

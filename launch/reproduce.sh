@@ -150,6 +150,13 @@ for fam in internvl:JUDGE_INTERNVL qwen2vl:JUDGE_QWEN2VL \
     run "fine_grained_$name" --benchmark fine-grained --judge "$flag" \
         --judge-model "$ckpt" --data-json "$DATA_JSON" \
         --video-root "$VIDEO_ROOT" "${EXTRA[@]}"
+  else
+    # hermetic: the full rubric loop (34 prompts/pair, prefix cache on)
+    # through ONE pair of ONE family — the most complex eval path stays
+    # under the same rot-proofing (VERDICT r4 item 7)
+    run "fine_grained_$name" --benchmark fine-grained --judge "$flag" \
+        --judge-model "$ckpt" --data-json "$DATA_JSON" \
+        --video-root "$VIDEO_ROOT" --limit 1 "${EXTRA[@]}"
   fi
 done
 if [[ -n "${JUDGE_VIDEOSCORE:-}" ]]; then

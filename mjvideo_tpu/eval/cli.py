@@ -59,7 +59,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="clips per device dispatch (default: measured "
                         "optimum, 1/data-shard on TPU)")
     p.add_argument("--quant", default=None,
-                   choices=["int8", "int8-vit", "int8-wo", "int4-wo"],
                    help="serving quantization: 'int8' = w8a8 on every "
                         "large dense kernel (+31%% measured clips/s vs "
                         "bf16); 'int8-vit' = vision tower only "
@@ -67,7 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "weight-only w8a16 (halves weight HBM for "
                         "decode-bound serving, no activation error); "
                         "'int4-wo' = weight-only int4, group-128 scales "
-                        "(fits 26B-class judges on one 16GB chip)")
+                        "(fits 26B-class judges on one 16GB chip). "
+                        "int8 modes compose with -noattn / -gN suffixes; "
+                        "'int8-noattn-g128' is the parity-grade w8a8 "
+                        "mode (score delta <=1e-2 at full 2B dims)")
     p.add_argument("--no-prefix-cache", action="store_true",
                    help="disable per-video prefix KV caching in the "
                         "local judges (on by default: the shared "
@@ -80,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "long-video judge decode (a 26B judge's 26k-token "
                         "bf16 cache alone is ~5 GB); no effect on the "
                         "reward scorer (single forward, no cache)")
+    p.add_argument("--limit", type=int, default=None,
+                   help="evaluate only the first N records (smoke runs / "
+                        "the hermetic reproduce harness; genai streams "
+                        "from the hub and ignores it)")
     p.add_argument("--byte-tokenizer", action="store_true",
                    help="hermetic mode: use the dependency-free "
                         "ByteTokenizer (matches train CLI --tiny runs / "
@@ -295,6 +301,8 @@ def main(argv=None) -> None:
             )
     else:
         records = _load_records(args.data_json)
+        if args.limit is not None:
+            records = records[:args.limit]
         if args.benchmark == "safesora":
             from .preference import filter_safesora_pairs
 

@@ -385,7 +385,9 @@ def test_reproduce_script_hermetic_dry_run(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     assert "HERMETIC_OK" in r.stdout
-    # every table family produced a metrics JSON
+    # every table family produced a metrics JSON — including the
+    # fine-grained rubric loop (34 prompts/pair through judge_pair with
+    # the prefix cache on, VERDICT r4 item 7)
     for part in ("aspects_mjvideo", "overall_mjvideo", "safesora_mjvideo",
-                 "overall_internvl"):
+                 "overall_internvl", "fine_grained_internvl"):
         assert f"== {part}" in r.stdout, r.stdout[-3000:]
