@@ -182,7 +182,7 @@ def dot_q8_f32(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
     assert kernel.q.ndim == 2, (
         f"dot_q8 expects a per-layer (K, N) kernel, got {kernel.q.shape}")
     if kernel.scale.shape[-2] > 1:
-        return _dot_q8_grouped(x, kernel)
+        return _dot_q8_grouped(x, kernel, jnp.float32)
     xq, a_scale = _quantize_rows(x.astype(jnp.float32))
     acc = jax.lax.dot_general(
         xq, kernel.q,
@@ -206,23 +206,113 @@ def _quantize_rows_grouped(x32: jnp.ndarray, G: int, g: int):
     return xq.reshape(M, G * g), a_scale[..., 0]
 
 
-def _dot_q8_grouped(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
+def _dot_q8_grouped(x: jnp.ndarray, kernel: QuantKernel,
+                    out_dtype) -> jnp.ndarray:
     """Group-scaled w8a8: per-group int32 partials dequantized before the
-    cross-group sum.  TPU runs the Pallas kernel (fp32 accumulator lives
-    in VMEM across the unrolled group loop — XLA would materialize a
-    (G, M, N) partial tensor); elsewhere a ``lax.scan`` over groups."""
+    cross-group sum.  TPU runs the FUSED Pallas kernel (activations
+    quantize tile-locally in VMEM, fp32 scratch accumulator, output
+    written once at ``out_dtype`` — no materialized xq / fp32-output HBM
+    passes); elsewhere a ``lax.scan`` over groups with the same
+    per-(row, group) quantization semantics."""
     K, N = kernel.q.shape
     G = kernel.scale.shape[-2]
     g = K // G
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, K).astype(jnp.float32)
-    xq, a_scale = _quantize_rows_grouped(x2, G, g)
     w_scale = kernel.scale.astype(jnp.float32)
     if jax.default_backend() == "tpu" and N % 128 == 0 and g % 128 == 0:
-        out = _q8g_matmul_pallas(xq, a_scale, kernel.q, w_scale)
+        out = _q8g_matmul_pallas_fused(
+            x.reshape(-1, K), kernel.q, w_scale, out_dtype=out_dtype)
     else:
-        out = _q8g_matmul_xla(xq, a_scale, kernel.q, w_scale)
+        x2 = x.reshape(-1, K).astype(jnp.float32)
+        xq, a_scale = _quantize_rows_grouped(x2, G, g)
+        out = _q8g_matmul_xla(xq, a_scale, kernel.q,
+                              w_scale).astype(out_dtype)
     return out.reshape(*lead, N)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_m",
+                                              "block_n", "interpret"))
+def _q8g_matmul_pallas_fused(x, wq, w_scale, out_dtype=None,
+                             block_m: int = 512, block_n: int = 2048,
+                             interpret: bool = False):
+    """Fused grouped w8a8 matmul: quantize-in-kernel, scaled int8 MXU
+    dots, one output write at x.dtype.
+
+    Per grid step (i, j, k) the kernel holds a (bm, g) activation tile;
+    the per-(row, group) amax is TILE-LOCAL (the group IS the tile's
+    contraction extent), so dynamic activation quantization runs in VMEM
+    with no materialized int8 copy or scale tensor in HBM.  The int32
+    MXU partial dequantizes by ``a_scale * w_scale[group]`` into an fp32
+    VMEM scratch accumulator; the output block writes ONCE, already cast
+    to x.dtype, on the last group step.  vs the unfused variant this
+    saves three full HBM passes (xq write+read, fp32 out write+read) —
+    on v5e those passes cost more than the matmul itself at decoder
+    shapes.  Blocks default large (bm=512, bn=2048) to cut operand
+    re-reads: W re-reads ceil(M/bm) times, x re-reads N/bn times.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    G, N = w_scale.shape
+    g = K // G
+    if out_dtype is None:
+        out_dtype = x.dtype
+    bn = min(block_n, N)
+    while N % bn:
+        bn //= 2
+    bm = min(block_m, M)
+    pad_m = (-M) % bm
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    w3 = w_scale[:, None, :]  # (G, 1, N)
+
+    def kern(x_ref, w_ref, ws_ref, o_ref, acc_ref):
+        kk = pl.program_id(2)
+        xf = x_ref[...].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)  # (bm, 1)
+        a_s = jnp.maximum(amax / 127.0, 1e-12)
+        xq = jnp.clip(jnp.round(xf / a_s), -127, 127).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            xq, w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * a_s * ws_ref[0]
+
+        @pl.when(kk == 0)
+        def _init():
+            acc_ref[...] = part
+
+        @pl.when(kk > 0)
+        def _acc():
+            acc_ref[...] += part
+
+        @pl.when(kk == G - 1)
+        def _out():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(Mp // bm, N // bn, G),
+        in_specs=[
+            pl.BlockSpec((bm, g), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, wq, w3)
+    return out[:M] if pad_m else out
 
 
 def _q8g_matmul_xla(xq, a_scale, wq, w_scale):
@@ -323,6 +413,10 @@ def _q8g_matmul_pallas(xq, a_scale, wq, w_scale, block_m: int = 256,
 
 
 def dot_q8(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
+    if kernel.scale.shape[-2] > 1:
+        # grouped path: the fused kernel writes the output ONCE at the
+        # requested dtype — avoid a separate fp32->bf16 HBM pass
+        return _dot_q8_grouped(x, kernel, x.dtype)
     return dot_q8_f32(x, kernel).astype(x.dtype)
 
 

@@ -443,6 +443,13 @@ def test_grouped_dot_q8_pallas_matches_xla_fallback():
                                           interpret=True))
     out_x = np.asarray(_q8g_matmul_xla(xq, a_s, qk.q, qk.scale))
     np.testing.assert_allclose(out_p, out_x, rtol=1e-6, atol=1e-6)
+    # the fused variant (quantize-in-kernel, scratch accumulator) computes
+    # the same thing up to fp32 scale-multiplication order
+    from mjvideo_tpu.ops.quant import _q8g_matmul_pallas_fused
+
+    out_f = np.asarray(_q8g_matmul_pallas_fused(
+        x, qk.q, qk.scale, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out_f, out_x, rtol=1e-5, atol=1e-5)
     # and the public dot routes grouped kernels to the same result
     out_dot = np.asarray(dot_f32(x, qk))
     np.testing.assert_allclose(out_dot, out_x, rtol=1e-6, atol=1e-6)
