@@ -39,6 +39,8 @@ def run(p):
 r0, s0 = [np.asarray(x, np.float32) for x in run(params)]
 for mode in ("int8", "int8-wo", "int8-vit", "int4-wo",
              "int8-g128", "int8-g64", "int8-noattn", "int8-noattn-g128",
+             "int8-noattn-g256", "int8-noattn-g512",
+             "int8-ol16", "int8-ol32", "int8-noattn-ol16", "int8-noattn-ol32",
              "int8-wo-g128"):
     q = quantize_params_mode(params, mode, min_elements=1024)
     r1, s1 = [np.asarray(x, np.float32) for x in run(q)]

@@ -36,8 +36,11 @@ def dot(x: jnp.ndarray, kernel) -> jnp.ndarray:
     trainable low-rank delta; its base recurses here, so QLoRA
     compositions work); every model family routes its dense matmuls
     here, so the dispatch covers them all."""
-    from .quant import QuantKernel, WOQuantKernel, dot_q8, dot_wo
+    from .quant import (OutlierQuantKernel, QuantKernel, WOQuantKernel,
+                        dot_q8, dot_q8_ol, dot_wo)
 
+    if isinstance(kernel, OutlierQuantKernel):
+        return dot_q8_ol(x, kernel)
     if isinstance(kernel, QuantKernel):
         return dot_q8(x, kernel)
     if isinstance(kernel, WOQuantKernel):
@@ -58,8 +61,11 @@ def dot(x: jnp.ndarray, kernel) -> jnp.ndarray:
 
 def dot_f32(x: jnp.ndarray, kernel) -> jnp.ndarray:
     """x @ kernel with fp32 accumulation, result kept in fp32."""
-    from .quant import QuantKernel, WOQuantKernel, dot_q8_f32, dot_wo_f32
+    from .quant import (OutlierQuantKernel, QuantKernel, WOQuantKernel,
+                        dot_q8_f32, dot_q8_ol_f32, dot_wo_f32)
 
+    if isinstance(kernel, OutlierQuantKernel):
+        return dot_q8_ol_f32(x, kernel)
     if isinstance(kernel, QuantKernel):
         return dot_q8_f32(x, kernel)
     if isinstance(kernel, WOQuantKernel):

@@ -120,6 +120,72 @@ class WOQuantKernel:
         return self.scale.dtype
 
 
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("q", "scale"), meta_fields=("n_outliers",))
+@dataclass
+class OutlierQuantKernel:
+    """Per-column int8 kernel with RUNTIME activation-outlier
+    decomposition (the LLM.int8() scheme, TPU-adapted).
+
+    Storage is identical to the per-column ``QuantKernel`` (``q`` int8
+    (..., K, N), ``scale`` (..., 1, N)); the difference is the dot: at
+    each call the ``n_outliers`` activation CHANNELS with the largest
+    column amax route through a small full-precision matmul (their
+    weight rows dequantize on the fly — no extra storage), and are
+    zeroed out of the int8 path.  One outlier channel otherwise inflates
+    every row's per-row activation scale, which is the dominant w8a8
+    error source this package measured (per-group activation scales cut
+    rewards_rel 0.117 -> 0.086 at full dims); the decomposition buys the
+    same effect while keeping ONE full-depth double-rate int8 MXU matmul
+    (the grouped kernel's O(G) VPU dequant epilogue made it slower than
+    bf16 -- docs/PERF.md round 5).  Everything is static-shaped: top_k
+    count is fixed, gathers/scatter are in-graph, no host sync.
+    """
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+    n_outliers: int = 32
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    @property
+    def dtype(self):
+        return self.scale.dtype
+
+
+def dot_q8_ol_f32(x: jnp.ndarray, kernel: OutlierQuantKernel) -> jnp.ndarray:
+    """x @ dequant(kernel) with the top-``n_outliers`` activation
+    channels (by column amax over the batch) in full precision."""
+    assert kernel.q.ndim == 2, (
+        f"dot_q8_ol expects a per-layer (K, N) kernel, got {kernel.q.shape}")
+    K = kernel.q.shape[0]
+    k_out = min(kernel.n_outliers, K)
+    lead = x.shape[:-1]
+    x32 = x.reshape(-1, K).astype(jnp.float32)
+    colmax = jnp.max(jnp.abs(x32), axis=0)  # (K,)
+    _, idx = jax.lax.top_k(colmax, k_out)
+    x_out = jnp.take(x32, idx, axis=1)  # (M, k_out)
+    w_out = (jnp.take(kernel.q, idx, axis=0).astype(jnp.float32)
+             * kernel.scale)  # (k_out, N)
+    # zero the outlier channels out of the int8 path so the per-row
+    # scale is set by the INLIER amax
+    mask = jnp.zeros((K,), x32.dtype).at[idx].set(1.0)
+    xq, a_scale = _quantize_rows(x32 * (1.0 - mask))
+    acc = jax.lax.dot_general(
+        xq, kernel.q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * a_scale * kernel.scale.reshape(1, -1)
+    acc = acc + jnp.dot(x_out, w_out, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    return acc.reshape(*lead, kernel.q.shape[1])
+
+
 def quantize_kernel(w: jnp.ndarray, dtype=jnp.float32,
                     group_size: Optional[int] = None) -> QuantKernel:
     """Per-output-channel symmetric int8 quantization of a dense kernel.
@@ -412,6 +478,10 @@ def _q8g_matmul_pallas(xq, a_scale, wq, w_scale, block_m: int = 256,
     return out[:M] if pad_m else out
 
 
+def dot_q8_ol(x: jnp.ndarray, kernel: OutlierQuantKernel) -> jnp.ndarray:
+    return dot_q8_ol_f32(x, kernel).astype(x.dtype)
+
+
 def dot_q8(x: jnp.ndarray, kernel: QuantKernel) -> jnp.ndarray:
     if kernel.scale.shape[-2] > 1:
         # grouped path: the fused kernel writes the output ONCE at the
@@ -548,6 +618,7 @@ def quantize_params_int8(
     scope: str = "all",
     weight_only: bool = False,
     group_size: Optional[int] = None,
+    outliers: Optional[int] = None,
 ) -> Any:
     """Replace every large dense ``.../kernel`` leaf with a QuantKernel.
 
@@ -598,6 +669,9 @@ def quantize_params_int8(
         qk = quantize_kernel(leaf, group_size=gs)
         if weight_only:
             return WOQuantKernel(qw=qk.q, scale=qk.scale)
+        if outliers and gs is None:
+            return OutlierQuantKernel(q=qk.q, scale=qk.scale,
+                                      n_outliers=outliers)
         return qk
 
     return jax.tree_util.tree_map_with_path(one, params)
@@ -631,7 +705,7 @@ def quantize_params_mode(params: Any, mode: str,
         return quantize_params_int4(params, min_elements=min_elements)
     parts = mode.split("-")
     if parts[0] == "int8":
-        scope, weight_only, group_size = "all", False, None
+        scope, weight_only, group_size, outliers = "all", False, None, None
         for p in parts[1:]:
             if p == "vit":
                 scope = "vit"
@@ -641,12 +715,15 @@ def quantize_params_mode(params: Any, mode: str,
                 weight_only = True
             elif re.fullmatch(r"g\d+", p):
                 group_size = int(p[1:])
+            elif re.fullmatch(r"ol\d+", p):
+                outliers = int(p[2:])
             else:
                 raise ValueError(f"unknown int8 mode suffix {p!r} in "
                                  f"{mode!r}")
         return quantize_params_int8(
             params, min_elements=min_elements, scope=scope,
-            weight_only=weight_only, group_size=group_size)
+            weight_only=weight_only, group_size=group_size,
+            outliers=outliers)
     raise ValueError(f"unknown quant mode {mode!r}; expected 'int8[-vit|"
                      "-noattn][-wo][-gN]' or 'int4-wo'")
 

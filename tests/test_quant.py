@@ -515,3 +515,69 @@ def test_mode_parser_suffixes_and_noattn_scope():
         quantize_params_mode(p, "int8-bogus")
     with pytest.raises(ValueError):
         quantize_params_mode(p, "fp8")
+
+
+# ------------------------------------------------- outlier decomposition
+
+def test_outlier_decomposition_exact_when_no_rounding():
+    """With n_outliers = K every channel routes through the
+    full-precision branch: the result must equal x @ dequant(W) exactly
+    (the int8 path sees all-zero activations)."""
+    from mjvideo_tpu.ops.quant import OutlierQuantKernel, dot_q8_ol_f32
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.normal(size=(6, 128)).astype(np.float32))
+    qk = quantize_kernel(w)
+    ok = OutlierQuantKernel(q=qk.q, scale=qk.scale, n_outliers=128)
+    ref = np.asarray(x @ dequantize_kernel(qk))
+    np.testing.assert_allclose(np.asarray(dot_q8_ol_f32(x, ok)), ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_outlier_decomposition_contains_activation_outlier():
+    """An injected activation outlier channel inflates every row's int8
+    scale in the plain path; the decomposition routes it full precision
+    and stays close to the fp32 result."""
+    from mjvideo_tpu.ops.quant import OutlierQuantKernel, dot_q8_ol_f32
+
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32) * 0.05)
+    x_np = rng.normal(size=(8, 256)).astype(np.float32)
+    x_np[:, 100] *= 80.0  # one hot channel dominates every row amax
+    x = jnp.asarray(x_np)
+    qk = quantize_kernel(w)
+    ref = np.asarray(x @ w)
+    plain = np.asarray(dot_q8(x, qk))
+    ok = OutlierQuantKernel(q=qk.q, scale=qk.scale, n_outliers=4)
+    dec = np.asarray(dot_q8_ol_f32(x, ok))
+    rel_plain = np.linalg.norm(plain - ref) / np.linalg.norm(ref)
+    rel_dec = np.linalg.norm(dec - ref) / np.linalg.norm(ref)
+    assert rel_dec < rel_plain / 3, (rel_dec, rel_plain)
+    # dispatch: ops.matmul routes the wrapper, and scan slices it
+    np.testing.assert_array_equal(
+        np.asarray(dot(x, ok)), np.asarray(dec.astype(np.float32)))
+
+
+def test_outlier_mode_parser_and_scan():
+    from mjvideo_tpu.ops.quant import OutlierQuantKernel, quantize_params_mode
+
+    p = {"feed_forward": {"w1": {"kernel": jnp.zeros((3, 512, 256))}}}
+    q = quantize_params_mode(p, "int8-noattn-ol16", min_elements=1024)
+    k = q["feed_forward"]["w1"]["kernel"]
+    assert isinstance(k, OutlierQuantKernel) and k.n_outliers == 16
+    rng = np.random.default_rng(10)
+    w = jnp.asarray(rng.normal(size=(3, 256, 128)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    qt = quantize_params_mode(
+        {"layers": {"attention": {"wq": {"kernel": w}}}},
+        "int8-ol8", min_elements=128)
+
+    def step(c, lyr):
+        return c, dot(x, lyr["attention"]["wq"]["kernel"])
+
+    _, ys = jax.lax.scan(step, 0, qt["layers"])
+    for i in range(3):
+        ref = np.asarray(x @ w[i])
+        rel = np.linalg.norm(np.asarray(ys[i]) - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, (i, rel)
