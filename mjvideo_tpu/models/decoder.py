@@ -46,11 +46,13 @@ from ..ops.rope import apply_rope, rope_tables
 # mathematically identical but rounded differently, perturbing the cached
 # prefix k/v at ulp level and reopening the greedy-tie caveat the
 # prefix-flash work closed (docs/PARITY.md prefix caching).  The cached
-# paths instead run the ROW-CAUSAL bound (norm_bound="rows",
-# generate._CACHE_BOUND): per-row kmax over keys <= the row's own global
-# position — deterministic across prefix-only and full-prompt prefills BY
-# CONSTRUCTION (benchmarks/prefix_flash_identity_tpu.py pins identity on
-# chip).  CogVLM2's bespoke cache layer keeps the exact softmax.
+# paths have an opt-in ROW-CAUSAL bound instead (norm_bound="rows",
+# generate._CACHE_BOUND, MJV_CACHE_NORM_BOUND=1): per-row kmax over keys
+# <= the row's own global position — deterministic across prefix-only and
+# full-prompt prefills BY CONSTRUCTION — but it measured below the 2%
+# adoption bar on chip (+1.7% prefill / -3.6% ragged, llm_bound_ab.py
+# round 5), so the cached paths default to the exact softmax.
+# CogVLM2's bespoke cache layer likewise keeps the exact softmax.
 _LLM_BOUND = os.environ.get("MJV_LLM_NORM_BOUND", "1") != "0"
 
 

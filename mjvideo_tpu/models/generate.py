@@ -40,15 +40,20 @@ from .internvl import extract_feature, scatter_image_embeds
 # variant: each q row's bound is the running key-norm max over positions
 # <= its own global slot — a pure function of the tokens before it, so a
 # prefix-only prefill and a full-prompt prefill compute IDENTICAL bounds
-# for shared rows BY CONSTRUCTION (``_fwd_bound_kernel`` row_bound).  This
-# recovers the bound's prefill speedup (benchmarks/llm_bound_ab.py) for
-# the judge benchmarks without reopening the greedy-tie caveat the
-# prefix-flash work closed (VERDICT r4 next-4; the global-kmax variant
-# stays disabled here for exactly that reason, models/decoder.py:42).
-# Token identity across all four judge families is pinned on chip by
-# benchmarks/prefix_flash_identity_tpu.py.  MJV_CACHE_NORM_BOUND=0
-# restores the exact online softmax in these paths.
-_CACHE_BOUND = ("rows" if os.environ.get("MJV_CACHE_NORM_BOUND", "1") != "0"
+# for shared rows BY CONSTRUCTION (``_fwd_bound_kernel`` row_bound), with
+# no greedy-tie hazard (the reason the GLOBAL-kmax variant stays out of
+# these paths, models/decoder.py:42).
+#
+# OFF BY DEFAULT — measured negative result (VERDICT r4 item 4, round-5
+# on-chip A/B in benchmarks/llm_bound_ab.py): the per-row kmax VMEM block
+# and per-row bound math eat most of the collapsed-softmax win — +1.7% at
+# the B1 prefill shape (below the pre-registered 2% adoption bar) and
+# -3.6% at the ragged B4 shape that pair-batched judge prefills (B=2,
+# mixed lengths) resemble, vs the global bound's +5.6%/+6.2% on the same
+# shapes.  The mechanism stays correctness-tested (XLA parity under GQA +
+# ragged padding + per-row q_offset, bit-identical prefix rows —
+# tests/test_flash_attention.py); MJV_CACHE_NORM_BOUND=1 opts in.
+_CACHE_BOUND = ("rows" if os.environ.get("MJV_CACHE_NORM_BOUND", "0") == "1"
                 else False)
 
 
