@@ -18,6 +18,21 @@ top of parity, strictly opt-in (``RewardScorer(quant=...)``).  Modes
 * ``"int4-wo"`` — weight-only int4 with group scales (``quant4.py``):
   capacity mode — fits 26B-class judges on one 16GB chip.
 
+int8 modes compose with suffixes (round-5 additions; measured
+trade-offs in docs/PERF.md round 5):
+
+* ``-noattn`` — decoder attention projections stay full precision;
+* ``-gN`` — group-N contraction scales for weights AND activations,
+  computed by the fused grouped Pallas matmul
+  (``_q8g_matmul_pallas_fused``).  ``int8-noattn-g128`` is the
+  tightest-parity w8a8 tree (score delta 0.0068 at full 2B dims) but
+  SLOWER than per-column int8 (the per-group dequant epilogue is O(G)
+  VPU work) — it exists for HBM-bound deployments, not throughput;
+* ``-olN`` — runtime activation-outlier decomposition
+  (``OutlierQuantKernel``): keeps the single double-rate int8 matmul,
+  routes the N hottest activation channels through full precision.
+  For trained checkpoints with emergent outlier channels.
+
 Scheme (standard w8a8, no calibration pass needed):
 
 * weights: per-output-channel symmetric int8 — each output column keeps
@@ -737,7 +752,12 @@ def revive_quant_kernels(tree: Any) -> Any:
     (``ops.matmul.dot`` routes on ``isinstance(..., QuantKernel)``).
     This walk re-wraps any dict of exactly those two keys whose ``q``
     (or ``qw``, the weight-only wrapper) leaf is int8 — unambiguous,
-    since no model family in this package uses those parameter names."""
+    since no model family in this package uses those parameter names.
+    Caveat: an ``OutlierQuantKernel`` serializes the same data fields as
+    a plain ``QuantKernel`` (``n_outliers`` is static metadata, not a
+    leaf), so a structure-LESS restore revives it as a ``QuantKernel``
+    (per-column int8, no decomposition) — restore with a target tree to
+    keep the outlier mode."""
     def is_qk(n):
         if not isinstance(n, dict):
             return False
