@@ -787,7 +787,8 @@ def revive_quant_kernels(tree: Any) -> Any:
 def _is_qnode(x) -> bool:
     from .quant4 import Q4Kernel
 
-    return isinstance(x, (QuantKernel, WOQuantKernel, Q4Kernel))
+    return isinstance(x, (QuantKernel, WOQuantKernel, OutlierQuantKernel,
+                          Q4Kernel))
 
 
 def is_quantized(params: Any) -> bool:
