@@ -233,7 +233,8 @@ def phase3_real_dims_throughput(jnp, jax, quant_mode):
     return ok
 
 
-def phase4_quant_fidelity(jnp, jax, quant_mode, n_pairs=4, frames=4):
+def phase4_quant_fidelity(jnp, jax, quant_mode, n_pairs=4, frames=4,
+                          oracle_cache=None):
     """Fidelity datapoint for the quantized 8.3B serving config (VERDICT
     r4 item 3): host bf16 oracle forward at REAL dims vs the on-chip
     quantized path — 5-dim logit deltas, summed-score delta, and the
@@ -247,6 +248,12 @@ def phase4_quant_fidelity(jnp, jax, quant_mode, n_pairs=4, frames=4):
     Random-init params make the flip rate PESSIMISTIC: both videos of a
     pair score near zero, so tiny perturbations can flip ties that a
     trained checkpoint would separate.
+
+    ``oracle_cache``: JSON path memoizing the host-oracle logits.  They
+    depend only on the init/clip seeds (2 / 7) and (n_pairs, frames, T)
+    — NOT on ``quant_mode`` — so A/B-ing two quantized modes against the
+    same oracle (e.g. int8-wo vs int8-wo-g128) pays the multi-minute
+    per-video host forward only once.
     """
     from mjvideo_tpu.models.videoscore import (
         VideoScoreConfig,
@@ -295,6 +302,16 @@ def phase4_quant_fidelity(jnp, jax, quant_mode, n_pairs=4, frames=4):
                 jnp.asarray(amask))
         return np.asarray(out, np.float32)[0]
 
+    import json
+    import os
+
+    cache = {}
+    if oracle_cache and os.path.exists(oracle_cache):
+        with open(oracle_cache) as f:
+            cache = json.load(f)
+        print(f"phase 4: oracle cache {oracle_cache}: {len(cache)} entries",
+              flush=True)
+
     rng = np.random.default_rng(7)
     logit_deltas, score_deltas = [], []
     flips_pref = flips_good = 0
@@ -302,8 +319,16 @@ def phase4_quant_fidelity(jnp, jax, quant_mode, n_pairs=4, frames=4):
         totals = {"host": [], "dev": []}
         for _v in range(2):
             pv, ids, amask = make_clip(rng)
+            key = f"seed2/7:{frames}f:{T}t:pair{pair}:video{_v}"
             t0 = time.perf_counter()
-            lh = fwd_host(pv, ids, amask)
+            if key in cache:
+                lh = np.asarray(cache[key], np.float32)
+            else:
+                lh = fwd_host(pv, ids, amask)
+                if oracle_cache:
+                    cache[key] = [float(x) for x in lh]
+                    with open(oracle_cache, "w") as f:
+                        json.dump(cache, f, indent=1)
             th = time.perf_counter() - t0
             ld = np.asarray(fwd_dev(pq, jnp.asarray(pv, jnp.bfloat16),
                                     jnp.asarray(ids), jnp.asarray(amask)),
@@ -347,6 +372,10 @@ def main():
     ap.add_argument("--fidelity", action="store_true",
                     help="run phase 4: host bf16 oracle vs the quantized "
                          "chip path (VERDICT r4 item 3)")
+    ap.add_argument("--oracle-cache", default=None,
+                    help="JSON path memoizing phase 4's host-oracle "
+                         "logits (mode-independent) so quant-mode A/Bs "
+                         "pay the host forwards once")
     args = ap.parse_args()
 
     from mjvideo_tpu.utils.profiling import enable_compilation_cache
@@ -358,7 +387,8 @@ def main():
     print(f"backend: {jax.default_backend()} {jax.devices()[0]}",
           flush=True)
     if args.fidelity:
-        ok = phase4_quant_fidelity(jnp, jax, args.quant)
+        ok = phase4_quant_fidelity(jnp, jax, args.quant,
+                                   oracle_cache=args.oracle_cache)
         print("VIDEOSCORE_TPU_OK" if ok else "VIDEOSCORE_TPU_FAILED",
               flush=True)
         sys.exit(0 if ok else 1)
