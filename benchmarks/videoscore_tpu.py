@@ -372,6 +372,9 @@ def main():
     ap.add_argument("--fidelity", action="store_true",
                     help="run phase 4: host bf16 oracle vs the quantized "
                          "chip path (VERDICT r4 item 3)")
+    ap.add_argument("--pairs", type=int, default=4,
+                    help="phase 4 pair count (host-oracle cost is "
+                         "~minutes/video; trim for bounded runs)")
     ap.add_argument("--oracle-cache", default=None,
                     help="JSON path memoizing phase 4's host-oracle "
                          "logits (mode-independent) so quant-mode A/Bs "
@@ -388,6 +391,7 @@ def main():
           flush=True)
     if args.fidelity:
         ok = phase4_quant_fidelity(jnp, jax, args.quant,
+                                   n_pairs=args.pairs,
                                    oracle_cache=args.oracle_cache)
         print("VIDEOSCORE_TPU_OK" if ok else "VIDEOSCORE_TPU_FAILED",
               flush=True)
