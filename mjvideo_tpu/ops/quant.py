@@ -634,6 +634,7 @@ def quantize_params_int8(
     weight_only: bool = False,
     group_size: Optional[int] = None,
     outliers: Optional[int] = None,
+    device: Any = None,
 ) -> Any:
     """Replace every large dense ``.../kernel`` leaf with a QuantKernel.
 
@@ -661,18 +662,38 @@ def quantize_params_int8(
     (``_q8g_matmul_pallas``); weight-only group kernels dequantize per
     group at the activation dtype.  Leaves whose K doesn't divide the
     group get a halved per-leaf group (floor 32) or stay per-column.
+
+    ``device``: STREAMED on-device quantization — each leaf is
+    ``device_put`` to ``device`` and quantized there by a jitted,
+    buffer-donating kernel (ineligible leaves just move).  The returned
+    tree lives on ``device``, ready to serve; peak device memory is the
+    quantized tree + one in-flight source leaf.  This is the serving
+    cold-start path for trees whose full-precision form does not fit or
+    whose host quantize is prohibitive: the 8.3B VideoScore tree costs
+    ~44 min of one-core host fp32 math (measured, docs/PERF.md round 5)
+    vs seconds of HBM-bandwidth math on chip — the wall-clock becomes
+    the bf16 upload.  Identical numerics: the same ``quantize_kernel``
+    trace, just placed.
     """
     if scope not in ("all", "vit", "noattn"):
         raise ValueError(f"unknown quant scope {scope!r}")
     exc = [re.compile(p) for p in exclude]
+    # donate_argnums frees each uploaded bf16 leaf the moment its int8
+    # form exists, bounding in-flight device memory to one source leaf.
+    quant_jit = jax.jit(
+        quantize_kernel, static_argnames=("dtype", "group_size"),
+        donate_argnums=(0,)) if device is not None else None
 
     def one(path, leaf):
         s = _path_str(path)
-        if not _kernel_leaf_eligible(s, leaf, exc, min_elements):
-            return leaf
-        if scope == "vit" and not _VIT_INCLUDE.search(s):
-            return leaf
-        if scope == "noattn" and _DEC_ATTN.search(s):
+        eligible = (
+            _kernel_leaf_eligible(s, leaf, exc, min_elements)
+            and not (scope == "vit" and not _VIT_INCLUDE.search(s))
+            and not (scope == "noattn" and _DEC_ATTN.search(s))
+        )
+        if device is not None:
+            leaf = jax.device_put(leaf, device)
+        if not eligible:
             return leaf
         gs = group_size
         if gs is not None:
@@ -681,7 +702,8 @@ def quantize_params_int8(
                 gs //= 2
             if gs < 32:
                 gs = None
-        qk = quantize_kernel(leaf, group_size=gs)
+        qk = (quant_jit(leaf, group_size=gs) if device is not None
+              else quantize_kernel(leaf, group_size=gs))
         if weight_only:
             return WOQuantKernel(qw=qk.q, scale=qk.scale)
         if outliers and gs is None:
@@ -693,7 +715,8 @@ def quantize_params_int8(
 
 
 def quantize_params_mode(params: Any, mode: str,
-                         min_elements: int = 1 << 16) -> Any:
+                         min_elements: int = 1 << 16,
+                         device: Any = None) -> Any:
     """Apply a named serving quantization mode.
 
     ``"int8"``: every large dense kernel, w8a8 (max prefill throughput,
@@ -713,8 +736,16 @@ def quantize_params_mode(params: Any, mode: str,
     (w8a8 kernels route through the grouped Pallas matmul).
     Examples: ``"int8-g128"``, ``"int8-noattn"``, ``"int8-noattn-g128"``,
     ``"int8-wo-g128"``.
+
+    ``device``: streamed on-device quantization (see
+    ``quantize_params_int8``) — the returned tree lives on ``device``
+    with each leaf quantized there; the serving cold-start path for
+    trees too large (or too slow) to quantize on host.  Not supported
+    for ``int4-wo`` (its pack step is host-side).
     """
     if mode == "int4-wo":
+        if device is not None:
+            raise ValueError("int4-wo does not support device= streaming")
         from .quant4 import quantize_params_int4
 
         return quantize_params_int4(params, min_elements=min_elements)
@@ -738,7 +769,7 @@ def quantize_params_mode(params: Any, mode: str,
         return quantize_params_int8(
             params, min_elements=min_elements, scope=scope,
             weight_only=weight_only, group_size=group_size,
-            outliers=outliers)
+            outliers=outliers, device=device)
     raise ValueError(f"unknown quant mode {mode!r}; expected 'int8[-vit|"
                      "-noattn][-wo][-gN]' or 'int4-wo'")
 

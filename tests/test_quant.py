@@ -581,3 +581,28 @@ def test_outlier_mode_parser_and_scan():
         ref = np.asarray(x @ w[i])
         rel = np.linalg.norm(np.asarray(ys[i]) - ref) / np.linalg.norm(ref)
         assert rel < 0.02, (i, rel)
+
+
+def test_streamed_device_quantize_matches_host(params):
+    """``quantize_params_mode(device=...)`` — the serving cold-start path
+    (the 8.3B host quantize costs ~44 min, docs/PERF.md round 5) — must
+    produce the host path's tree exactly: same structure, same int8/scale
+    values (identical trace, just placed), every leaf living on the
+    target device."""
+    from mjvideo_tpu.ops.quant import quantize_params_mode
+
+    dev = jax.devices("cpu")[0]
+    for mode in ("int8-wo", "int8-noattn-g128"):
+        host = quantize_params_mode(params, mode)
+        dev_tree = quantize_params_mode(params, mode, device=dev)
+        h_leaves = jax.tree.leaves(host)
+        d_leaves = jax.tree.leaves(dev_tree)
+        assert jax.tree.structure(host) == jax.tree.structure(dev_tree)
+        assert len(h_leaves) == len(d_leaves)
+        for h, d in zip(h_leaves, d_leaves):
+            assert d.devices() == {dev}, mode
+            np.testing.assert_array_equal(np.asarray(h), np.asarray(d),
+                                          err_msg=mode)
+
+    with pytest.raises(ValueError, match="int4-wo"):
+        quantize_params_mode(params, "int4-wo", device=dev)
